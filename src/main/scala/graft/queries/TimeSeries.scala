@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TimeSeriesOps
+
+/** Time-series query surface over the `events` fixture — the direct analog of
+  * the reference's read API (`readSimple`/`readExtended`/`latestUniques`):
+  * `user_id` plays the address, `ts` (epoch nanoseconds) the time, `value`
+  * the payload, `props` the extended blob.
+  *
+  * `ts` is read as a Long of epoch ns (see [[graft.Tables.tune]]), matching
+  * the reference's Word64 ns `Time`; the DuckDB oracles use `epoch_ns(ts)`.
+  */
+object TimeSeries {
+
+  // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z in epoch ns — inside the
+  // fixture's Jan-2024 window at every scale factor.
+  private val T0 = 1704844800000000000L
+  private val T1 = 1705708800000000000L
+  private val Addrs = Seq(1L, 2L, 3L, 5L, 8L)
+
+  // DuckDB (the oracle) reads parquet timestamp[ns] as µs TIMESTAMP,
+  // truncating nanos — so declared outputs truncate ns→µs the same way.
+  // Integer arithmetic: epoch-ns values exceed 2^53, float ops would drift.
+  private def nsTruncUs(c: org.apache.spark.sql.Column) =
+    c - pmod(c, lit(1000L))
+
+  /** O5/O11: inclusive time-range + address-set scan, sorted (time, addr),
+    * first-wins dedup on (addr, time). */
+  def rangeScan(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.rangeScan(
+        Tables.events(s, dir).select(
+          col("user_id"), nsTruncUs(col("ts")).as("ts_ns"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value")),
+        "ts_ns", "user_id", T0, T1, Addrs)
+
+  val rangeScanSql: String =
+    s"""SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
+       |  CAST(value AS DECIMAL(18,2)) AS value
+       |FROM (
+       |  SELECT user_id, ts, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |) WHERE rn = 1
+       |ORDER BY ts_ns, user_id""".stripMargin
+
+  /** O8/O9: latest value per address (`latestUniques`): newest event per
+    * user, via max_by hash aggregate (no global window shuffle). */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.latestPerKey(
+        Tables.events(s, dir).select(
+          col("user_id"), nsTruncUs(col("ts")).as("ts_ns"),
+          col("value").cast("decimal(18,2)").as("value"), col("event_type")),
+        "user_id", "ts_ns", Seq("value", "event_type"))
+      .orderBy(col("user_id"))
+
+  val latestPerKeySql: String =
+    """SELECT user_id, epoch_ns(ts) AS ts_ns,
+      |  CAST(value AS DECIMAL(18,2)) AS value, event_type
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_range_scan"     -> rangeScan,
+    "ts_latest_per_key" -> latestPerKey
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_range_scan"     -> rangeScanSql,
+    "ts_latest_per_key" -> latestPerKeySql
+  )
+}
