@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Point
+
+/** Mutable key→blob view over the immutable point store — the reference's
+  * `TimeStore.Mutable` (`lib/TimeStore/Mutable.hs`): each insert appends an
+  * extended point whose time field is a per-key sequence number; reads
+  * resolve to the highest sequence number per key.
+  *
+  * Mapping (SURVEY §2, O25-O29): storage goes to a shadow namespace (the
+  * reference suffixes `_INTERNAL`; namespaces themselves may not contain
+  * '_', so the shadow name cannot collide — we use a sibling directory).
+  * Addresses are forced odd (bit 0 set ⇒ extended, `Mutable.hs:95`); the
+  * fixed 128-bucket layout (`mutableBuckets`, `StoreHelpers.hs:151-154`)
+  * comes from registering the shadow namespace with 128 buckets. `lookup`
+  * is `max_by(value, seq)` for one key; `enumerate` the same aggregate over
+  * all keys — a hash aggregate with map-side partials, no window shuffle.
+  *
+  * Like the reference (`Mutable.hs:90-103` has no lock around its
+  * read-modify-write), concurrent inserts to the same key may race; the
+  * winner is the highest sequence number.
+  */
+object MutableKV {
+
+  val MutableBuckets = 128  // StoreHelpers.hs:151-154
+
+  private def shadow(n: TimeStore.Namespace): TimeStore.Namespace =
+    n.copy(ns = s"${n.ns}-INTERNAL")
+
+  private def ensure(spark: SparkSession, n: TimeStore.Namespace): TimeStore.Namespace = {
+    val s = shadow(n)
+    TimeStore.register(spark, s, MutableBuckets, MutableBuckets)
+    s
+  }
+
+  /** Force bit 0: every mutable record is an extended point. */
+  private def mutableAddress(address: Long): Long = address | 1L
+
+  /** Insert combining with the existing value (`insertWith`,
+    * `Mutable.hs:75-103`): read-modify-write with a user merge function
+    * `(new, existing) => merged`; sequence number bumps by one. */
+  def insertWith(spark: SparkSession, n: TimeStore.Namespace,
+                 merge: (Array[Byte], Array[Byte]) => Array[Byte],
+                 address: Long, value: Array[Byte]): Array[Byte] = {
+    val s = ensure(spark, n)
+    val addr = mutableAddress(address)
+    val current = lookupWithSeq(spark, s, addr)
+    val (seq, merged) = current match {
+      case Some((prevSeq, prev)) => (prevSeq + 1, merge(value, prev))
+      case None                  => (1L, value)
+    }
+    import spark.implicits._
+    TimeStore.writePoints(spark, s,
+      spark.createDataset(Seq(Point(addr, seq, merged.length.toLong, merged))),
+      rolloverBytes = Long.MaxValue)  // fixed layout: the mutable view never rolls
+    merged
+  }
+
+  /** Plain upsert (`insert`): new value wins. */
+  def insert(spark: SparkSession, n: TimeStore.Namespace, address: Long,
+             value: Array[Byte]): Unit =
+    insertWith(spark, n, (nw, _) => nw, address, value)
+
+  /** Point lookup (`Mutable.lookup`, `Mutable.hs:48-73`): latest blob for
+    * the key, None if absent. */
+  def lookup(spark: SparkSession, n: TimeStore.Namespace,
+             address: Long): Option[Array[Byte]] =
+    lookupWithSeq(spark, ensure(spark, n), mutableAddress(address)).map(_._2)
+
+  private def lookupWithSeq(spark: SparkSession, shadowNs: TimeStore.Namespace,
+                            addr: Long): Option[(Long, Array[Byte])] =
+    TimeStore.readExtended(spark, shadowNs, 0L, -1L /* maxBound */, Seq(addr))
+      .orderBy(desc("time")).limit(1)
+      .collect().headOption.map(r => (r.getAs[Long]("time"), r.getAs[Array[Byte]]("value")))
+
+  /** Full scan (`enumerate`, `Mutable.hs:105-119`): latest value per key,
+    * streamed as a DataFrame `(address, seq, value)`. */
+  def enumerate(spark: SparkSession, n: TimeStore.Namespace): DataFrame = {
+    val s = ensure(spark, n)
+    TimeStore.latestPerAddress(spark, s, "extended")
+      .select(col("address"), col("time").as("seq"), col("value"))
+      .orderBy(col("address"))
+  }
+}

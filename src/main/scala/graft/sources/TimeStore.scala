@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{EpochIndex, Point}
+import graft.functions.PointFunctions
+
+/** The namespace store — the engine's equivalent of the reference's public
+  * API (`lib/TimeStore.hs`): register, write, read, latest, rollover.
+  *
+  * Layout per namespace under a root path (any Hadoop FileSystem — local,
+  * HDFS, S3A, CephFS):
+  *
+  * {{{
+  * <root>/<ns>/points/kind=<simple|extended>/epoch=<E>/bucket=<B>/part-....parquet
+  * <root>/<ns>/meta/simple_index      (lines "epoch,buckets")
+  * <root>/<ns>/meta/extended_index
+  * <root>/<ns>/meta/latest            (line "simpleLatest,extendedLatest")
+  * }}}
+  *
+  * Design mapping (SURVEY §7): the reference's lock-protected append +
+  * offset/pointer machinery is replaced by Parquet partitioned appends —
+  * `kind`/`epoch`/`bucket` are partition columns, so Catalyst partition
+  * pruning plays the role of `targetObjs` (`StoreHelpers.hs:78-104`) and
+  * variable-length BINARY subsumes the extended-bucket blob store. Writers
+  * are declared single-process (the reference needs locks because multiple
+  * daemons share Ceph; a Spark deployment runs one streaming writer per
+  * namespace — see [[graft.streaming.StreamingIngest]]).
+  *
+  * Scale notes: ingest shuffles once on (kind, epoch, bucket) to write one
+  * file per bucket partition; reads prune partitions from predicates before
+  * any IO; nothing is collected to the driver except the tiny index.
+  */
+object TimeStore {
+
+  val DefaultRolloverBytes: Long = 4L << 20  // Core.hs:86-90
+
+  final case class Namespace(root: String, ns: String) {
+    def dir: String = s"$root/$ns"
+    def pointsDir: String = s"$dir/points"
+    def metaDir: String = s"$dir/meta"
+  }
+
+  /** Validate a namespace name (`Core.hs:226-230`): non-empty, no '_'. */
+  def namespace(root: String, ns: String): Namespace = {
+    require(ns.nonEmpty && !ns.contains('_'),
+      s"invalid namespace '$ns': must be non-empty and not contain '_'")
+    Namespace(root, ns)
+  }
+
+  // ---- metadata (the reference's index + latest objects) ----------------
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmall(spark: SparkSession, path: String, body: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readSmall(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try { in.readFully(0, buf); Some(new String(buf, StandardCharsets.UTF_8)) }
+      finally in.close()
+    }
+  }
+
+  private def indexPath(n: Namespace, kind: String) = s"${n.metaDir}/${kind}Index"
+
+  private def writeIndex(spark: SparkSession, n: Namespace, kind: String,
+                         idx: EpochIndex): Unit =
+    writeSmall(spark, indexPath(n, kind),
+      idx.entries.map { case (e, b) => s"$e,$b" }.mkString("\n"))
+
+  def fetchIndex(spark: SparkSession, n: Namespace, kind: String): Option[EpochIndex] =
+    readSmall(spark, indexPath(n, kind)).map { body =>
+      EpochIndex(body.split('\n').toVector.filter(_.nonEmpty).map { l =>
+        val Array(e, b) = l.split(','); (e.toLong, b.toInt)
+      })
+    }
+
+  private def mustFetchIndex(spark: SparkSession, n: Namespace, kind: String): EpochIndex =
+    fetchIndex(spark, n, kind).getOrElse(
+      throw new IllegalStateException(s"invalid namespace: ${n.ns} ($kind index missing)"))
+
+  /** The per-kind high-water marks (`simple_latest`/`extended_latest`,
+    * `Core.hs:176-185`). */
+  def fetchLatest(spark: SparkSession, n: Namespace): (Long, Long) =
+    readSmall(spark, s"${n.metaDir}/latest").map { body =>
+      val Array(s, e) = body.trim.split(','); (s.toLong, e.toLong)
+    }.getOrElse((0L, 0L))
+
+  private def writeLatest(spark: SparkSession, n: Namespace, s: Long, e: Long): Unit =
+    writeSmall(spark, s"${n.metaDir}/latest", s"$s,$e")
+
+  // ---- DDL (O23) --------------------------------------------------------
+
+  def isRegistered(spark: SparkSession, n: Namespace): Boolean =
+    fetchIndex(spark, n, "simple").isDefined
+
+  /** Idempotent namespace create (`TimeStore.hs:73-95`): seed both indexes
+    * with `(0, bucketCount)`. */
+  def register(spark: SparkSession, n: Namespace,
+               simpleBuckets: Int, extendedBuckets: Int): Unit =
+    if (!isRegistered(spark, n)) {
+      writeIndex(spark, n, "simple", EpochIndex.seed(simpleBuckets))
+      writeIndex(spark, n, "extended", EpochIndex.seed(extendedBuckets))
+    }
+
+  // ---- ingest (O1/O2/O16/O18/O20) ---------------------------------------
+
+  /** Bulk-write a mixed wire blob (`writeEncoded`, `TimeStore.hs:98-137`).
+    * Decodes driver-side (the blob arrived at the driver anyway), then runs
+    * the distributed [[writePoints]] path. */
+  def writeEncoded(spark: SparkSession, n: Namespace, blob: Array[Byte],
+                   rolloverBytes: Long = DefaultRolloverBytes): Unit = {
+    val points = PointCodec.decode(blob).fold(
+      err => throw new IllegalArgumentException(s"invalid payload: $err"),
+      identity)
+    import spark.implicits._
+    writePoints(spark, n, spark.createDataset(points), rolloverBytes)
+  }
+
+  /** Distributed ingest: route each point to (kind, epoch, bucket) via the
+    * current indexes (`groupMixed`'s partitioning, `Algorithms.hs:111-178`,
+    * minus the pointer/offset machinery), append as partitioned Parquet,
+    * advance the latest watermarks monotonically (`updateLatest`,
+    * `StoreHelpers.hs:227-265`), then roll over any oversized latest-epoch
+    * bucket (`maybeRollover`, `StoreHelpers.hs:194-221`).
+    */
+  def writePoints(spark: SparkSession, n: Namespace, points: Dataset[Point],
+                  rolloverBytes: Long = DefaultRolloverBytes): Unit = {
+    val sIdx = mustFetchIndex(spark, n, "simple")
+    val eIdx = mustFetchIndex(spark, n, "extended")
+
+    val routed = route(points.toDF(), sIdx, eIdx)
+    // One shuffle on the partition keys so each (kind,epoch,bucket) writes
+    // a single file per batch — the Parquet analog of the reference's one
+    // batched append per bucket (StoreHelpers.hs:127-137).
+    routed
+      .repartition(col("kind"), col("epoch"), col("bucket"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("kind", "epoch", "bucket")
+      .parquet(n.pointsDir)
+
+    // Monotonic max watermarks, one tiny aggregate.
+    val maxes = routed.groupBy(col("kind")).agg(max(col("time")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (s0, e0) = fetchLatest(spark, n)
+    val sMax = maxU(s0, maxes.getOrElse("simple", 0L))
+    val eMax = maxU(e0, maxes.getOrElse("extended", 0L))
+    writeLatest(spark, n, sMax, eMax)
+
+    maybeRollover(spark, n, "simple", sIdx, sMax, rolloverBytes)
+    maybeRollover(spark, n, "extended", eIdx, eMax, rolloverBytes)
+  }
+
+  /** Add routing columns: epoch by strict-floor index lookup on time
+    * (`Index.hs:76-88`), bucket by `placeBucket`. The index is tiny (a few
+    * entries), so the lookup compiles to a literal CASE chain — fully
+    * codegen'd, no join, no broadcast needed. Extended points route by the
+    * extended index, simple by the simple one. */
+  private[graft] def route(df: DataFrame, sIdx: EpochIndex, eIdx: EpochIndex): DataFrame = {
+    // Ascending fold, each entry's `when` wrapping the previous as its
+    // otherwise ⇒ outermost test is the newest epoch: strict unsigned
+    // time > epoch, so a boundary point stays in the older epoch.
+    def epochExpr(idx: EpochIndex) =
+      idx.entries.drop(1).foldLeft(lit(idx.entries.head._1)) {
+        case (acc, (e, _)) =>
+          when(PointFunctions.unsignedGt(col("time"), lit(e)), lit(e)).otherwise(acc)
+      }
+    def bucketsExpr(idx: EpochIndex, epochCol: org.apache.spark.sql.Column) =
+      idx.entries.foldLeft(lit(idx.entries.head._2)) {
+        case (acc, (e, b)) => when(epochCol === lit(e), lit(b)).otherwise(acc)
+      }
+    val isExt = (col("address").bitwiseAND(lit(1L))) === lit(1L)
+    val withKind = df.withColumn("kind", when(isExt, "extended").otherwise("simple"))
+    val epochCol = when(isExt, epochExpr(eIdx)).otherwise(epochExpr(sIdx))
+    val bCount = when(isExt, bucketsExpr(eIdx, epochCol))
+      .otherwise(bucketsExpr(sIdx, epochCol))
+    withKind
+      .withColumn("epoch", epochCol)
+      .withColumn("bucket", PointFunctions.placeBucket(col("address"), bCount))
+  }
+
+  /** Rollover (`maybeRollover`, `StoreHelpers.hs:194-221`): if any bucket of
+    * the latest epoch exceeds the threshold, append `(latest, buckets)` to
+    * the index so subsequent writes open a fresh epoch. Old epochs are never
+    * rolled (their buckets are naturally immutable). */
+  private def maybeRollover(spark: SparkSession, n: Namespace, kind: String,
+                            idx: EpochIndex, latest: Long,
+                            threshold: Long): Unit = {
+    val (epoch, buckets) = idx.latestEntry
+    val f = fs(spark, n.pointsDir)
+    val epochDir = new Path(s"${n.pointsDir}/kind=$kind/epoch=$epoch")
+    if (!f.exists(epochDir)) return
+    val maxBucketBytes = f.listStatus(epochDir).map { st =>
+      if (st.isDirectory) f.getContentSummary(st.getPath).getLength else 0L
+    }.foldLeft(0L)(math.max)
+    if (maxBucketBytes > threshold && java.lang.Long.compareUnsigned(latest, epoch) > 0) {
+      // Double-check against a concurrent rollover (StoreHelpers.hs:213-219):
+      // re-read the index and only append if unchanged.
+      val current = mustFetchIndex(spark, n, kind)
+      if (current == idx) writeIndex(spark, n, kind, current.append(latest, buckets))
+    }
+  }
+
+  private def maxU(a: Long, b: Long): Long =
+    if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b
+
+  // ---- read path (O5/O6/O11/O12/O13) ------------------------------------
+
+  /** Scan contract (`readSimple`, `TimeStore.hs:139-156`): inclusive
+    * unsigned time range, optional address set, sorted (time, address),
+    * first-wins dedup on (address, time). Returns simple points only.
+    *
+    * Bucket pruning: epochs come from the index range lookup and, when an
+    * address set is given, the exact bucket list per epoch is the
+    * `placeBucket` image (`targetObjs`, `StoreHelpers.hs:78-104`) — both
+    * become partition-column predicates Catalyst prunes before any IO.
+    */
+  def readSimple(spark: SparkSession, n: Namespace, start: Long, end: Long,
+                 addrs: Seq[Long]): DataFrame =
+    readKind(spark, n, "simple", start, end, addrs)
+      .select("address", "time", "payload")
+
+  /** `readExtended` (`TimeStore.hs:158-177`): same contract with the blob
+    * column; the pointer-dereference join is pre-done at ingest. */
+  def readExtended(spark: SparkSession, n: Namespace, start: Long, end: Long,
+                   addrs: Seq[Long]): DataFrame =
+    readKind(spark, n, "extended", start, end, addrs)
+      .select("address", "time", "payload", "value")
+
+  /** Empty result with the store schema — a registered namespace that has
+    * never been written has no parquet directory yet (the reference's
+    * missing-object ⇒ empty-bytes behavior, `Memory.hs:72-76`). */
+  private def emptyPoints(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = Point.schema
+      .add("kind", StringType).add("epoch", LongType).add("bucket", IntegerType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def pointsDirExists(spark: SparkSession, n: Namespace): Boolean =
+    fs(spark, n.pointsDir).exists(new Path(n.pointsDir))
+
+  private def readKind(spark: SparkSession, n: Namespace, kind: String,
+                       start: Long, end: Long, addrs: Seq[Long]): DataFrame = {
+    val idx = mustFetchIndex(spark, n, kind)
+    if (!pointsDirExists(spark, n)) return emptyPoints(spark)
+    val entries = idx.rangeEntries(start, end)
+    val epochs = entries.map(_._1)
+    // targetObjs: image of placeBucket over the address list, per epoch.
+    val bucketPred = if (addrs.isEmpty) lit(true) else entries.map {
+      case (e, bc) =>
+        val bs = addrs.map(a => EpochIndex.placeBucket(bc, a)).distinct
+        col("epoch") === lit(e) && col("bucket").isin(bs: _*)
+    }.reduce(_ || _)
+    val addrPred = if (addrs.isEmpty) lit(false) else col("address").isin(addrs: _*)
+    val df = spark.read.parquet(n.pointsDir)
+      .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
+      .filter(addrPred &&
+        PointFunctions.unsignedGte(col("time"), lit(start)) &&
+        PointFunctions.unsignedLte(col("time"), lit(end)))
+    // Unsigned (time, address) order — Core.hs:252-258 — via sign-bit flip.
+    df.dropDuplicates("address", "time")
+      .orderBy(col("time").bitwiseXOR(lit(Long.MinValue)),
+        col("address").bitwiseXOR(lit(Long.MinValue)))
+  }
+
+  /** Latest point per address over a namespace kind (`latestUniques`,
+    * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials. */
+  def latestPerAddress(spark: SparkSession, n: Namespace, kind: String): DataFrame = {
+    val base = (if (pointsDirExists(spark, n)) spark.read.parquet(n.pointsDir)
+                else emptyPoints(spark)).filter(col("kind") === kind)
+    val payload = struct(col("time"), col("payload"), col("value"))
+    base.groupBy(col("address"))
+      .agg(max_by(payload, col("time")).as("latest"))
+      .select(col("address"), col("latest.time").as("time"),
+        col("latest.payload").as("payload"), col("latest.value").as("value"))
+  }
+}
