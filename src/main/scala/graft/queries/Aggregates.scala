@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation inventory: global aggregates, grouped stats, distinct counts,
+  * rollup/cube grouping sets, and time-bucketed (tumbling-window) aggregates
+  * on the event stream.
+  *
+  * All double aggregation goes through DECIMAL(18,2) casts (exact,
+  * order-independent — fixtures carry 2 decimals); averages divide the exact
+  * decimal sum as double with a fixed rounding, deterministic on both
+  * engines. Every plan is a single hash aggregate with map-side partials —
+  * the shape that scales linearly with executors.
+  */
+object Aggregates {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def avg6(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 6)
+
+  /** Global (no grouping) aggregate over the fact table. */
+  def aggGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(dec(col("l_quantity"))).as("sum_qty"),
+      min(dec(col("l_extendedprice"))).as("min_price"),
+      max(dec(col("l_extendedprice"))).as("max_price"),
+      avg6(col("l_extendedprice")).as("avg_price"))
+
+  val aggGlobalSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+      |  MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price
+      |FROM lineitem""".stripMargin
+
+  /** Distinct counts per group (exact) + approx sketch demonstrated in specs
+    * (approx results can't hash-match an oracle). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets over (returnflag, linestatus). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE grouping sets over (orderstatus, orderpriority). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Tumbling 1-hour windows over the event stream (integer ns arithmetic —
+    * the batch analog of Structured Streaming's `window(ts, '1 hour')`). */
+  def aggEventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    Tables.events(s, dir)
+      .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
+      .groupBy(col("hour_ns"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy(col("hour_ns"), col("event_type"))
+  }
+
+  val aggEventsTumblingSql: String =
+    """SELECT epoch_ns(date_trunc('hour', ts)) AS hour_ns, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin
+
+  /** Histogram-style bucketed aggregate: orders by price decile (width
+    * bucketing with integer arithmetic). */
+  def aggPriceBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("bucket"))
+
+  val aggPriceBucketsSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_global" -> aggGlobal,
+    "agg_distinct" -> aggDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_events_tumbling" -> aggEventsTumbling,
+    "agg_price_buckets" -> aggPriceBuckets)
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_global" -> aggGlobalSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_events_tumbling" -> aggEventsTumblingSql,
+    "agg_price_buckets" -> aggPriceBucketsSql)
+}

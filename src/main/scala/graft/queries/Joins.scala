@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join-family inventory: inner/left/right/full/semi/anti/cross plus the
+  * as-of join (the reference's index floor-lookup O15 generalized).
+  *
+  * Scale notes: dimension sides (region/nation/customer/supplier/part at
+  * TPC-H proportions) are broadcast — no shuffle of the fact table; the
+  * fact-fact join (lineitem ⋈ orders) shuffles on the join key once, which
+  * AQE re-plans at runtime. The as-of join is the union+running-max form —
+  * one shuffle on the key, no range-join row explosion.
+  */
+object Joins {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Inner fact-dim-dim join: revenue per nation (lineitem⋈orders⋈customer
+    * ⋈nation). customer/nation broadcast; lineitem⋈orders shuffles once. */
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val joinInnerSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left outer: every customer with order count + spend (zeros kept). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Right outer join (orders RIGHT JOIN customer ≡ customer LEFT): kept as
+    * its own declared operator. */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val joinRightSql: String =
+    """SELECT c_nationkey, COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Full outer: per-nation customer count vs supplier count (nations may
+    * have only one side). */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("nk_c") === col("nk_s"), "full")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullSql: String =
+    """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
+  /** Left semi (EXISTS): customers that placed at least one urgent order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti (NOT EXISTS): customers that never placed an urgent order. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join of the two smallest dims (region × nation). */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val joinCrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** As-of join (O15 generalized): for each purchase event, the most recent
+    * signup event of the same user at or before it. Union + running-max over
+    * a RANGE frame — one shuffle on user_id, no range-join explosion; ties
+    * at equal time are included, matching ASOF's >= bound. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = e.withColumn("signup_ts",
+      max(when(col("event_type") === "signup", col("ts"))).over(w))
+    tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("purchase_ts_ns"),
+        col("value"),
+        (col("signup_ts") - pmod(col("signup_ts"), lit(1000L))).as("signup_ts_ns"))
+      .orderBy(col("user_id"), col("purchase_ts_ns"))
+  }
+
+  val joinAsofSql: String =
+    """SELECT p.user_id AS user_id, epoch_ns(p.ts) AS purchase_ts_ns,
+      |  CAST(p.value AS DECIMAL(18,2)) AS value, epoch_ns(si.ts) AS signup_ts_ns
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') si
+      |  ON p.user_id = si.user_id AND p.ts >= si.ts
+      |ORDER BY user_id, purchase_ts_ns""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_right" -> joinRight,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_asof" -> joinAsof)
+
+  def oracleSql: Map[String, String] = Map(
+    "join_inner" -> joinInnerSql,
+    "join_left" -> joinLeftSql,
+    "join_right" -> joinRightSql,
+    "join_full" -> joinFullSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_cross" -> joinCrossSql,
+    "join_asof" -> joinAsofSql)
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sorts/limits/top-k, set operations, scalar-function surface (string /
+  * date / math / bit / conditional), and subquery families. The reference's
+  * only scalar ops are bit-twiddles and LE packing (SURVEY §2.3); the rest
+  * is new engine surface from `functions._`, declared and oracle-checked
+  * here. Bit ops mirror `placeBucket`'s clear-bit-0 + mod hashing.
+  */
+object SortsSetsFns {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- sorts / limits / top-k ----
+
+  /** Global top-k with deterministic tiebreak — Catalyst plans
+    * TakeOrderedAndProject (no global sort materialization). */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Multi-key mixed-direction sort (full ordered scan). */
+  def sortMultiKey(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), dec(col("s_acctbal")).as("s_acctbal"))
+
+  val sortMultiKeySql: String =
+    """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+      |FROM supplier ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey""".stripMargin
+
+  // ---- set operations ----
+
+  /** UNION (distinct): nations having customers ∪ nations having suppliers. */
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  val setUnionSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** INTERSECT: nations with both customers and suppliers. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  val setIntersectSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  val setExceptSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  // ---- scalar functions ----
+
+  /** String functions: case, substring, length, concat, regexp extraction,
+    * trim/replace. */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"))
+      .orderBy(col("p_partkey"))
+
+  val fnStringSql: String =
+    """SELECT p_partkey, UPPER(p_brand) AS brand_upper, LOWER(p_type) AS type_lower,
+      |  SUBSTRING(p_name, 1, 8) AS name_prefix, LENGTH(p_name) AS name_len,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time functions: extract fields, truncation, date arithmetic. */
+  def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        dayofweek(col("o_orderdate")).as("order_dow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_before_1998"))
+      .orderBy(col("o_orderkey"))
+
+  val fnDateSql: String =
+    """SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS order_year,
+      |  EXTRACT(month FROM o_orderdate) AS order_month,
+      |  EXTRACT(day FROM o_orderdate) AS order_day,
+      |  EXTRACT(dayofweek FROM o_orderdate) + 1 AS order_dow,
+      |  strftime(o_orderdate, '%Y-%m') AS order_ym,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_before_1998
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math functions on exact inputs: abs/floor/ceil/round, integer div/mod,
+    * sqrt/ln/exp with fixed rounding (IEEE-deterministic on both engines). */
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(dec(col("l_discount")) - lit(0.05).cast("decimal(18,2)")).as("disc_dev"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val fnMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS disc_dev,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  l_orderkey % 7 AS key_mod7,
+      |  ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+      |  ROUND(LN(l_extendedprice), 6) AS price_ln
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Bit operations — the reference's address manipulation surface
+    * (`testBit`/`setBit`/`clearBit`, shifts, masks; `Core.hs:276`,
+    * `Mutable.hs:95`). */
+  def fnBitops(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(-2L)).as("addr_cleared"),
+        col("user_id").bitwiseOR(lit(1L)).as("addr_forced"),
+        col("user_id").bitwiseXOR(col("event_id")).as("addr_xor"),
+        (col("user_id").bitwiseAND(lit(1L)) === 1L).as("is_extended"),
+        shiftleft(col("user_id"), 3).as("shifted"),
+        pmod(col("user_id"), lit(16L)).as("bucket16"))
+      .orderBy(col("event_id"))
+
+  val fnBitopsSql: String =
+    """SELECT event_id, user_id & -2 AS addr_cleared, user_id | 1 AS addr_forced,
+      |  xor(user_id, event_id) AS addr_xor,
+      |  (user_id & 1) = 1 AS is_extended,
+      |  user_id << 3 AS shifted, user_id % 16 AS bucket16
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Conditional functions: CASE, coalesce, nullif, least/greatest. */
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 1000, "low").otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+          .as("segment_masked"),
+        least(col("c_nationkey"), lit(10)).as("nation_capped"),
+        greatest(dec(col("c_acctbal")), lit(0).cast("decimal(18,2)"))
+          .as("bal_floor0"))
+      .orderBy(col("c_custkey"))
+
+  val fnConditionalSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
+      |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+      |  LEAST(c_nationkey, 10) AS nation_capped,
+      |  GREATEST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS bal_floor0
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- subqueries ----
+
+  /** Scalar subquery: orders above the global average price. */
+  def subqScalar(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg(col("o_totalprice"))).first().getDouble(0)
+    o.filter(col("o_totalprice") > avgPrice)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val subqScalarSql: String =
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      |FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** IN subquery: customers in nations that have > 0 suppliers. */
+  def subqIn(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey")).distinct()
+    c.join(sup, c("c_nationkey") === sup("s_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val subqInSql: String =
+    """SELECT c_custkey, c_nationkey FROM customer
+      |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated subquery: orders above their customer's average — decorrelated
+    * to an aggregate+join (what Catalyst does internally). */
+  def subqCorrelated(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val custAvg = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    o.join(custAvg, o("o_custkey") === custAvg("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val subqCorrelatedSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      |FROM orders o1
+      |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o1.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_orders" -> topkOrders,
+    "sort_multi_key" -> sortMultiKey,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_bitops" -> fnBitops,
+    "fn_conditional" -> fnConditional,
+    "subq_scalar" -> subqScalar,
+    "subq_in" -> subqIn,
+    "subq_correlated" -> subqCorrelated)
+
+  def oracleSql: Map[String, String] = Map(
+    "topk_orders" -> topkOrdersSql,
+    "sort_multi_key" -> sortMultiKeySql,
+    "set_union" -> setUnionSql,
+    "set_intersect" -> setIntersectSql,
+    "set_except" -> setExceptSql,
+    "fn_string" -> fnStringSql,
+    "fn_date" -> fnDateSql,
+    "fn_math" -> fnMathSql,
+    "fn_bitops" -> fnBitopsSql,
+    "fn_conditional" -> fnConditionalSql,
+    "subq_scalar" -> subqScalarSql,
+    "subq_in" -> subqInSql,
+    "subq_correlated" -> subqCorrelatedSql)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function inventory: ranking, running frames, offsets (lag/lead),
+  * per-group top-k, and sessionization via gaps-and-islands — the window
+  * shapes a time-series engine lives on (the reference's latest-per-key O8
+  * is the degenerate row_number()=1 case).
+  *
+  * Every window partitions by a real key (user/customer/group) so state is
+  * bounded per partition; no global (unpartitioned) windows — those
+  * serialize on one task at scale.
+  */
+object Windows {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Top-3 orders per priority by price (row_number, deterministic
+    * tiebreak on orderkey). */
+  def winTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val winTopkPerGroupSql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Running spend per customer in order-date order (rows frame). */
+  def winRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(w).cast("decimal(38,2)"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val winRunningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag/lead: per-user inter-event gap in ns and value delta. */
+  def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("ts_ns"),
+        ((col("ts") - pmod(col("ts"), lit(1000L))) -
+          (col("prev_ts") - pmod(col("prev_ts"), lit(1000L)))).as("gap_ns"),
+        ((col("next_ts") - pmod(col("next_ts"), lit(1000L))) -
+          (col("ts") - pmod(col("ts"), lit(1000L)))).as("next_gap_ns"))
+      .orderBy(col("user_id"), col("ts_ns"))
+  }
+
+  val winLagLeadSql: String =
+    """SELECT user_id, epoch_ns(ts) AS ts_ns,
+      |  epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER w AS gap_ns,
+      |  lead(epoch_ns(ts), 1) OVER w - epoch_ns(ts) AS next_gap_ns
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |ORDER BY user_id, ts_ns""".stripMargin
+
+  /** rank / dense_rank / percent_rank of parts by price within brand. */
+  def winRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        dec(col("p_retailprice")).as("p_retailprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  val winRanksSql: String =
+    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  ROUND(percent_rank() OVER w, 6) AS prnk
+      |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+      |ORDER BY p_brand, rnk, p_partkey""".stripMargin
+
+  /** Sessionization (gaps-and-islands): a new session starts after a >30min
+    * silence; emits per-session bounds and counts. Same formulation as
+    * Structured Streaming's session_window, expressed with windows so batch
+    * and oracle agree exactly. */
+  def winSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      // µs-truncate before any comparison: the oracle only sees µs, so gap
+      // arithmetic must happen on the same values
+      .withColumn("tsu", col("ts") - pmod(col("ts"), lit(1000L)))
+      .withColumn("new_session",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapNs, 1)
+          .otherwise(when(lag(col("tsu"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsu")).as("session_start_ns"),
+        max(col("tsu")).as("session_end_ns"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val winSessionizeSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(epoch_ns(ts)) AS session_start_ns, MAX(epoch_ns(ts)) AS session_end_ns
+      |FROM (
+      |  SELECT user_id, ts, SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+      |           WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts)
+      |                > 1800000000000 THEN 1
+      |           ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_group" -> winTopkPerGroup,
+    "win_running_sum" -> winRunningSum,
+    "win_lag_lead" -> winLagLead,
+    "win_ranks" -> winRanks,
+    "win_sessionize" -> winSessionize)
+
+  def oracleSql: Map[String, String] = Map(
+    "win_topk_per_group" -> winTopkPerGroupSql,
+    "win_running_sum" -> winRunningSumSql,
+    "win_lag_lead" -> winLagLeadSql,
+    "win_ranks" -> winRanksSql,
+    "win_sessionize" -> winSessionizeSql)
+}
