@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.SortsSetsFns.queries
+      graft.queries.SortsSetsFns.queries ++
+      graft.queries.NorthStar.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Joins.oracleSql ++
       graft.queries.Aggregates.oracleSql ++
       graft.queries.Windows.oracleSql ++
-      graft.queries.SortsSetsFns.oracleSql
+      graft.queries.SortsSetsFns.oracleSql ++
+      graft.queries.NorthStar.oracleSql
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content hash), n-gram Jaccard (exact pairwise), MinHash+LSH and
+  * SimHash (sub-quadratic candidate generation + exact verification), and
+  * embedding-cosine near-dup (see [[Similarity]]).
+  *
+  * Scale design: the exact pairwise join explodes quadratically on frequent
+  * shingles — it is the *oracle* path for small-scale verification. The
+  * production paths are MinHash-LSH and SimHash: one linear scan to build
+  * signatures (a single hash-aggregate), a bucket join that only pairs
+  * documents sharing a band (candidates ∝ true-dup density, not n²), then
+  * exact Jaccard verification restricted to candidates. All hashing is
+  * `xxhash64` — codegen'd, seed-stable, no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Word tokens, lowercased. Same regex the DuckDB oracles use. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\w+"), lit(0))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+          i => array_join(slice(col("ts"), i, lit(n)), " ")))).as("s"))
+
+  /** Exact duplicate groups by full-content hash: one hash aggregate.
+    * Keeps the smallest id as the canonical representative. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold — inverted-index self-join.
+    * Quadratic in co-shingle frequency: correctness oracle, not the scale
+    * path (use [[minhashLshPairs]] at scale). */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("common"))
+    jaccardOf(pairs, sizes, threshold)
+  }
+
+  private def jaccardOf(pairs: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame =
+    pairs
+      .join(sizes.withColumnRenamed("d", "di").withColumnRenamed("n", "ni"),
+        col("i") === col("di"))
+      .join(sizes.withColumnRenamed("d", "dj").withColumnRenamed("n", "nj"),
+        col("j") === col("dj"))
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("ni") + col("nj") - col("common")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+
+  /** MinHash signatures: k independent min-hashes per document, one
+    * hash-aggregate pass (k min() columns — no k-fold row blowup). */
+  def minhashSignature(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc"))
+      .agg(min(xxhash64(col("s"), lit(0))).as("mh0"),
+        (1 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"mh$i")): _*)
+
+  /** LSH banding + exact verification: documents sharing any band of r
+    * consecutive signature values become candidates; candidates are then
+    * verified with exact Jaccard. With k=64, r=4 (16 bands), a pair at
+    * jaccard 0.9 is missed with probability (1-0.9⁴)¹⁶ ≈ 3e-8. */
+  def minhashLshPairs(sh: DataFrame, k: Int, r: Int,
+                      threshold: Double): DataFrame = {
+    val sig = minhashSignature(sh, k)
+    val bands = k / r
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    val bucketed = sig.select(col("doc"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+    verifyCandidates(sh, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification restricted to a candidate pair set — the
+    * join only touches shingles of candidate documents. */
+  def verifyCandidates(sh: DataFrame, candidates: DataFrame,
+                       threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("sa"), col("sa.doc") === col("i"))
+      .join(sh.as("sb"), col("sb.doc") === col("j") && col("sb.s") === col("sa.s"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    jaccardOf(common, sizes, threshold)
+  }
+
+  /** 64-bit SimHash per document: sign of the per-bit sum of token hashes.
+    * One aggregate with 64 codegen'd sum expressions; returns
+    * (doc, simhash LONG). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val packed = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 8 bytes, candidates
+    * share any byte, verify with exact Jaccard (like the LSH path). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val bands = sig.select(col("doc"), posexplode(array((0 until 8).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .toDF("doc", "band", "bh")
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+    verifyCandidates(shingles(df, idCol, textCol, shingleN), candidates, threshold)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality statistics,
+  * language identification (stopword-profile heuristic), token counting
+  * (whitespace + BPE-ish subword estimate), and document fingerprinting
+  * (normalized-content hash + Rabin-Karp rolling hashes with winnowing).
+  *
+  * Everything is pure column arithmetic over `functions._` — codegen'd,
+  * linear scans, no UDFs; each document is processed independently so the
+  * operators scale embarrassingly with executors.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the lang-id heuristic. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他"))
+
+  private def toks(text: Column): Column = Dedup.tokens(text)
+
+  /** Quality statistics: lengths, token counts, average token length,
+    * punctuation/whitespace/digit ratios, uppercase ratio — the classic
+    * quality-filter features. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    def countMatches(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("double")
+    df.select(col(idCol),
+      length(t).as("n_chars"),
+      size(toks(t)).as("n_tokens"),
+      round(size(toks(t)).cast("double") /
+        greatest(countMatches("\\S+"), lit(1.0)), 6).as("tokens_per_word"),
+      round(aggregate(transform(toks(t), x => length(x)), lit(0),
+        (a, x) => a + x).cast("double") /
+        greatest(size(toks(t)).cast("double"), lit(1.0)), 6).as("avg_token_len"),
+      round(countMatches("[.,;:!?]") / greatest(n, lit(1.0)), 6).as("punct_ratio"),
+      round(countMatches("\\s") / greatest(n, lit(1.0)), 6).as("space_ratio"),
+      round(countMatches("[0-9]") / greatest(n, lit(1.0)), 6).as("digit_ratio"),
+      round(countMatches("[A-Z]") / greatest(n, lit(1.0)), 6).as("upper_ratio"))
+  }
+
+  /** Language-ID: score each profile by stopword hits over the token
+    * multiset; argmax with deterministic tiebreak by profile order; "und"
+    * when no profile scores. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isInCollection(words)))
+    }
+    // argmax via a fold over (score, lang) structs: strictly-greater wins,
+    // so earlier profiles win ties; guard "und" for all-zero.
+    val best = scores.tail.foldLeft(
+        struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+          .otherwise(acc)
+    }
+    df.select(col(idCol),
+        best.getField("s").as("lang_score"),
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+          .as("lang_pred"))
+  }
+
+  /** Token counting: whitespace tokens, word tokens, and a BPE-ish subword
+    * estimate (ceil(len/4) per word — the standard chars/4 rule). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit("\\S+"), lit(0))).as("n_ws_tokens"),
+      size(toks(t)).as("n_word_tokens"),
+      aggregate(transform(toks(t), x => ceil(length(x) / lit(4.0)).cast("long")),
+        lit(0L), (a, x) => a + x).as("n_subword_est"))
+  }
+
+  /** Content fingerprint: hash of the normalized text (lowercase, word
+    * tokens only, single-space joined) — robust to whitespace/punctuation
+    * jitter; plus the raw-content hash. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("raw_fp"),
+      md5(array_join(toks(col(textCol)), " ").cast("binary")).as("norm_fp"))
+
+  /** Rolling-hash winnowing fingerprint: Rabin-Karp hashes of token
+    * k-grams, keep the minimum per window of w — a compact sketch whose
+    * overlap estimates document similarity. Returns (id, Array[Long]).
+    * Not SQL-oracle-expressible (custom hash) — verified by determinism +
+    * self-similarity specs. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, w: Int = 8): DataFrame = {
+    val ts = toks(col(textCol))
+    // sequence(1, n) descends when n < 1 — guard short docs to empty/whole.
+    val grams = when(size(ts) < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => xxhash64(array_join(slice(ts, i, lit(k)), " "))))
+    val mins = when(size(grams) === 0, array().cast("array<bigint>"))
+      .otherwise(when(size(grams) < w, array(array_min(grams)))
+        .otherwise(transform(sequence(lit(1), size(grams) - (w - 1)),
+          i => array_min(slice(grams, i, lit(w))))))
+    df.select(col(idCol), array_distinct(mins).as("winnow_fp"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantics specs for the north-star operators that have no SQL oracle:
+  * LSH recall against brute force, winnowing determinism + self-similarity,
+  * LSH candidate recall on the planted near-dup pairs, multimodal plumbing. */
+class NorthStarSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf("0.01"))
+  lazy val emb = Tables.embeddings(spark, sf("0.01"))
+
+  test("minhash-LSH finds every exact-jaccard pair (recall 1.0 here)") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(sh, k = 64, r = 4, threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash bands + verification reproduce the exact pair set") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim === exact)
+  }
+
+  test("ann-LSH recall >= 0.9 of brute-force top-5") {
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.lshTopK(emb, probes, "vec_id", "embedding", 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("winnow fingerprints are deterministic and self-consistent") {
+    val a = TextAnalysis.winnow(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = TextAnalysis.winnow(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    assert(a.values.forall(_.nonEmpty))
+    // near-dup pair (8, 245) (known from the jaccard golden) should share
+    // most fingerprints; a random pair should not
+    val shared = (a(8L).toSet & a(245L).toSet).size.toDouble /
+      (a(8L).toSet | a(245L).toSet).size
+    val unrelated = (a(0L).toSet & a(1L).toSet).size.toDouble /
+      math.max(1, (a(0L).toSet | a(1L).toSet).size)
+    assert(shared > 0.5, s"near-dup winnow overlap $shared")
+    assert(unrelated < 0.2, s"unrelated winnow overlap $unrelated")
+  }
+
+  test("multimodal decode plumbing: schema, determinism, partition control") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "media_type", "content"))
+    val feats = Multimodal.decodeFeatures(spark, media, targetPartitions = 7)
+    assert(feats.rdd.getNumPartitions === 7)
+    val rows = feats.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+    assert(rows.forall(_.content_hash.length === 32))
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+    assert(rows.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
+  }
+
+  test("exact dedup collapses identical content only") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() === docs.count())  // fixture has no byte-identical dups
+    val dup = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 10000, col("text")))
+    val g2 = Dedup.exactGroups(dup, "doc_id", "text")
+    assert(g2.count() === docs.count())
+    assert(g2.agg(sum(col("n_copies"))).first().getLong(0) === 2 * docs.count())
+  }
+}

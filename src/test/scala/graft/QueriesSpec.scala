@@ -13,7 +13,10 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly rows-only)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only by design: recall-trading ANN and the custom-hash winnow
+    // sketch have no SQL twin (documented in NorthStar).
+    val rowsOnly = Set("ann_lsh", "text_winnow")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
