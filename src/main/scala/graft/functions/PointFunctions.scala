@@ -24,8 +24,14 @@ case class UnsignedMod(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
+  // accept any integral child type (SQL integer literals arrive as Int;
+  // Java's remainderUnsigned widens in codegen the same way)
+  private def toL(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong
+    case s: Short => s.toLong; case b: Byte => b.toLong
+  }
   override def nullSafeEval(a: Any, n: Any): Any =
-    java.lang.Long.remainderUnsigned(a.asInstanceOf[Long], n.asInstanceOf[Long])
+    java.lang.Long.remainderUnsigned(toL(a), toL(n))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, n) =>
       s"${ev.value} = java.lang.Long.remainderUnsigned($a, $n);")

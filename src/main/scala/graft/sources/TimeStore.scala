@@ -85,9 +85,14 @@ object TimeStore {
 
   def fetchIndex(spark: SparkSession, n: Namespace, kind: String): Option[EpochIndex] =
     readSmall(spark, indexPath(n, kind)).map { body =>
-      EpochIndex(body.split('\n').toVector.filter(_.nonEmpty).map { l =>
+      val idx = EpochIndex(body.split('\n').toVector.filter(_.nonEmpty).map { l =>
         val Array(e, b) = l.split(','); (e.toLong, b.toInt)
       })
+      // Publish for BucketPruneRule (ad-hoc SQL over the raw table gets the
+      // same targetObjs pruning the read path builds statically).
+      spark.conf.set(s"spark.graft.index.${n.ns}.$kind",
+        idx.entries.map { case (e, b) => s"$e:$b" }.mkString(","))
+      idx
     }
 
   private def mustFetchIndex(spark: SparkSession, n: Namespace, kind: String): EpochIndex =

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.core.Point
+import graft.plans.GraftExtensions
+import graft.sources.{PointCodec, TimeStore}
+
+/** GraftExtensions: SQL function surface + bucket-prune optimizer rule,
+  * installed into the shared session via [[GraftExtensions.install]] (the
+  * `spark.sql.extensions` conf path binds the same objects at session
+  * build). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("decode_points and unsigned_mod work from SQL") {
+    GraftExtensions.install(spark)
+    val blob = PointCodec.encode(Seq(
+      Point(0, 0, 7), Point(1, 1, 3, "hai".getBytes)))
+    import spark.implicits._
+    Seq(blob).toDF("b").createOrReplaceTempView("blobs")
+    val rows = spark.sql(
+      "SELECT p.address, p.time, p.payload, p.value FROM blobs " +
+      "LATERAL VIEW decode_points(b) p AS address, time, payload, value")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(new String(rows(1).getAs[Array[Byte]]("value")) === "hai")
+
+    assert(spark.sql("SELECT unsigned_mod(-1, 10) m").first().getLong(0) ===
+      java.lang.Long.remainderUnsigned(-1L, 10L))
+  }
+
+  test("BucketPruneRule prunes bucket partitions from address IN filters") {
+    GraftExtensions.install(spark)
+    val root = Files.createTempDirectory("graft-prune").toString
+    val n = TimeStore.namespace(root, "PRUNE")
+    TimeStore.register(spark, n, 8, 8)
+    // 32 addresses spread over 8 buckets
+    val pts = (0L until 64L by 2L).map(a => Point(a, a, a))
+    TimeStore.writeEncoded(spark, n, PointCodec.encode(pts))
+    TimeStore.fetchIndex(spark, n, "simple")  // publishes the index conf
+
+    val df = spark.read.parquet(n.pointsDir)
+      .where("kind = 'simple' AND address IN (2, 10)")  // both hash to bucket 2
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("bucket")),
+      s"no bucket filter injected: ${scans.head.partitionFilters}")
+    val parts = scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters)
+    assert(parts.length === 1,
+      s"expected 1 pruned partition, got ${parts.map(_.values.toString)}")
+    // and the result is still correct
+    val got = df.selectExpr("address", "time").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 2L), (10L, 10L)))
+  }
+}
