@@ -39,7 +39,10 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard ≥ threshold — inverted-index self-join.
     * Quadratic in co-shingle frequency: correctness oracle, not the scale
     * path (use [[minhashLshPairs]] at scale). */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+    // sh feeds three branches (sizes + both join sides): persist once
+    // rather than recomputing the tokenize+shingle lineage per branch
+    val sh = sh0.persist()
     val sizes = sh.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -71,9 +74,10 @@ object Dedup {
     * consecutive signature values become candidates; candidates are then
     * verified with exact Jaccard. With k=64, r=4 (16 bands), a pair at
     * jaccard 0.9 is missed with probability (1-0.9⁴)¹⁶ ≈ 3e-8. */
-  def minhashLshPairs(sh: DataFrame, k: Int, r: Int,
+  def minhashLshPairs(sh0: DataFrame, k: Int, r: Int,
                       threshold: Double): DataFrame = {
-    val sig = minhashSignature(sh, k)
+    val sh = sh0.persist()
+    val sig = minhashSignature(sh, k).persist()  // one row per doc, reused per band side
     val bands = k / r
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -102,12 +106,13 @@ object Dedup {
     jaccardOf(common, sizes, threshold)
   }
 
-  /** 64-bit SimHash per document: sign of the per-bit sum of token hashes.
-    * One aggregate with 64 codegen'd sum expressions; returns
+  /** 64-bit SimHash per document over its n-gram *shingles* (order-
+    * sensitive features — token-level simhash degenerates on permuted
+    * near-dups and bag-similar corpora: every document collides). One
+    * aggregate with 64 codegen'd sum expressions; returns
     * (doc, simhash LONG). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(tokens(col(textCol))).as("t"))
+  def simhash(sh: DataFrame): DataFrame = {
+    val tok = sh.select(col("doc"), col("s").as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
@@ -119,18 +124,27 @@ object Dedup {
       .select(col("doc"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64 bits into 8 bytes, candidates
-    * share any byte, verify with exact Jaccard (like the LSH path). */
+  /** SimHash near-dup pairs: band the 64 bits into 16 nibbles — by
+    * pigeonhole, any pair within hamming distance 15 shares at least one
+    * band — then verify candidates with exact Jaccard (like the LSH path).
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
-    val bands = sig.select(col("doc"), posexplode(array((0 until 8).map(b =>
-      shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
-      .toDF("doc", "band", "bh")
+    val sh = shingles(df, idCol, textCol, shingleN).persist()
+    // carry the full signature on each band row so the hamming gate applies
+    // INSIDE the band join — on a bag-similar corpus most pairs share some
+    // band, and gating before `distinct` keeps the pair stream tiny instead
+    // of deduplicating millions of junk candidates
+    val bands = simhash(sh).select(col("doc"), col("simhash"),
+        posexplode(array((0 until 16).map(b =>
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .toDF("doc", "simhash", "band", "bh")
+      .persist()
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc") < col("b.doc"))
+          col("a.doc") < col("b.doc") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 15)
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
-    verifyCandidates(shingles(df, idCol, textCol, shingleN), candidates, threshold)
+    verifyCandidates(sh, candidates, threshold)
   }
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (index order —
-    * bit-identical to the oracle's list arithmetic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product in index order — bit-identical to the oracle's
+    * sequential list fold (see [[graft.functions.DotProductD]]; the
+    * higher-order `aggregate(zip_with(...))` form evaluates interpreted and
+    * is ~50× slower in the pairwise hot path). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotD(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
