@@ -273,9 +273,18 @@ object TimeStore {
         col("epoch") === lit(e) && col("bucket").isin(bs: _*)
     }.reduce(_ || _)
     val addrPred = if (addrs.isEmpty) lit(false) else col("address").isin(addrs: _*)
+    // The unsigned (sign-flip) comparisons don't push to parquet; add an
+    // equivalent signed predicate that does. Unsigned [start, end] maps to:
+    //   both bounds "positive":   time in [start, end] signed
+    //   start pos, end "negative": time >= start OR time < 0
+    //   start "negative":          time in [start, end] signed (both < 0)
+    val signedRange: org.apache.spark.sql.Column =
+      if (start >= 0 && end >= 0) col("time").between(start, end)
+      else if (start >= 0) col("time") >= start || col("time") < 0
+      else col("time").between(start, end)
     val df = spark.read.parquet(n.pointsDir)
       .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
-      .filter(addrPred &&
+      .filter(addrPred && signedRange &&
         PointFunctions.unsignedGte(col("time"), lit(start)) &&
         PointFunctions.unsignedLte(col("time"), lit(end)))
     // Unsigned (time, address) order — Core.hs:252-258 — via sign-bit flip.

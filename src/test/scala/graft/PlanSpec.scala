@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.core.Point
+import graft.sources.{PointCodec, TimeStore}
+
+/** Plan-shape guards: predicates reach the parquet scan, dimensions
+  * broadcast, scans prune columns — the properties that keep these plans
+  * viable at 100 TB. Failures here mean a regression in plan quality even
+  * if results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val stripped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    stripped.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("ts_range_scan pushes address-set and time-range filters to parquet") {
+    val df = SparkEntry.queries("ts_range_scan")(spark, sf("0.001"))
+    val s = scans(df)
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("In(user_id"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts") || pushed.contains("ts,"), pushed)
+    // column pruning: props never read
+    assert(!s.head.metadata("ReadSchema").contains("props"))
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf("0.001"))
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"), pushed)
+    assert(!scans(df).head.metadata("ReadSchema").contains("l_comment"))
+  }
+
+  test("join_inner broadcasts every dimension (fact table never shuffles pre-agg)") {
+    val df = SparkEntry.queries("join_inner")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("timestore read pushes signed time range + prunes partitions") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    val n = TimeStore.namespace(root, "PLAN")
+    TimeStore.register(spark, n, 8, 8)
+    TimeStore.writeEncoded(spark, n,
+      PointCodec.encode((0L until 64L by 2L).map(a => Point(a, a, a))))
+    val df = TimeStore.readSimple(spark, n, 4, 20, Seq(2L, 10L))
+    val s = scans(df)
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("In(address"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(time,4)"), pushed)
+    // partition pruning: only bucket 2 of epoch 0 listed
+    val parts = s.head.relation.location.listFiles(
+      s.head.partitionFilters, s.head.dataFilters)
+    assert(parts.length === 1, parts.map(_.values.toString))
+  }
+}
