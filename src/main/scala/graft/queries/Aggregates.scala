@@ -112,7 +112,26 @@ object Aggregates {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Pivot: order counts per priority spread across status columns — the
+    * conditional-aggregate form both engines express identically. */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggPivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> aggPivot,
     "agg_global" -> aggGlobal,
     "agg_distinct" -> aggDistinct,
     "agg_rollup" -> aggRollup,
@@ -121,6 +140,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_pivot" -> aggPivotSql,
     "agg_global" -> aggGlobalSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,

@@ -73,13 +73,43 @@ object TimeSeries {
       |) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Downsampling — the classic TSDB materialization the reference's
+    * readers build client-side: per-address per-hour OHLC-style rollup.
+    * One hash aggregate, integer-ns bucketing. */
+  def downsample(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    Tables.events(s, dir)
+      .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+      .groupBy(col("user_id"), col("hour_ns"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"),
+        sum(col("v")).cast("decimal(38,2)").as("sum_value"),
+        min_by(col("v"), col("ts")).as("open_value"),
+        max_by(col("v"), col("ts")).as("close_value"))
+      .orderBy(col("user_id"), col("hour_ns"))
+  }
+
+  val downsampleSql: String =
+    """SELECT user_id, epoch_ns(date_trunc('hour', ts)) AS hour_ns,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
+      |  MAX(CAST(value AS DECIMAL(18,2))) AS max_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  min_by(CAST(value AS DECIMAL(18,2)), ts) AS open_value,
+      |  max_by(CAST(value AS DECIMAL(18,2)), ts) AS close_value
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_ns""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_range_scan"     -> rangeScan,
-    "ts_latest_per_key" -> latestPerKey
+    "ts_latest_per_key" -> latestPerKey,
+    "ts_downsample"     -> downsample
   )
 
   def oracleSql: Map[String, String] = Map(
     "ts_range_scan"     -> rangeScanSql,
-    "ts_latest_per_key" -> latestPerKeySql
+    "ts_latest_per_key" -> latestPerKeySql,
+    "ts_downsample"     -> downsampleSql
   )
 }
