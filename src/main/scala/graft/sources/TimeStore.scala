@@ -293,6 +293,30 @@ object TimeStore {
         col("address").bitwiseXOR(lit(Long.MinValue)))
   }
 
+  /** Compact a namespace: rewrite each (kind, epoch, bucket) partition's
+    * accumulated small append files into one file per partition. The
+    * streaming/batch append path writes a file per micro-batch per bucket —
+    * at scale the read side degrades on file-count, and the reference never
+    * faces this (RADOS appends in place). Old epochs are immutable, so
+    * compaction is idempotent and safe under the single-writer discipline.
+    */
+  def compact(spark: SparkSession, n: Namespace): Unit = {
+    if (!pointsDirExists(spark, n)) return
+    val tmp = s"${n.dir}/points-compacting"
+    val f = fs(spark, n.pointsDir)
+    spark.read.parquet(n.pointsDir)
+      .repartition(col("kind"), col("epoch"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("kind", "epoch", "bucket")
+      .parquet(tmp)
+    val live = new Path(n.pointsDir)
+    val bak = new Path(s"${n.dir}/points-old")
+    if (f.exists(bak)) f.delete(bak, true)
+    f.rename(live, bak)
+    f.rename(new Path(tmp), live)
+    f.delete(bak, true)
+  }
+
   /** Latest point per address over a namespace kind (`latestUniques`,
     * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials. */
   def latestPerAddress(spark: SparkSession, n: Namespace, kind: String): DataFrame = {
