@@ -56,13 +56,14 @@ object Similarity {
     h.toDouble / Int.MaxValue
   }
 
-  /** Signature: one bit per hyperplane = sign of dot(vec, plane). */
+  /** Signature: one bit per hyperplane = sign of dot(vec, plane). Each
+    * plane is a literal array so the dot is one codegen'd primitive loop
+    * ([[graft.functions.DotProductD]]) instead of a dim-wide interpreted
+    * expression chain. */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val planeDot = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d)))
-        .reduce(_ + _)
-      when(planeDot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed ANN: probes only score corpus rows sharing any band of
