@@ -130,7 +130,40 @@ object Aggregates {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact interpolated percentiles (median / p90) per group — both
+    * engines use linear interpolation over the sorted values. */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggPercentilesSql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Ordered string aggregation: sorted distinct line statuses per
+    * returnflag (collect_list → sort → join, matching string_agg ORDER BY). */
+  def aggStringConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"))
+      .orderBy(col("l_returnflag"))
+
+  val aggStringConcatSql: String =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> aggPercentiles,
+    "agg_string_concat" -> aggStringConcat,
     "agg_pivot" -> aggPivot,
     "agg_global" -> aggGlobal,
     "agg_distinct" -> aggDistinct,
@@ -140,6 +173,8 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_string_concat" -> aggStringConcatSql,
     "agg_pivot" -> aggPivotSql,
     "agg_global" -> aggGlobalSql,
     "agg_distinct" -> aggDistinctSql,
