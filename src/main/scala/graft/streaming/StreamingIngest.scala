@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.core.Point
 import graft.sources.TimeStore
@@ -41,6 +41,28 @@ object StreamingIngest {
         TimeStore.writePoints(spark, n, batch, rolloverBytes)
       }
       .start()
+
+  /** Stateful latest-per-key over a point stream — the reference's
+    * latest-value materialization (`latestUniques` / the latest files) as
+    * live streaming state via `mapGroupsWithState`: per address, the state
+    * is the newest point seen (unsigned time comparison, ties keep the
+    * incumbent — first-wins like the reference's dedup); each micro-batch
+    * emits the refreshed value per touched key.
+    *
+    * State size is one point per address — bounded by key cardinality, the
+    * same footprint the reference's mutable view carries. */
+  def statefulLatest(points: Dataset[Point]): Dataset[Point] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.address)
+      .mapGroupsWithState[Point, Point](GroupStateTimeout.NoTimeout) {
+        (_: Long, in: Iterator[Point], state: GroupState[Point]) =>
+          val newest = (state.getOption.iterator ++ in).reduceLeft { (a, b) =>
+            if (java.lang.Long.compareUnsigned(b.time, a.time) > 0) b else a
+          }
+          state.update(newest)
+          newest
+      }
+  }
 
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are

@@ -45,6 +45,27 @@ class StreamingSpec extends SparkSpec {
       (6L, 50L, 4L), (0L, 100L, 1L), (2L, 200L, 2L), (4L, 300L, 3L), (0L, 400L, 5L)))
   }
 
+  test("stateful latest-per-key stream: state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Point]
+    val q = StreamingIngest.statefulLatest(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_state")
+      .start()
+    input.addData(Point(2, 10, 1), Point(2, 30, 3), Point(4, 5, 9))
+    q.processAllAvailable()
+    // older point for addr 2 arrives late: state must not regress
+    input.addData(Point(2, 20, 2), Point(4, 50, 10))
+    q.processAllAvailable()
+    q.stop()
+    val byBatchLatest = spark.table("latest_state")
+      .groupBy($"address").agg(org.apache.spark.sql.functions.expr("max_by(payload, time)").as("p"),
+        org.apache.spark.sql.functions.max($"time").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(byBatchLatest === Map(2L -> ((30L, 3L)), 4L -> ((50L, 10L))))
+  }
+
   test("streaming windowed aggregation matches the batch twin") {
     val events = Tables.events(spark, sf("0.001"))
     val batchExpected = events
