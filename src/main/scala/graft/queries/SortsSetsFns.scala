@@ -74,6 +74,62 @@ object SortsSetsFns {
     """SELECT c_nationkey AS nationkey FROM customer
       |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
 
+  /** Multiset INTERSECT ALL: nation keys appearing in both customer and
+    * supplier, with multiplicity. */
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  val setIntersectAllSql: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** Multiset EXCEPT ALL: customer nation keys minus supplier multiplicity. */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  val setExceptAllSql: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** Range (theta) join: orders against a tiny year-dimension on a pure
+    * BETWEEN condition — broadcast nested loop, the plan shape for
+    * interval/dimension lookups. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val years = (1995 to 2001).map(y =>
+      (y, s"$y-01-01 00:00:00", s"$y-12-31 23:59:59"))
+    import s.implicits._
+    val dim = years.toDF("yr", "y_start", "y_end")
+      .select(col("yr"), col("y_start").cast("timestamp").as("y_start"),
+        col("y_end").cast("timestamp").as("y_end"))
+    Tables.orders(s, dir)
+      .join(broadcast(dim),
+        col("o_orderdate") >= col("y_start") && col("o_orderdate") <= col("y_end"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+      .orderBy(col("yr"))
+  }
+
+  val joinRangeSql: String =
+    """SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders
+      |JOIN (SELECT y AS yr, (y || '-01-01')::TIMESTAMP AS y_start,
+      |        (y || '-12-31 23:59:59')::TIMESTAMP AS y_end
+      |      FROM (SELECT unnest(generate_series(1995, 2001)) AS y))
+      |  ON o_orderdate >= y_start AND o_orderdate <= y_end
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
   // ---- scalar functions ----
 
   /** String functions: case, substring, length, concat, regexp extraction,
@@ -242,6 +298,9 @@ object SortsSetsFns {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll,
+    "join_range" -> joinRange,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -257,6 +316,9 @@ object SortsSetsFns {
     "set_union" -> setUnionSql,
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,
+    "set_intersect_all" -> setIntersectAllSql,
+    "set_except_all" -> setExceptAllSql,
+    "join_range" -> joinRangeSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,
