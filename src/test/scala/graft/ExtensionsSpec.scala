@@ -59,4 +59,31 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((2L, 2L), (10L, 10L)))
   }
+
+  test("property: prune rule never changes results for random address sets") {
+    GraftExtensions.install(spark)
+    val root = Files.createTempDirectory("graft-prune-prop").toString
+    val n = TimeStore.namespace(root, "PROP")
+    TimeStore.register(spark, n, 5, 5)
+    TimeStore.writeEncoded(spark, n, PointCodec.encode(
+      (0L until 40L).map(a => Point(a & ~1L, a, a))), rolloverBytes = 200)
+    TimeStore.fetchIndex(spark, n, "simple")
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val addrs = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextInt(48).toLong & ~1L).distinct
+      val sql = s"kind = 'simple' AND address IN (${addrs.mkString(",")})"
+      val pruned = spark.read.parquet(n.pointsDir).where(sql)
+        .selectExpr("address", "time").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // disable the rule via the excludedRules conf is not possible for
+      // experimental rules; compare against the conf being absent instead
+      val saved = spark.conf.getOption(s"spark.graft.index.PROP.simple")
+      spark.conf.unset(s"spark.graft.index.PROP.simple")
+      val plain = spark.read.parquet(n.pointsDir).where(sql)
+        .selectExpr("address", "time").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      saved.foreach(v => spark.conf.set(s"spark.graft.index.PROP.simple", v))
+      assert(pruned === plain, s"addrs=$addrs")
+    }
+  }
 }
