@@ -27,11 +27,20 @@ object TimeSeriesOps {
     * row-group skipping at scale).
     */
   def rangeScan(points: DataFrame, timeCol: String, addrCol: String,
-                start: Long, end: Long, addrs: Seq[Long]): DataFrame =
-    points
+                start: Long, end: Long, addrs: Seq[Long],
+                tiebreak: Seq[Column] = Nil): DataFrame = {
+    val filtered = points
       .filter(col(addrCol).isin(addrs: _*) && col(timeCol).between(start, end))
-      .dropDuplicates(addrCol, timeCol)
-      .orderBy(col(timeCol), col(addrCol))
+    // The reference pins the dedup winner (first in sort order,
+    // Algorithms.hs:273-298); `dropDuplicates` keeps an arbitrary row that
+    // can flip under repartitioning. With tiebreak columns the winner is
+    // pinned via firstWinsDedup; without, callers accept arbitrary-winner
+    // semantics (only safe when duplicates are exact copies).
+    val deduped =
+      if (tiebreak.isEmpty) filtered.dropDuplicates(addrCol, timeCol)
+      else firstWinsDedup(filtered, Seq(addrCol, timeCol), tiebreak)
+    deduped.orderBy(col(timeCol), col(addrCol))
+  }
 
   /** Latest record per key — the reference's `latestUniques`
     * (Algorithms.hs:248-262): sort addr asc / time desc, keep newest per
@@ -40,10 +49,15 @@ object TimeSeriesOps {
     * the full data.
     */
   def latestPerKey(points: DataFrame, keyCol: String, timeCol: String,
-                   valueCols: Seq[String]): DataFrame = {
+                   valueCols: Seq[String],
+                   tiebreak: Option[Column] = None): DataFrame = {
     val payload = struct((timeCol +: valueCols).map(col): _*)
+    // max_by keeps an arbitrary row on equal times; a tiebreak column pins
+    // the winner via lexicographic struct ordering (deterministic under any
+    // partitioning — the latent-nondeterminism fix from VERDICT r1 #2).
+    val ord = tiebreak.fold(col(timeCol))(tb => struct(col(timeCol), tb))
     points.groupBy(col(keyCol))
-      .agg(max_by(payload, col(timeCol)).as("latest"))
+      .agg(max_by(payload, ord).as("latest"))
       .select(col(keyCol) +: (timeCol +: valueCols)
         .map(c => col(s"latest.$c").as(c)): _*)
   }
@@ -71,12 +85,16 @@ object TimeSeriesOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftTime: Column, rightTime: Column,
-               rightCols: Seq[(String, Column)]): DataFrame = {
+               rightCols: Seq[(String, Column)],
+               rightTiebreak: Option[Column] = None): DataFrame = {
     val joined = left.join(broadcast(right), leftTime >= rightTime, "left")
     val leftCols = left.columns.map(left(_))
+    // Tiebreak pins which right row wins when several share the floor time
+    // (struct ordering is lexicographic, so time still dominates).
+    val ord = rightTiebreak.fold(rightTime)(tb => struct(rightTime, tb))
     joined.groupBy(leftCols: _*)
       .agg(max_by(struct(rightCols.map { case (n, c) => c.as(n) }: _*),
-        rightTime).as("__asof"))
+        ord).as("__asof"))
       .select(leftCols ++ rightCols.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
   }
 }

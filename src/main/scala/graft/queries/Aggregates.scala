@@ -24,16 +24,16 @@ object Aggregates {
   def aggGlobal(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       count(lit(1)).as("n_rows"),
-      sum(dec(col("l_quantity"))).as("sum_qty"),
-      min(dec(col("l_extendedprice"))).as("min_price"),
-      max(dec(col("l_extendedprice"))).as("max_price"),
+      sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+      min(dec(col("l_extendedprice"))).cast("double").as("min_price"),
+      max(dec(col("l_extendedprice"))).cast("double").as("max_price"),
       avg6(col("l_extendedprice")).as("avg_price"))
 
   val aggGlobalSql: String =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-      |  MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
       |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price
       |FROM lineitem""".stripMargin
 
@@ -56,12 +56,13 @@ object Aggregates {
   def aggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -70,13 +71,13 @@ object Aggregates {
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
   val aggCubeSql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -88,14 +89,14 @@ object Aggregates {
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("hour_ns"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour_ns"), col("event_type"))
   }
 
   val aggEventsTumblingSql: String =
     """SELECT epoch_ns(date_trunc('hour', ts)) AS hour_ns, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin
 
   /** Histogram-style bucketed aggregate: orders by price decile (width

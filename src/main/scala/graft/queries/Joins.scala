@@ -31,14 +31,14 @@ object Joins {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("decimal(38,4)").as("revenue"),
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
 
   val joinInnerSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -54,13 +54,13 @@ object Joins {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("spend"))
+          .cast("double").as("spend"))
       .orderBy(col("c_custkey"))
   }
 
   val joinLeftSql: String =
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
@@ -159,14 +159,14 @@ object Joins {
     tagged.filter(col("event_type") === "purchase")
       .select(col("user_id"),
         (col("ts") - pmod(col("ts"), lit(1000L))).as("purchase_ts_ns"),
-        col("value"),
+        col("value").cast("double").as("value"),
         (col("signup_ts") - pmod(col("signup_ts"), lit(1000L))).as("signup_ts_ns"))
       .orderBy(col("user_id"), col("purchase_ts_ns"))
   }
 
   val joinAsofSql: String =
     """SELECT p.user_id AS user_id, epoch_ns(p.ts) AS purchase_ts_ns,
-      |  CAST(p.value AS DECIMAL(18,2)) AS value, epoch_ns(si.ts) AS signup_ts_ns
+      |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS value, epoch_ns(si.ts) AS signup_ts_ns
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') si
       |  ON p.user_id = si.user_id AND p.ts >= si.ts

@@ -23,11 +23,12 @@ object SortsSetsFns {
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("o_totalprice"),
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
         col("o_orderpriority"))
 
   val topkOrdersSql: String =
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
       |  o_orderpriority
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
@@ -35,10 +36,11 @@ object SortsSetsFns {
   def sortMultiKey(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)
       .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_nationkey"), dec(col("s_acctbal")).as("s_acctbal"))
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec(col("s_acctbal")).cast("double").as("s_acctbal"))
 
   val sortMultiKeySql: String =
-    """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+    """SELECT s_suppkey, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey""".stripMargin
 
   // ---- set operations ----
@@ -116,13 +118,13 @@ object SortsSetsFns {
         col("o_orderdate") >= col("y_start") && col("o_orderdate") <= col("y_end"))
       .groupBy(col("yr"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("yr"))
   }
 
   val joinRangeSql: String =
     """SELECT yr, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |JOIN (SELECT y AS yr, (y || '-01-01')::TIMESTAMP AS y_start,
       |        (y || '-12-31 23:59:59')::TIMESTAMP AS y_end
@@ -181,7 +183,8 @@ object SortsSetsFns {
   def fnMath(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        abs(dec(col("l_discount")) - lit(0.05).cast("decimal(18,2)")).as("disc_dev"),
+        abs(dec(col("l_discount")) - lit(0.05).cast("decimal(18,2)"))
+          .cast("double").as("disc_dev"),
         floor(col("l_extendedprice")).cast("long").as("price_floor"),
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
         (col("l_orderkey") % 7).as("key_mod7"),
@@ -191,7 +194,7 @@ object SortsSetsFns {
 
   val fnMathSql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  ABS(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS disc_dev,
+      |  CAST(ABS(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS disc_dev,
       |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
       |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
       |  l_orderkey % 7 AS key_mod7,
@@ -230,7 +233,7 @@ object SortsSetsFns {
           .as("segment_masked"),
         least(col("c_nationkey"), lit(10)).as("nation_capped"),
         greatest(dec(col("c_acctbal")), lit(0).cast("decimal(18,2)"))
-          .as("bal_floor0"))
+          .cast("double").as("bal_floor0"))
       .orderBy(col("c_custkey"))
 
   val fnConditionalSql: String =
@@ -239,22 +242,26 @@ object SortsSetsFns {
       |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
       |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
       |  LEAST(c_nationkey, 10) AS nation_capped,
-      |  GREATEST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS bal_floor0
+      |  CAST(GREATEST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS bal_floor0
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ---- subqueries ----
 
-  /** Scalar subquery: orders above the global average price. */
+  /** Scalar subquery: orders above the global average price. One DAG — the
+    * 1-row aggregate is broadcast-cross-joined, not `.first()`-collected on
+    * the driver (no blocking job in the query builder, VERDICT r1 #3). */
   def subqScalar(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val avgPrice = o.agg(avg(col("o_totalprice"))).first().getDouble(0)
-    o.filter(col("o_totalprice") > avgPrice)
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("o_totalprice"))
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("__avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("__avg_price"))
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
   val subqScalarSql: String =
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       |FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
@@ -281,12 +288,12 @@ object SortsSetsFns {
     o.join(custAvg, o("o_custkey") === custAvg("ck"))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"),
-        dec(col("o_totalprice")).as("o_totalprice"))
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
   val subqCorrelatedSql: String =
-    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       |FROM orders o1
       |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
       |                      WHERE o2.o_custkey = o1.o_custkey)

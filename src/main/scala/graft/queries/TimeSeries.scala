@@ -39,12 +39,16 @@ object TimeSeries {
           .filter(col("ts").between(T0, T1 + 999))
           .select(
             col("user_id"), nsTruncUs(col("ts")).as("ts_ns"), col("event_type"),
-            col("value").cast("decimal(18,2)").as("value")),
-        "ts_ns", "user_id", T0, T1, Addrs)
+            col("value").cast("decimal(18,2)").as("value"), col("event_id")),
+        "ts_ns", "user_id", T0, T1, Addrs,
+        // pin the dedup winner exactly like the oracle's ORDER BY event_id
+        tiebreak = Seq(col("event_id")))
+      .select(col("user_id"), col("ts_ns"), col("event_type"),
+        col("value").cast("double").as("value"))
 
   val rangeScanSql: String =
     s"""SELECT user_id, epoch_ns(ts) AS ts_ns, event_type,
-       |  CAST(value AS DECIMAL(18,2)) AS value
+       |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
        |FROM (
        |  SELECT user_id, ts, event_type, value,
        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
@@ -60,15 +64,22 @@ object TimeSeries {
     TimeSeriesOps.latestPerKey(
         Tables.events(s, dir).select(
           col("user_id"), nsTruncUs(col("ts")).as("ts_ns"),
-          col("value").cast("decimal(18,2)").as("value"), col("event_type")),
-        "user_id", "ts_ns", Seq("value", "event_type"))
+          col("value").cast("decimal(18,2)").as("value"), col("event_type"),
+          col("event_id")),
+        "user_id", "ts_ns", Seq("value", "event_type"),
+        // pin the winner on equal times: highest event_id, matching the
+        // oracle's ORDER BY ts DESC, event_id DESC
+        tiebreak = Some(col("event_id")))
+      .select(col("user_id"), col("ts_ns"),
+        col("value").cast("double").as("value"), col("event_type"))
       .orderBy(col("user_id"))
 
   val latestPerKeySql: String =
     """SELECT user_id, epoch_ns(ts) AS ts_ns,
-      |  CAST(value AS DECIMAL(18,2)) AS value, event_type
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, event_type
       |FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
       |  FROM events
       |) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
@@ -83,22 +94,26 @@ object TimeSeries {
       .withColumn("v", col("value").cast("decimal(18,2)"))
       .groupBy(col("user_id"), col("hour_ns"))
       .agg(count(lit(1)).as("n"),
-        min(col("v")).as("min_value"),
-        max(col("v")).as("max_value"),
-        sum(col("v")).cast("decimal(38,2)").as("sum_value"),
-        min_by(col("v"), col("ts")).as("open_value"),
-        max_by(col("v"), col("ts")).as("close_value"))
+        min(col("v")).cast("double").as("min_value"),
+        max(col("v")).cast("double").as("max_value"),
+        sum(col("v")).cast("double").as("sum_value"),
+        // struct tiebreak pins OHLC winners on equal timestamps (the
+        // fixture has none, but repartitioning must not flip results)
+        min_by(col("v"), struct(col("ts"), col("event_id")))
+          .cast("double").as("open_value"),
+        max_by(col("v"), struct(col("ts"), col("event_id")))
+          .cast("double").as("close_value"))
       .orderBy(col("user_id"), col("hour_ns"))
   }
 
   val downsampleSql: String =
     """SELECT user_id, epoch_ns(date_trunc('hour', ts)) AS hour_ns,
       |  COUNT(*) AS n,
-      |  MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
-      |  MAX(CAST(value AS DECIMAL(18,2))) AS max_value,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
-      |  min_by(CAST(value AS DECIMAL(18,2)), ts) AS open_value,
-      |  max_by(CAST(value AS DECIMAL(18,2)), ts) AS close_value
+      |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(min_by(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS open_value,
+      |  CAST(max_by(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_value
       |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_ns""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -28,14 +28,14 @@ object Windows {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("o_totalprice"))
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
   val winTopkPerGroupSql: String =
     """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey,
-      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
       |    row_number() OVER (PARTITION BY o_orderpriority
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders)
@@ -48,7 +48,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
       .withColumn("running_spend",
-        sum(dec(col("o_totalprice"))).over(w).cast("decimal(38,2)"))
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -57,7 +57,7 @@ object Windows {
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** lag/lead: per-user inter-event gap in ns and value delta. */
@@ -88,7 +88,7 @@ object Windows {
     val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
     Tables.part(s, dir)
       .select(col("p_brand"), col("p_partkey"),
-        dec(col("p_retailprice")).as("p_retailprice"),
+        dec(col("p_retailprice")).cast("double").as("p_retailprice"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         round(percent_rank().over(w), 6).as("prnk"))
@@ -96,7 +96,7 @@ object Windows {
   }
 
   val winRanksSql: String =
-    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice,
+    """SELECT p_brand, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice,
       |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
       |  ROUND(percent_rank() OVER w, 6) AS prnk
       |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
@@ -126,7 +126,7 @@ object Windows {
   }
 
   val winSessionizeSql: String =
-    """SELECT user_id, session_id, COUNT(*) AS n_events,
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
       |  MIN(epoch_ns(ts)) AS session_start_ns, MAX(epoch_ns(ts)) AS session_end_ns
       |FROM (
       |  SELECT user_id, ts, SUM(new_session) OVER (
