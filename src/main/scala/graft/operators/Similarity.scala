@@ -50,8 +50,10 @@ object Similarity {
 
   /** Deterministic pseudo-random unit-free hyperplanes: plane p, dim d
     * component derived from a seeded hash, in [-1, 1). Pure column
-    * arithmetic so both engines could replicate it. */
-  private def planeComponent(p: Int, d: Int): Double = {
+    * arithmetic — and exposed so the DuckDB oracle twins can embed the
+    * SAME plane constants as SQL literals (Double.toString round-trips
+    * exactly), making every LSH query independently recomputable. */
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
     h.toDouble / Int.MaxValue
   }
@@ -95,7 +97,11 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold, or the
-    * global top-n pairs when the corpus has no high-sim pairs. */
+    * global top-n pairs when the corpus has no high-sim pairs.
+    *
+    * O(n²) BroadcastNestedLoopJoin — the exact small-scale baseline ONLY
+    * (the `dedup_ngram_jaccard` role); the declared scale path is
+    * [[lshBandedPairs]]. */
   def cosinePairsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       n: Int): DataFrame = {
     val a = corpus.select(col(idCol).as("i"), asDouble(col(vecCol)).as("va"))
@@ -104,5 +110,35 @@ object Similarity {
       .select(col("i"), col("j"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("i"), col("j"))
       .limit(n)
+  }
+
+  /** Embedding near-dup via LSH banding — the 100 TB shape: candidates are
+    * pairs sharing at least one signature band (shuffle hash join on
+    * (band, band_hash) — candidate count ∝ collision density, never n²),
+    * then exact cosine ≥ threshold on candidates only.
+    *
+    * Deterministic across engines: the hyperplanes are fixed literals
+    * ([[planeComponent]]) so a DuckDB twin embedding the same constants
+    * computes the identical candidate set — recall (1-(1-p^r)^b, p =
+    * 1-θ/π) is a property of the parameters, not the engine. */
+  def lshBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 32, bands: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    val r = planes / bands
+    val sig = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshSignature(col("v"), planes, dim))
+      .select(col("id"), col("v"), posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
+      .toDF("id", "v", "band", "bh")
+    val a = sig.toDF("i", "va", "band", "bh")
+    val b = sig.toDF("j", "vb", "band", "bh")
+    a.join(b, Seq("band", "bh"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("va"), col("vb"))
+      .dropDuplicates("i", "j") // a pair can collide in several bands
+      .select(col("i"), col("j"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("i"), col("j"))
   }
 }

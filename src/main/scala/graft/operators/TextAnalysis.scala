@@ -87,19 +87,23 @@ object TextAnalysis {
       md5(col(textCol).cast("binary")).as("raw_fp"),
       md5(array_join(toks(col(textCol)), " ").cast("binary")).as("norm_fp"))
 
-  /** Rolling-hash winnowing fingerprint: Rabin-Karp hashes of token
-    * k-grams, keep the minimum per window of w — a compact sketch whose
-    * overlap estimates document similarity. Returns (id, Array[Long]).
-    * Not SQL-oracle-expressible (custom hash) — verified by determinism +
-    * self-similarity specs. */
+  /** Winnowing fingerprint (Schleimer et al. 2003): hash token k-grams,
+    * keep the minimum per sliding window of w — a compact sketch whose
+    * overlap estimates document similarity. Returns (id, Array[String]).
+    *
+    * The gram hash is the 16-hex-char md5 prefix — chosen over xxhash64
+    * because both Spark and DuckDB compute md5 over the same UTF-8 bytes,
+    * so the sketch is DuckDB-oracle-expressible (min over lowercase hex
+    * strings is plain lexicographic ordering on both engines). */
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
     val ts = toks(col(textCol))
+    def gramHash(i: Column): Column =
+      substring(md5(array_join(slice(ts, i, lit(k)), " ").cast("binary")), 1, 16)
     // sequence(1, n) descends when n < 1 — guard short docs to empty/whole.
-    val grams = when(size(ts) < k, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)),
-        i => xxhash64(array_join(slice(ts, i, lit(k)), " "))))
-    val mins = when(size(grams) === 0, array().cast("array<bigint>"))
+    val grams = when(size(ts) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)), i => gramHash(i)))
+    val mins = when(size(grams) === 0, array().cast("array<string>"))
       .otherwise(when(size(grams) < w, array(array_min(grams)))
         .otherwise(transform(sequence(lit(1), size(grams) - (w - 1)),
           i => array_min(slice(grams, i, lit(w))))))

@@ -6,6 +6,70 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
+/** DuckDB SQL generators for the LSH oracles: the random hyperplanes are
+  * deterministic literals ([[Similarity.planeComponent]]), so the twin can
+  * embed the SAME constants and recompute signatures/bands/candidates
+  * independently — Double.toString round-trips exactly through DuckDB's
+  * literal parser, and sign(dot) flips only within ~1e-13 of zero
+  * (probability ≈ 0 for the 64-dim fixture vectors). */
+private object LshOracleSql {
+
+  private def planeArray(p: Int, dim: Int): String =
+    (0 until dim).map(d => Similarity.planeComponent(p, d).toString)
+      .mkString("[", ", ", "]")
+
+  /** Band-hash expression for band `b`: bit j set iff dot(e, plane_{b*r+j})
+    * >= 0 — matching [[Similarity.lshSignature]] bit layout exactly. */
+  private def bandExpr(b: Int, r: Int, dim: Int): String =
+    (0 until r).map { j =>
+      val p = b * r + j
+      s"(CASE WHEN list_dot_product(e, ${planeArray(p, dim)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** (vec_id, e, band, bh) — one row per vector per band. */
+  def bandedSignatures(planes: Int, bands: Int, dim: Int): String = {
+    val r = planes / bands
+    (0 until bands).map { b =>
+      s"SELECT vec_id, e, $b AS band, ${bandExpr(b, r, dim)} AS bh FROM v"
+    }.mkString("\nUNION ALL ")
+  }
+
+  val cosSql =
+    """ROUND(list_dot_product(va.e, vb.e) /
+      |    (SQRT(list_dot_product(va.e, va.e)) * SQRT(list_dot_product(vb.e, vb.e))), 6)""".stripMargin
+
+  /** Twin of [[Similarity.lshBandedPairs]]. */
+  def bandedPairs(threshold: Double, planes: Int, bands: Int, dim: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sb AS (
+       |${bandedSignatures(planes, bands, dim)}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id i, b.vec_id j
+       |  FROM sb a JOIN sb b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+       |SELECT i, j, cos_sim FROM (
+       |  SELECT i, j, $cosSql AS cos_sim
+       |  FROM cand JOIN v va ON va.vec_id = i JOIN v vb ON vb.vec_id = j)
+       |WHERE cos_sim >= $threshold ORDER BY i, j""".stripMargin
+
+  /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10. */
+  def lshTopK(k: Int, planes: Int, bands: Int, dim: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sb AS (
+       |${bandedSignatures(planes, bands, dim)}),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id query_id, c.vec_id nbr_id
+       |  FROM sb p JOIN sb c ON p.band = c.band AND p.bh = c.bh
+       |  WHERE p.vec_id < 10 AND c.vec_id != p.vec_id),
+       |scored AS (
+       |  SELECT query_id, nbr_id, $cosSql AS cos_sim
+       |  FROM cand JOIN v va ON va.vec_id = query_id JOIN v vb ON vb.vec_id = nbr_id)
+       |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+       |  SELECT query_id, nbr_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+}
+
 /** North-star LLM-data-pipeline queries over the `documents` / `embeddings`
   * fixtures (SURVEY §2.4): deduplication (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash / embedding-cosine), similarity search (brute-force
@@ -63,19 +127,21 @@ object NorthStar {
         shingleN = 3, threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
-  /** Embedding near-dup: top-20 most-similar pairs (corpus has no pairs
-    * above 0.52, so a threshold query would be empty). */
+  /** Embedding near-dup — the 100 TB shape: LSH-band candidate generation
+    * (shuffle hash join on (band, band_hash), candidate count ∝ collision
+    * density, never corpus×corpus) + exact cosine ≥ 0.4 on candidates
+    * only. 32 planes / 4 bands of 8 bits: a random pair collides with
+    * P ≈ 1.5%, a cos-0.95 near-dup with P ≈ 0.90. The oracle twin embeds
+    * the same plane literals, so the gate checks the full pipeline —
+    * signatures, banding, candidate join, verification — not just recall
+    * luck. The all-pairs exact form stays in [[Similarity.cosinePairsTopN]]
+    * as the spec-checked small-scale baseline. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsTopN(Tables.embeddings(s, dir), "vec_id",
-      "embedding", 20)
+    Similarity.lshBandedPairs(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.4, planes = 32, bands = 4, dim = 64)
 
   val dedupEmbeddingSql: String =
-    """SELECT a.vec_id AS i, b.vec_id AS j,
-      |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      |    / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-      |     * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |ORDER BY cos_sim DESC, i, j LIMIT 20""".stripMargin
+    LshOracleSql.bandedPairs(threshold = 0.4, planes = 32, bands = 4, dim = 64)
 
   // ---- similarity search ----
 
@@ -99,14 +165,19 @@ object NorthStar {
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** LSH-bucketed ANN — no SQL twin (recall-trading path); specs assert
-    * recall ≥ 0.9 against brute force. */
+  /** LSH-bucketed ANN. The oracle twin recomputes the same LSH (plane
+    * literals embedded in the SQL) — the gate checks the bucketed search
+    * end-to-end, misses and all; specs additionally assert recall ≥ 0.9
+    * against brute force. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  val annLshSql: String =
+    LshOracleSql.lshTopK(k = 5, planes = 16, bands = 8, dim = 64)
 
   // ---- text analysis ----
 
@@ -170,13 +241,35 @@ object NorthStar {
       |  md5(list_aggregate(regexp_extract_all(lower(text), '\w+'), 'string_agg', ' ')) AS norm_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Winnowing sketch sizes (the sketch itself is engine-specific; its
-    * cardinality is a stable scalar both engines could check — declared
-    * rows-only). */
+  /** Winnowing fingerprints, exploded to (doc_id, fp) rows. The gram hash
+    * is an md5 prefix (identical UTF-8 md5 on both engines; min over hex
+    * strings is plain lexicographic order), so the full sketch — k-grams,
+    * window minima, dedup — is oracle-checked, not just its size. */
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("doc_id"), size(col("winnow_fp")).as("fp_size"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), explode(col("winnow_fp")).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  // k=4 token-grams hashed to 16-hex md5 prefixes, window w=8 minima,
+  // distinct — mirrors TextAnalysis.winnow's defaults exactly.
+  val textWinnowSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(ts) < 4 THEN []
+      |    ELSE list_transform(generate_series(1, len(ts) - 3),
+      |      i -> substr(md5(array_to_string(list_slice(ts, i, i + 3), ' ')), 1, 16))
+      |    END g
+      |  FROM toks),
+      |mins AS (
+      |  SELECT doc_id, CASE WHEN len(g) = 0 THEN []
+      |    WHEN len(g) < 8 THEN [list_min(g)]
+      |    ELSE list_transform(generate_series(1, len(g) - 7),
+      |      i -> list_min(list_slice(g, i, i + 7)))
+      |    END m
+      |  FROM grams)
+      |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(m) AS fp FROM mins)
+      |ORDER BY doc_id, fp""".stripMargin
 
   // ---- multimodal ----
 
@@ -216,10 +309,11 @@ object NorthStar {
     "dedup_simhash" -> JaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_winnow" -> textWinnowSql,
     "media_features" -> mediaFeaturesSql)
-    // ann_lsh, text_winnow: rows-only (no SQL twin by design)
 }

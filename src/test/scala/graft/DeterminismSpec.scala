@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+/** Pinned-winner determinism (VERDICT r1 #2): conflicting duplicates on
+  * (addr, time) — same key, different payloads — spread across partitions
+  * must resolve to the same winner no matter the partitioning, and that
+  * winner must be the one the SQL oracle's `ORDER BY tiebreak` picks.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (addr, time, payload, event_id): two conflicting rows per (addr, time),
+  // lower event_id carries the payload the oracle must keep.
+  private def conflicted(parts: Int) = Seq(
+    (1L, 100L, "keep-a", 10L), (1L, 100L, "drop-a", 11L),
+    (1L, 200L, "keep-b", 20L), (1L, 200L, "drop-b", 21L),
+    (2L, 100L, "keep-c", 30L), (2L, 100L, "drop-c", 31L),
+    (3L, 300L, "solo", 40L)
+  ).toDF("addr", "time", "payload", "event_id").repartition(parts)
+
+  test("rangeScan pins the dedup winner across partitionings") {
+    val expected = Set((1L, 100L, "keep-a"), (1L, 200L, "keep-b"),
+      (2L, 100L, "keep-c"), (3L, 300L, "solo"))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TimeSeriesOps.rangeScan(conflicted(parts), "time", "addr",
+          0L, 1000L, Seq(1L, 2L, 3L), tiebreak = Seq(col("event_id")))
+        .select("addr", "time", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("latestPerKey pins the tie winner across partitionings") {
+    // ties on time within a key: highest event_id must win (matching the
+    // oracle's ORDER BY ts DESC, event_id DESC)
+    val expected = Set((1L, 200L, "drop-b"), (2L, 100L, "drop-c"),
+      (3L, 300L, "solo"))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TimeSeriesOps.latestPerKey(conflicted(parts), "addr", "time",
+          Seq("payload"), tiebreak = Some(col("event_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("asofJoin pins the floor-tie winner") {
+    val left = Seq((1L, 150L), (1L, 250L)).toDF("k", "t")
+    // two right rows share the floor time 100 for key-less broadcast join;
+    // higher rid wins under the tiebreak
+    val right = Seq((100L, "r1", 1L), (100L, "r2", 2L), (200L, "r3", 3L))
+      .toDF("rt", "rv", "rid")
+    val got = TimeSeriesOps.asofJoin(left, right, col("t"), col("rt"),
+        Seq("rv" -> col("rv")), rightTiebreak = Some(col("rid")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 150L, "r2"), (1L, 250L, "r3")))
+  }
+}

@@ -44,9 +44,9 @@ class NorthStarSpec extends SparkSpec {
 
   test("winnow fingerprints are deterministic and self-consistent") {
     val a = TextAnalysis.winnow(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val b = TextAnalysis.winnow(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(a === b)
     assert(a.values.forall(_.nonEmpty))
     // near-dup pair (8, 245) (known from the jaccard golden) should share

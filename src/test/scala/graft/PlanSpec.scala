@@ -49,6 +49,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
   }
 
+  test("dedup_embedding has no corpus-cross-corpus nested loop (LSH candidates)") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dedup_embedding degraded to an all-pairs nested loop")
+  }
+
+  test("subq_scalar is a single DAG (broadcast aggregate, no driver collect)") {
+    val df = SparkEntry.queries("subq_scalar")(spark, sf("0.001"))
+    // the global average must be computed INSIDE the plan (broadcast of a
+    // 1-row aggregate); a driver-side .first() collect would leave only a
+    // constant literal in the filter and no aggregate subtree
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("avg(o_totalprice"), plan.take(800))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastExchange"), physical.take(800))
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")

@@ -12,11 +12,11 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle (or is explicitly rows-only)") {
-    // rows-only by design: recall-trading ANN and the custom-hash winnow
-    // sketch have no SQL twin (documented in NorthStar).
-    val rowsOnly = Set("ann_lsh", "text_winnow")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    // since r2 every declared query has a SQL twin: the LSH queries embed
+    // their deterministic plane literals in the oracle SQL, and winnow
+    // uses an md5-prefix gram hash both engines compute.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
