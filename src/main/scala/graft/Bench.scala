@@ -7,9 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is executed twice: a warmup pass (JIT + codegen + parquet
   * footer caching — costs that a long-running cluster amortizes away) and a
-  * timed pass. Timing uses count() so the full plan executes without
-  * driver-side result materialization. */
+  * timed pass. Timing writes to the `noop` sink: every declared column is
+  * materialized executor-side (under `count()` Catalyst prunes unreferenced
+  * projections and eliminates sorts, so projection-heavy queries would
+  * measure only the scan — VERDICT r1 bench-fidelity warning), with no
+  * driver-side result collection. */
 object Bench {
+
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -26,12 +32,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup pass: JIT, codegen cache, FS metadata
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }

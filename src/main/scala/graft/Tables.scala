@@ -38,6 +38,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // documents/embeddings fixtures are single-row-group parquet files — an
+  // unsplittable 1-task scan. The operators over them are expression-heavy
+  // (md5 shingles, 2048-term LSH signatures), so spread rows across the
+  // cluster first. On a real multi-file layout this shuffle is unnecessary
+  // (and at 100 TB you would NOT repartition the corpus — input files
+  // already parallelize); it is purely a small-input guard.
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings"))
 }

@@ -32,14 +32,17 @@ object TextAnalysis {
     val n = length(t).cast("double")
     def countMatches(pat: String): Column =
       size(regexp_extract_all(t, lit(pat), lit(0))).cast("double")
-    df.select(col(idCol),
+    // tokenize once per row (the regex is the dominant cost; 4 inline
+    // occurrences would run it 4x)
+    val ts = col("__toks")
+    df.withColumn("__toks", toks(t)).select(col(idCol),
       length(t).as("n_chars"),
-      size(toks(t)).as("n_tokens"),
-      round(size(toks(t)).cast("double") /
+      size(ts).as("n_tokens"),
+      round(size(ts).cast("double") /
         greatest(countMatches("\\S+"), lit(1.0)), 6).as("tokens_per_word"),
-      round(aggregate(transform(toks(t), x => length(x)), lit(0),
+      round(aggregate(transform(ts, x => length(x)), lit(0),
         (a, x) => a + x).cast("double") /
-        greatest(size(toks(t)).cast("double"), lit(1.0)), 6).as("avg_token_len"),
+        greatest(size(ts).cast("double"), lit(1.0)), 6).as("avg_token_len"),
       round(countMatches("[.,;:!?]") / greatest(n, lit(1.0)), 6).as("punct_ratio"),
       round(countMatches("\\s") / greatest(n, lit(1.0)), 6).as("space_ratio"),
       round(countMatches("[0-9]") / greatest(n, lit(1.0)), 6).as("digit_ratio"),
@@ -50,7 +53,7 @@ object TextAnalysis {
     * multiset; argmax with deterministic tiebreak by profile order; "und"
     * when no profile scores. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
+    val t = col("__toks")  // tokenize once, not once per profile
     val scores = StopwordProfiles.map { case (lang, words) =>
       lang -> size(filter(t, x => x.isInCollection(words)))
     }
@@ -62,7 +65,8 @@ object TextAnalysis {
         when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
           .otherwise(acc)
     }
-    df.select(col(idCol),
+    df.withColumn("__toks", toks(col(textCol)))
+      .select(col(idCol),
         best.getField("s").as("lang_score"),
         when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
           .as("lang_pred"))
@@ -72,10 +76,11 @@ object TextAnalysis {
     * estimate (ceil(len/4) per word — the standard chars/4 rule). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol),
+    val ts = col("__toks")
+    df.withColumn("__toks", toks(t)).select(col(idCol),
       size(regexp_extract_all(t, lit("\\S+"), lit(0))).as("n_ws_tokens"),
-      size(toks(t)).as("n_word_tokens"),
-      aggregate(transform(toks(t), x => ceil(length(x) / lit(4.0)).cast("long")),
+      size(ts).as("n_word_tokens"),
+      aggregate(transform(ts, x => ceil(length(x) / lit(4.0)).cast("long")),
         lit(0L), (a, x) => a + x).as("n_subword_est"))
   }
 
@@ -97,16 +102,26 @@ object TextAnalysis {
     * strings is plain lexicographic ordering on both engines). */
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
-    val ts = toks(col(textCol))
+    // Each stage materializes into its own projection (withColumn) so the
+    // next stage's lambda slices a COMPUTED array attribute. Referencing
+    // the expression tree inside the lambda instead would re-evaluate it
+    // per element — O(tokens²) md5+regex per document (the hang the r2
+    // noop bench exposed; higher-order lambdas are interpreted and Spark
+    // does no CSE across lambda boundaries).
+    val ts = col("__toks")
     def gramHash(i: Column): Column =
       substring(md5(array_join(slice(ts, i, lit(k)), " ").cast("binary")), 1, 16)
+    val g = col("__grams")
     // sequence(1, n) descends when n < 1 — guard short docs to empty/whole.
-    val grams = when(size(ts) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)), i => gramHash(i)))
-    val mins = when(size(grams) === 0, array().cast("array<string>"))
-      .otherwise(when(size(grams) < w, array(array_min(grams)))
-        .otherwise(transform(sequence(lit(1), size(grams) - (w - 1)),
-          i => array_min(slice(grams, i, lit(w))))))
-    df.select(col(idCol), array_distinct(mins).as("winnow_fp"))
+    df.withColumn("__toks", toks(col(textCol)))
+      .withColumn("__grams",
+        when(size(ts) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)), i => gramHash(i))))
+      .withColumn("__mins",
+        when(size(g) === 0, array().cast("array<string>"))
+          .otherwise(when(size(g) < w, array(array_min(g)))
+            .otherwise(transform(sequence(lit(1), size(g) - (w - 1)),
+              i => array_min(slice(g, i, lit(w)))))))
+      .select(col(idCol), array_distinct(col("__mins")).as("winnow_fp"))
   }
 }
