@@ -92,6 +92,33 @@ object TextAnalysis {
       md5(col(textCol).cast("binary")).as("raw_fp"),
       md5(array_join(toks(col(textCol)), " ").cast("binary")).as("norm_fp"))
 
+  /** Per-document top-k TF-IDF terms — the classic vocabulary/relevance
+    * materialization of a training-data pipeline. Two hash aggregates
+    * (term frequency per (doc, term); document frequency per term), the
+    * corpus size as a broadcast 1-row aggregate (no driver collect), and a
+    * per-doc top-k window. idf = ln((N+1)/(df+1)) — smoothed, positive.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. 2003): hash token k-grams,
     * keep the minimum per sliding window of w — a compact sketch whose
     * overlap estimates document similarity. Returns (id, Array[String]).
@@ -100,28 +127,43 @@ object TextAnalysis {
     * because both Spark and DuckDB compute md5 over the same UTF-8 bytes,
     * so the sketch is DuckDB-oracle-expressible (min over lowercase hex
     * strings is plain lexicographic ordering on both engines). */
+  /** Returns distinct (idCol, fp) rows — one row per retained window
+    * minimum.
+    *
+    * Deliberately RELATIONAL, not array-lambda-based: an earlier form
+    * computed grams/minima with nested `transform(...)` lambdas, and
+    * because higher-order lambdas evaluate interpreted and Catalyst
+    * inlines projection aliases into them (CollapseProject), the gram
+    * array was re-evaluated per window position — O(tokens²) md5+regex
+    * per document (a multi-minute single task at sf0.1, caught by the
+    * noop-sink bench). This form is posexplode → `lead()` window to build
+    * each k-gram → forward-rolling `min()` window — linear, one shuffle
+    * on the doc id, every expression codegen-friendly. */
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
-    // Each stage materializes into its own projection (withColumn) so the
-    // next stage's lambda slices a COMPUTED array attribute. Referencing
-    // the expression tree inside the lambda instead would re-evaluate it
-    // per element — O(tokens²) md5+regex per document (the hang the r2
-    // noop bench exposed; higher-order lambdas are interpreted and Spark
-    // does no CSE across lambda boundaries).
-    val ts = col("__toks")
-    def gramHash(i: Column): Column =
-      substring(md5(array_join(slice(ts, i, lit(k)), " ").cast("binary")), 1, 16)
-    val g = col("__grams")
-    // sequence(1, n) descends when n < 1 — guard short docs to empty/whole.
-    df.withColumn("__toks", toks(col(textCol)))
-      .withColumn("__grams",
-        when(size(ts) < k, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(ts) - (k - 1)), i => gramHash(i))))
-      .withColumn("__mins",
-        when(size(g) === 0, array().cast("array<string>"))
-          .otherwise(when(size(g) < w, array(array_min(g)))
-            .otherwise(transform(sequence(lit(1), size(g) - (w - 1)),
-              i => array_min(slice(g, i, lit(w)))))))
-      .select(col(idCol), array_distinct(col("__mins")).as("winnow_fp"))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = df.select(col(idCol), posexplode(toks(col(textCol))))
+      .toDF(idCol, "pos", "tk")
+    // gram starting at pos: this token + the next k-1 (null-guarded by
+    // requiring the last lead to exist)
+    val gram = tok
+      .withColumn("gram", concat_ws(" ",
+        col("tk") +: (1 until k).map(i => lead(col("tk"), i).over(byDoc)): _*))
+      .withColumn("valid", lead(col("tk"), k - 1).over(byDoc).isNotNull)
+      .filter(col("valid"))
+      .withColumn("h", substring(md5(col("gram").cast("binary")), 1, 16))
+    // rolling forward min over w grams; a doc with fewer than w grams
+    // keeps exactly its first (full-span) window
+    val winMin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val counted = Window.partitionBy(col(idCol))
+    gram
+      .withColumn("fp", min(col("h")).over(winMin))
+      .withColumn("n_g", count(lit(1)).over(counted))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= greatest(col("n_g") - (w - 1), lit(1)))
+      .select(col(idCol), col("fp"))
+      .distinct()
   }
 }

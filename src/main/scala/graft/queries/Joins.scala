@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.SkewOps
 
 /** Join-family inventory: inner/left/right/full/semi/anti/cross plus the
   * as-of join (the reference's index floor-lookup O15 generalized).
@@ -172,7 +173,31 @@ object Joins {
       |  ON p.user_id = si.user_id AND p.ts >= si.ts
       |ORDER BY user_id, purchase_ts_ns""".stripMargin
 
+  /** Skew-resilient join (manual salting — [[SkewOps.saltedJoin]]): the
+    * event stream joined to a small per-nation-ish cohort dimension on
+    * user_id. The big side salts on event_id (high-cardinality
+    * disambiguator), the small side explodes 8-fold, so one hot user fans
+    * over 8 reducers instead of serializing on one — the static-planning
+    * fallback when AQE's runtime skew split isn't in play. Semantics are
+    * identical to the plain join, which is exactly what the oracle checks. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cohorts = e.select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(7L)))
+    SkewOps.saltedJoin(e, cohorts, "user_id", "event_id", salts = 8)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("cohort"))
+  }
+
+  val joinSkewSaltedSql: String =
+    """SELECT user_id % 7 AS cohort, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> joinSkewSalted,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
     "join_right" -> joinRight,
@@ -183,6 +208,7 @@ object Joins {
     "join_asof" -> joinAsof)
 
   def oracleSql: Map[String, String] = Map(
+    "join_skew_salted" -> joinSkewSaltedSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,
     "join_right" -> joinRightSql,

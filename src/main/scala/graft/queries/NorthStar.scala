@@ -247,7 +247,6 @@ object NorthStar {
     * window minima, dedup — is oracle-checked, not just its size. */
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text")
-      .select(col("doc_id"), explode(col("winnow_fp")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
 
   // k=4 token-grams hashed to 16-hex md5 prefixes, window w=8 minima,
@@ -270,6 +269,28 @@ object NorthStar {
       |  FROM grams)
       |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(m) AS fp FROM mins)
       |ORDER BY doc_id, fp""".stripMargin
+
+  /** Top-3 TF-IDF terms per document. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val textTfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    ROUND(tf * LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rnk, term, tf, tfidf FROM (
+      |  SELECT doc_id, term, tf, tfidf, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   // ---- multimodal ----
 
@@ -300,6 +321,7 @@ object NorthStar {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
+    "text_tfidf" -> textTfidf,
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -315,5 +337,6 @@ object NorthStar {
     "text_token_count" -> textTokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
+    "text_tfidf" -> textTfidfSql,
     "media_features" -> mediaFeaturesSql)
 }

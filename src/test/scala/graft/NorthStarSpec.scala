@@ -43,18 +43,18 @@ class NorthStarSpec extends SparkSpec {
   }
 
   test("winnow fingerprints are deterministic and self-consistent") {
-    val a = TextAnalysis.winnow(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    val b = TextAnalysis.winnow(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(a === b)
+    def sketch(): Map[Long, Set[String]] =
+      TextAnalysis.winnow(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+        .groupBy(_._1).map { case (d, fps) => d -> fps.map(_._2).toSet }
+    val a = sketch()
+    assert(a === sketch())
     assert(a.values.forall(_.nonEmpty))
     // near-dup pair (8, 245) (known from the jaccard golden) should share
     // most fingerprints; a random pair should not
-    val shared = (a(8L).toSet & a(245L).toSet).size.toDouble /
-      (a(8L).toSet | a(245L).toSet).size
-    val unrelated = (a(0L).toSet & a(1L).toSet).size.toDouble /
-      math.max(1, (a(0L).toSet | a(1L).toSet).size)
+    val shared = (a(8L) & a(245L)).size.toDouble / (a(8L) | a(245L)).size
+    val unrelated = (a(0L) & a(1L)).size.toDouble /
+      math.max(1, (a(0L) | a(1L)).size)
     assert(shared > 0.5, s"near-dup winnow overlap $shared")
     assert(unrelated < 0.2, s"unrelated winnow overlap $unrelated")
   }
