@@ -51,25 +51,34 @@ object TextAnalysis {
 
   /** Language-ID: score each profile by stopword hits over the token
     * multiset; argmax with deterministic tiebreak by profile order; "und"
-    * when no profile scores. */
+    * when no profile scores.
+    *
+    * Relational shape: tokens explode once and broadcast-join the tiny
+    * (lang, word) profile dim; per-(doc, lang) hit counts aggregate with
+    * map-side partials; argmax = `max_by` over `struct(count, -profileIdx)`
+    * (earlier profile wins ties). The per-row lambda form (5 interpreted
+    * `filter()` passes per document) was the slowest query in the r2 noop
+    * bench — this one is codegen end-to-end and scales with executors. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("__toks")  // tokenize once, not once per profile
-    val scores = StopwordProfiles.map { case (lang, words) =>
-      lang -> size(filter(t, x => x.isInCollection(words)))
-    }
-    // argmax via a fold over (score, lang) structs: strictly-greater wins,
-    // so earlier profiles win ties; guard "und" for all-zero.
-    val best = scores.tail.foldLeft(
-        struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
-          .otherwise(acc)
-    }
-    df.withColumn("__toks", toks(col(textCol)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profileDim = broadcast(StopwordProfiles.zipWithIndex.flatMap {
+      case ((lang, words), idx) => words.map(w => (w, lang, idx))
+    }.toDF("tk", "lang", "lang_idx"))
+    val hits = df.select(col(idCol), explode(toks(col(textCol))).as("tk"))
+      .join(profileDim, "tk")
+      .groupBy(col(idCol), col("lang"), col("lang_idx"))
+      .agg(count(lit(1)).as("score"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("score"), col("lang")),
+        struct(col("score"), -col("lang_idx"))).as("best"))
+      .select(col(idCol), col("best.score").as("lang_score"),
+        col("best.lang").as("lang_pred"))
+    // docs with zero stopword hits drop out of the join — restore as "und"
+    df.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
-        best.getField("s").as("lang_score"),
-        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
-          .as("lang_pred"))
+        coalesce(col("lang_score"), lit(0L)).as("lang_score"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
   }
 
   /** Token counting: whitespace tokens, word tokens, and a BPE-ish subword
