@@ -101,6 +101,30 @@ object TextAnalysis {
       md5(col(textCol).cast("binary")).as("raw_fp"),
       md5(array_join(toks(col(textCol)), " ").cast("binary")).as("norm_fp"))
 
+  /** Quality filter — the keep/drop decision of a training-data pipeline,
+    * composed from [[stats]]' features with explicit reject reasons (the
+    * first failing rule wins, so the decision is auditable). Thresholds
+    * follow the common C4/Gopher-style heuristics: length bounds, mean
+    * token length bounds, symbol/digit density, minimum alpha ratio.
+    * Pure column arithmetic over the stats projection — linear scan. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minChars: Int = 200, maxChars: Int = 100000,
+                    minTokens: Int = 30, minAvgTok: Double = 2.5,
+                    maxAvgTok: Double = 12.0, maxDigitRatio: Double = 0.2,
+                    maxPunctRatio: Double = 0.1): DataFrame = {
+    val s = stats(df, idCol, textCol)
+    val reason = when(col("n_chars") < minChars, "too_short")
+      .when(col("n_chars") > maxChars, "too_long")
+      .when(col("n_tokens") < minTokens, "too_few_tokens")
+      .when(col("avg_token_len") < minAvgTok, "tokens_too_short")
+      .when(col("avg_token_len") > maxAvgTok, "tokens_too_long")
+      .when(col("digit_ratio") > maxDigitRatio, "too_many_digits")
+      .when(col("punct_ratio") > maxPunctRatio, "too_much_punctuation")
+      .otherwise("ok")
+    s.select(col(idCol), col("n_chars"), col("n_tokens"),
+      reason.as("reject_reason"), (reason === "ok").as("keep"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic vocabulary/relevance
     * materialization of a training-data pipeline. Two hash aggregates
     * (term frequency per (doc, term); document frequency per term), the

@@ -270,6 +270,36 @@ object NorthStar {
       |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(m) AS fp FROM mins)
       |ORDER BY doc_id, fp""".stripMargin
 
+  /** Quality-filter decisions with auditable reject reasons. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // mirrors TextAnalysis.stats' feature arithmetic + the rule cascade
+  val textQualitySql: String =
+    """WITH feat AS (
+      |  SELECT doc_id, LENGTH(text) AS n_chars,
+      |    len(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+      |    ROUND(CAST(list_sum(list_transform(regexp_extract_all(lower(text), '\w+'), x -> LENGTH(x))) AS DOUBLE) /
+      |      GREATEST(len(regexp_extract_all(lower(text), '\w+')), 1), 6) AS avg_token_len,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS digit_ratio
+      |  FROM documents),
+      |decided AS (
+      |  SELECT doc_id, n_chars, n_tokens,
+      |    CASE WHEN n_chars < 200 THEN 'too_short'
+      |         WHEN n_chars > 100000 THEN 'too_long'
+      |         WHEN n_tokens < 30 THEN 'too_few_tokens'
+      |         WHEN avg_token_len < 2.5 THEN 'tokens_too_short'
+      |         WHEN avg_token_len > 12.0 THEN 'tokens_too_long'
+      |         WHEN digit_ratio > 0.2 THEN 'too_many_digits'
+      |         WHEN punct_ratio > 0.1 THEN 'too_much_punctuation'
+      |         ELSE 'ok' END AS reject_reason
+      |  FROM feat)
+      |SELECT doc_id, n_chars, n_tokens, reject_reason,
+      |  reject_reason = 'ok' AS keep
+      |FROM decided ORDER BY doc_id""".stripMargin
+
   /** Top-3 TF-IDF terms per document. */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
@@ -322,6 +352,7 @@ object NorthStar {
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
     "text_tfidf" -> textTfidf,
+    "text_quality" -> textQuality,
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -338,5 +369,6 @@ object NorthStar {
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
     "text_tfidf" -> textTfidfSql,
+    "text_quality" -> textQualitySql,
     "media_features" -> mediaFeaturesSql)
 }

@@ -64,6 +64,23 @@ object StreamingIngest {
       }
   }
 
+  /** Event-time sessionization with a watermark — the streaming twin of the
+    * batch `Windows.winSessionize` (gaps-and-islands): `session_window`
+    * merges events closer than `gap` into one session per user, state
+    * expires once the watermark passes a session's close. Emits one row per
+    * closed-or-updated session per micro-batch. */
+  def sessionCounts(events: DataFrame, tsNsCol: String,
+                    gap: String = "30 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both

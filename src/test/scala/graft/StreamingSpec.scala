@@ -83,4 +83,26 @@ class StreamingSpec extends SparkSpec {
         r.getString(1)) -> r.getLong(2)).toMap
     assert(got === batchExpected)
   }
+
+  test("streaming sessionization: gap-merged sessions with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val minNs = 60L * 1000 * 1000 * 1000
+    val t0 = 1704067200000000000L  // 2024-01-01T00:00Z
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDS().toDF("user_id", "ts_ns")
+    val q = StreamingIngest.sessionCounts(df, "ts_ns", gap = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions")
+      .start()
+    // user 1: two events 10min apart (one session), then one 60min later
+    // (new session); user 2: a single event
+    input.addData((1L, t0), (1L, t0 + 10 * minNs), (1L, t0 + 70 * minNs),
+      (2L, t0 + 5 * minNs))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq.sorted
+    // (user, n_events) per session: user1 -> 2 then 1, user2 -> 1
+    assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
 }
