@@ -162,7 +162,12 @@ object TimeStore {
       throw new IllegalStateException(
         s"namespace '${n.ns}' already has an active writer (lease $p); " +
           s"concurrent writers are not supported — stale leases break after ${LeaseTimeoutMs / 1000}s")
-    try body finally f.delete(p, false)
+    try {
+      // heal any crash in a previous compaction's swap window before
+      // touching the store (cheap: three existence probes)
+      recoverStranded(spark, n)
+      body
+    } finally f.delete(p, false)
   }
 
   // ---- ingest (O1/O2/O16/O18/O20) ---------------------------------------

@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
     assert(physical.contains("BroadcastExchange"), physical.take(800))
   }
 
+  test("text_langid broadcasts the stopword dim (no shuffle of the profile table)") {
+    val df = SparkEntry.queries("text_langid")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")
