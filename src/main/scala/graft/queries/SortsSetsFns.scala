@@ -249,12 +249,16 @@ object SortsSetsFns {
 
   /** Scalar subquery: orders above the global average price. One DAG — the
     * 1-row aggregate is broadcast-cross-joined, not `.first()`-collected on
-    * the driver (no blocking job in the query builder, VERDICT r1 #3). */
+    * the driver (no blocking job in the query builder, VERDICT r1 #3).
+    * The comparison is cross-multiplied exact decimal (`price * n > sum`),
+    * not `price > avg`: both engines' double averages could differ in the
+    * last ulp and flip a boundary row — decimals cannot. */
   def subqScalar(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val avgPrice = o.agg(avg(col("o_totalprice")).as("__avg_price"))
-    o.crossJoin(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("__avg_price"))
+    val agg0 = o.agg(sum(dec(col("o_totalprice"))).as("__sum"),
+      count(lit(1)).as("__n"))
+    o.crossJoin(broadcast(agg0))
+      .filter(dec(col("o_totalprice")) * col("__n") > col("__sum"))
       .select(col("o_orderkey"),
         dec(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -262,7 +266,9 @@ object SortsSetsFns {
 
   val subqScalarSql: String =
     """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
-      |FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+      |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
   /** IN subquery: customers in nations that have > 0 suppliers. */
@@ -279,14 +285,16 @@ object SortsSetsFns {
       |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Correlated subquery: orders above their customer's average — decorrelated
-    * to an aggregate+join (what Catalyst does internally). */
+  /** Correlated subquery: orders above their customer's average —
+    * decorrelated to an aggregate+join (what Catalyst does internally),
+    * with the same exact-decimal cross-multiplied comparison as
+    * [[subqScalar]] (no float boundary). */
   def subqCorrelated(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val custAvg = o.groupBy(col("o_custkey").as("ck"))
-      .agg(avg(col("o_totalprice")).as("cust_avg"))
-    o.join(custAvg, o("o_custkey") === custAvg("ck"))
-      .filter(col("o_totalprice") > col("cust_avg"))
+    val custAgg = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(dec(col("o_totalprice"))).as("__sum"), count(lit(1)).as("__n"))
+    o.join(custAgg, o("o_custkey") === custAgg("ck"))
+      .filter(dec(col("o_totalprice")) * col("__n") > col("__sum"))
       .select(col("o_orderkey"), col("o_custkey"),
         dec(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -295,8 +303,10 @@ object SortsSetsFns {
   val subqCorrelatedSql: String =
     """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       |FROM orders o1
-      |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
-      |                      WHERE o2.o_custkey = o1.o_custkey)
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+      |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o2
+      |         WHERE o2.o_custkey = o1.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -58,11 +58,11 @@ class PlanSpec extends SparkSpec {
 
   test("subq_scalar is a single DAG (broadcast aggregate, no driver collect)") {
     val df = SparkEntry.queries("subq_scalar")(spark, sf("0.001"))
-    // the global average must be computed INSIDE the plan (broadcast of a
-    // 1-row aggregate); a driver-side .first() collect would leave only a
-    // constant literal in the filter and no aggregate subtree
+    // the global aggregate must be computed INSIDE the plan (broadcast of
+    // a 1-row aggregate); a driver-side .first() collect would leave only
+    // a constant literal in the filter and no aggregate subtree
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("avg(o_totalprice"), plan.take(800))
+    assert(plan.contains("sum(") && plan.contains("count("), plan.take(800))
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastExchange"), physical.take(800))
   }
