@@ -162,7 +162,28 @@ object Aggregates {
       |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HAVING: post-aggregation filter on an exact-decimal aggregate —
+    * nations whose suppliers' total balance clears a threshold (filters
+    * ≥1 nation and keeps ≥9 at every fixture scale). */
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec(col("s_acctbal"))).as("bal"))
+      .filter(col("bal") > 1000)
+      .select(col("s_nationkey"), col("n_suppliers"),
+        col("bal").cast("double").as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+
+  val aggHavingSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM supplier GROUP BY s_nationkey
+      |HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2))) > 1000
+      |ORDER BY s_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_having" -> aggHaving,
     "agg_percentiles" -> aggPercentiles,
     "agg_string_concat" -> aggStringConcat,
     "agg_pivot" -> aggPivot,
@@ -174,6 +195,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_having" -> aggHavingSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_string_concat" -> aggStringConcatSql,
     "agg_pivot" -> aggPivotSql,

@@ -245,6 +245,39 @@ object SortsSetsFns {
       |  CAST(GREATEST(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS bal_floor0
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Array-function surface over the documents' token arrays: sort,
+    * distinct, slicing, membership, element access — the `ArrayType`
+    * column algebra (the reference's only "array" is a byte blob; Spark
+    * gets these from `functions._` and DuckDB from list functions). */
+  def fnArray(s: SparkSession, dir: String): DataFrame = {
+    val ts = split(lower(col("text")), "[^a-z0-9_]+")
+    Tables.documents(s, dir)
+      .withColumn("__t", filter(ts, x => length(x) > 0))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_tokens"),
+        size(array_distinct(col("__t"))).as("n_distinct"),
+        // try_: zh-only docs tokenize to empty under the latin regex, and
+        // ANSI-mode element_at errors on out-of-bounds (NULL on both sides)
+        try_element_at(col("__t"), lit(1)).as("first_token"),
+        try_element_at(col("__t"), lit(-1)).as("last_token"),
+        array_join(slice(array_sort(array_distinct(col("__t"))), 1, 3), ",")
+          .as("first3_sorted"),
+        array_contains(col("__t"), "the").as("has_the"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fnArraySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+      |    x -> LENGTH(x) > 0) AS ts
+      |  FROM documents)
+      |SELECT doc_id, len(ts) AS n_tokens,
+      |  len(list_distinct(ts)) AS n_distinct,
+      |  ts[1] AS first_token, ts[-1] AS last_token,
+      |  array_to_string(list_sort(list_distinct(ts))[1:3], ',') AS first3_sorted,
+      |  list_contains(ts, 'the') AS has_the
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ---- subqueries ----
 
   /** Scalar subquery: orders above the global average price. One DAG — the
@@ -319,6 +352,7 @@ object SortsSetsFns {
     "set_except_all" -> setExceptAll,
     "join_range" -> joinRange,
     "fn_string" -> fnString,
+    "fn_array" -> fnArray,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_bitops" -> fnBitops,
@@ -337,6 +371,7 @@ object SortsSetsFns {
     "set_except_all" -> setExceptAllSql,
     "join_range" -> joinRangeSql,
     "fn_string" -> fnStringSql,
+    "fn_array" -> fnArraySql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,
     "fn_bitops" -> fnBitopsSql,
