@@ -59,6 +59,36 @@ class NorthStarSpec extends SparkSpec {
     assert(unrelated < 0.2, s"unrelated winnow overlap $unrelated")
   }
 
+  test("winnow matches an independent in-memory reference implementation") {
+    import spark.implicits._
+    // plain-Scala winnowing: k-gram md5-prefix hashes, sliding-window-of-w
+    // minima, distinct — written against the algorithm definition, not the
+    // Spark plan, so a window/lead off-by-one in the relational form fails
+    def reference(tokens: Seq[String], k: Int = 4, w: Int = 8): Set[String] = {
+      def h(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val grams = tokens.sliding(k).filter(_.size == k).map(g => h(g.mkString(" "))).toVector
+      if (grams.isEmpty) Set.empty
+      else if (grams.size < w) Set(grams.min)
+      else grams.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "x1", "y2")
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(30)  // includes docs shorter than k and than w
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val got = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (d, fps) => d -> fps.map(_._2).toSet }
+    val want = docs.map { case (i, text) =>
+      i -> reference(text.split(" ").filter(_.nonEmpty).toSeq)
+    }.filter(_._2.nonEmpty).toMap
+    assert(got === want)
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition control") {
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "media_type", "content"))
