@@ -106,6 +106,44 @@ object Dedup {
     jaccardOf(common, sizes, threshold)
   }
 
+  /** Duplicate-group assembly: connected components over a near-dup pair
+    * set — the step that turns pairwise dedup output into (member →
+    * canonical) groups a pipeline can act on (keep canonical, drop rest).
+    *
+    * Iterative min-label propagation (HashToMin): every node starts as its
+    * own label; each round takes the min over neighbours; converges in
+    * O(component diameter) rounds — near-dup clusters are near-cliques, so
+    * 2-3 rounds in practice, `maxIter` bounds pathological chains. Each
+    * round is one shuffle join + aggregate; the driver only checks the
+    * converged-count, the labels stay distributed. (At extreme scale the
+    * large-star/small-star variant halves rounds; same join shape.)
+    *
+    * Singleton nodes (no pairs) keep themselves as canonical. */
+  def duplicateGroups(pairs: DataFrame, nodes: DataFrame,
+                      maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = e.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(prop, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(
+          labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    labels.select(col("node").as("member"), col("label").as("canonical"))
+  }
+
   /** 64-bit SimHash per document over its n-gram *shingles* (order-
     * sensitive features — token-level simhash degenerates on permuted
     * near-dups and bag-similar corpora: every document collides). One

@@ -127,6 +127,37 @@ object NorthStar {
         shingleN = 3, threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
+  /** Duplicate groups: connected components over the MinHash-LSH pair set
+    * — every document labelled with its group's canonical (minimum) id;
+    * documents with no near-dup are their own canonical. */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
+    Dedup.duplicateGroups(pairs, docs.select(col("doc_id").as("id")))
+      .orderBy(col("member"))
+  }
+
+  // transitive closure of the exact-Jaccard pair graph via recursive CTE;
+  // canonical = min reachable node (or self for singletons)
+  val dedupGroupsSql: String =
+    s"""WITH pairs AS ($JaccardSql),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION SELECT j, i FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+       |  SELECT a, b FROM r)
+       |SELECT doc_id AS member,
+       |  LEAST(doc_id, COALESCE(m.mn, doc_id)) AS canonical
+       |FROM documents
+       |LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+       |  ON m.a = doc_id
+       |ORDER BY member""".stripMargin
+
   /** Embedding near-dup — the 100 TB shape: LSH-band candidate generation
     * (shuffle hash join on (band, band_hash), candidate count ∝ collision
     * density, never corpus×corpus) + exact cosine ≥ 0.4 on candidates
@@ -343,6 +374,7 @@ object NorthStar {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_groups" -> dedupGroups,
     "dedup_embedding" -> dedupEmbedding,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -360,6 +392,7 @@ object NorthStar {
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_minhash_lsh" -> JaccardSql,
     "dedup_simhash" -> JaccardSql,
+    "dedup_groups" -> dedupGroupsSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
