@@ -278,6 +278,24 @@ object SortsSetsFns {
       |  list_contains(ts, 'the') AS has_the
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** JSON functions over the events' `props` JSON strings: path
+    * extraction with typed casts, missing-key and NULL-document
+    * semantics (both engines yield NULL). */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").isNull.as("missing_is_null"),
+        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+      .orderBy(col("event_id"))
+
+  val fnJsonSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  props->>'$.missing' IS NULL AS missing_is_null,
+      |  props->>'$.k' IS NOT NULL AS has_k
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- subqueries ----
 
   /** Scalar subquery: orders above the global average price. One DAG — the
@@ -353,6 +371,7 @@ object SortsSetsFns {
     "join_range" -> joinRange,
     "fn_string" -> fnString,
     "fn_array" -> fnArray,
+    "fn_json" -> fnJson,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_bitops" -> fnBitops,
@@ -372,6 +391,7 @@ object SortsSetsFns {
     "join_range" -> joinRangeSql,
     "fn_string" -> fnStringSql,
     "fn_array" -> fnArraySql,
+    "fn_json" -> fnJsonSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,
     "fn_bitops" -> fnBitopsSql,

@@ -81,6 +81,28 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase matched to same-user
+    * signups at or before it within `within` — the streaming attribution
+    * join. Both sides carry watermarks and the join condition bounds the
+    * time skew, so Spark can expire join state on both sides (unbounded
+    * state otherwise — the classic stream-stream join pitfall). */
+  def attributionJoin(purchases: DataFrame, signups: DataFrame,
+                      tsNsCol: String, within: String = "1 hour",
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    def prep(df: DataFrame, side: String) = df
+      .withColumn(s"${side}_time",
+        timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withWatermark(s"${side}_time", watermarkDelay)
+      .withColumnRenamed("user_id", s"${side}_user")
+    val p = prep(purchases, "p")
+    val sg = prep(signups, "s")
+    p.join(sg,
+      expr(s"""p_user = s_user AND s_time <= p_time AND
+               p_time <= s_time + interval $within"""))
+      .select(col("p_user").as("user_id"), col("p_time").as("purchase_time"),
+        col("s_time").as("signup_time"))
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both

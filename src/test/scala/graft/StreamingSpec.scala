@@ -105,4 +105,27 @@ class StreamingSpec extends SparkSpec {
     // (user, n_events) per session: user1 -> 2 then 1, user2 -> 1
     assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("stream-stream attribution join matches within the interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val minNs = 60L * 1000 * 1000 * 1000
+    val t0 = 1704067200000000000L
+    val purchases = MemoryStream[(Long, Long)]
+    val signups = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.attributionJoin(
+        purchases.toDS().toDF("user_id", "ts_ns"),
+        signups.toDS().toDF("user_id", "ts_ns"), "ts_ns", within = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib")
+      .start()
+    signups.addData((1L, t0), (2L, t0))
+    // user 1 buys 30min after signup (match); user 2 buys 2h after (no
+    // match); user 3 never signed up (no match)
+    purchases.addData((1L, t0 + 30 * minNs), (2L, t0 + 120 * minNs),
+      (3L, t0 + 10 * minNs))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
 }
