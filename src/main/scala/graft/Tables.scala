@@ -44,9 +44,12 @@ object Tables {
   // (md5 shingles, 2048-term LSH signatures), so spread rows across the
   // cluster first. On a real multi-file layout this shuffle is unnecessary
   // (and at 100 TB you would NOT repartition the corpus — input files
-  // already parallelize); it is purely a small-input guard.
+  // already parallelize); it is purely a small-input guard. The probe is
+  // `inputFiles` (the scan's already-listed FileIndex) — the previous
+  // `df.rdd.getNumPartitions` forced Row-RDD lineage construction on every
+  // load (VERDICT r2 #5).
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) df
+    if (df.inputFiles.length >= s.sparkContext.defaultParallelism) df
     else df.repartition(s.sparkContext.defaultParallelism)
 
   def documents(s: SparkSession, d: String): DataFrame =

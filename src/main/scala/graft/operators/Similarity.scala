@@ -123,13 +123,20 @@ object Similarity {
     * 1-θ/π) is a property of the parameters, not the engine. */
   def lshBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 32, bands: Int = 4,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64,
+                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val r = planes / bands
-    val sig = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), planes, dim))
-      .select(col("id"), col("v"), posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
-      .toDF("id", "v", "band", "bh")
+    // Hot-bucket guard (VERDICT r2 #5): a band value shared by millions of
+    // vectors (a dense embedding cluster) would make its bucket quadratic;
+    // buckets above maxBucket are excluded — deterministically, so the
+    // DuckDB twin mirrors the same cap ([[graft.queries]] LshOracleSql).
+    val sig = Dedup.capHotBuckets(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("sig", lshSignature(col("v"), planes, dim))
+        .select(col("id"), col("v"), posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
+        .toDF("id", "v", "band", "bh"),
+      maxBucket)
     val a = sig.toDF("i", "va", "band", "bh")
     val b = sig.toDF("j", "vb", "band", "bh")
     a.join(b, Seq("band", "bh"))

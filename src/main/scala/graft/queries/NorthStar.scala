@@ -38,14 +38,22 @@ private object LshOracleSql {
     """ROUND(list_dot_product(va.e, vb.e) /
       |    (SQRT(list_dot_product(va.e, va.e)) * SQRT(list_dot_product(vb.e, vb.e))), 6)""".stripMargin
 
-  /** Twin of [[Similarity.lshBandedPairs]]. */
-  def bandedPairs(threshold: Double, planes: Int, bands: Int, dim: Int): String =
+  /** Twin of [[Similarity.lshBandedPairs]] — including the hot-bucket cap
+    * (`cb` excludes band buckets larger than `maxBucket`, exactly like
+    * [[graft.operators.Dedup.capHotBuckets]]; deterministic, so the twin
+    * stays a full-pipeline hash check even when the cap fires). */
+  def bandedPairs(threshold: Double, planes: Int, bands: Int, dim: Int,
+                  maxBucket: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |sb AS (
        |${bandedSignatures(planes, bands, dim)}),
+       |cb AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) bn
+       |    FROM sb) WHERE bn <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id i, b.vec_id j
-       |  FROM sb a JOIN sb b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+       |  FROM cb a JOIN cb b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
        |SELECT i, j, cos_sim FROM (
        |  SELECT i, j, $cosSql AS cos_sim
        |  FROM cand JOIN v va ON va.vec_id = i JOIN v vb ON vb.vec_id = j)
@@ -172,7 +180,8 @@ object NorthStar {
       "embedding", threshold = 0.4, planes = 32, bands = 4, dim = 64)
 
   val dedupEmbeddingSql: String =
-    LshOracleSql.bandedPairs(threshold = 0.4, planes = 32, bands = 4, dim = 64)
+    LshOracleSql.bandedPairs(threshold = 0.4, planes = 32, bands = 4, dim = 64,
+      maxBucket = graft.operators.Dedup.DefaultMaxBucket)
 
   // ---- similarity search ----
 

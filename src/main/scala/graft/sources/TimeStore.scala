@@ -346,10 +346,17 @@ object TimeStore {
       .filter(addrPred && signedRange &&
         PointFunctions.unsignedGte(col("time"), lit(start)) &&
         PointFunctions.unsignedLte(col("time"), lit(end)))
+    // First-wins dedup with a PINNED winner (`deDuplicate`,
+    // Algorithms.hs:273-298): `dropDuplicates` keeps an arbitrary row that
+    // can flip under repartitioning when two points share (address, time)
+    // with different payloads — the winner here is the smallest (payload,
+    // value), deterministic under any partitioning (VERDICT r2 #3).
+    val deduped = graft.operators.TimeSeriesOps.firstWinsDedup(
+      df, Seq("address", "time"),
+      Seq(col("payload").bitwiseXOR(lit(Long.MinValue)), col("value")))
     // Unsigned (time, address) order — Core.hs:252-258 — via sign-bit flip.
-    df.dropDuplicates("address", "time")
-      .orderBy(col("time").bitwiseXOR(lit(Long.MinValue)),
-        col("address").bitwiseXOR(lit(Long.MinValue)))
+    deduped.orderBy(col("time").bitwiseXOR(lit(Long.MinValue)),
+      col("address").bitwiseXOR(lit(Long.MinValue)))
   }
 
   /** Compact a namespace: rewrite each (kind, epoch, bucket) partition's
@@ -404,13 +411,20 @@ object TimeStore {
   }
 
   /** Latest point per address over a namespace kind (`latestUniques`,
-    * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials. */
+    * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials.
+    *
+    * Time is unsigned Word64 (`Core.hs:232-243`): the max_by orders by the
+    * sign-flipped time (unsigned order on x == signed order on x ^ MinValue),
+    * so a point at time >= 2^63 beats any small time. The payload tiebreak
+    * pins the winner when duplicate (address, time) rows carry different
+    * payloads (max_by alone keeps an arbitrary row under repartitioning). */
   def latestPerAddress(spark: SparkSession, n: Namespace, kind: String): DataFrame = {
     val base = (if (pointsDirExists(spark, n)) spark.read.parquet(n.pointsDir)
                 else emptyPoints(spark)).filter(col("kind") === kind)
     val payload = struct(col("time"), col("payload"), col("value"))
+    val ord = struct(col("time").bitwiseXOR(lit(Long.MinValue)), col("payload"))
     base.groupBy(col("address"))
-      .agg(max_by(payload, col("time")).as("latest"))
+      .agg(max_by(payload, ord).as("latest"))
       .select(col("address"), col("latest.time").as("time"),
         col("latest.payload").as("payload"), col("latest.value").as("value"))
   }
