@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, partition-size control, batched
   * `mapPartitions` decode with a typed output schema — is real and tested.
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec.decode]] derives deterministic pseudo-features
-  * from the bytes, clearly marked, with the exact seam a libjpeg/ffmpeg
-  * binding would plug into.
+  * Decoding dispatches on content magic bytes ([[MediaCodec]]): formats the
+  * JDK ships codecs for (PNG/GIF/BMP via `javax.imageio`, WAV/AIFF via
+  * `javax.sound.sampled`) yield REAL width/height/frame metadata; formats
+  * needing external libraries this environment lacks (JPEG variants beyond
+  * ImageIO, video) fall through to [[StubCodec.decode]], which derives
+  * deterministic pseudo-features from the bytes — clearly marked, with the
+  * exact seam a libjpeg/ffmpeg binding would plug into.
   *
   * Scale notes: media blobs dominate partition size, so the pipeline
   * repartitions by byte budget before decode (each task holds only its
@@ -30,21 +33,79 @@ object Multimodal {
                                  n_bytes: Long, width: Int, height: Int,
                                  n_frames: Int, content_hash: String)
 
-  /** STUB decoder — deterministic pseudo-decode standing in for the real
-    * libjpeg/ffmpeg call. Every derived value is pure arithmetic over the
-    * byte length + content hash so tests (and the SQL oracle) can verify
-    * the plumbing end-to-end. */
+  /** STUB decoder — deterministic pseudo-decode standing in for codecs the
+    * environment lacks (libjpeg/ffmpeg). Every derived value is pure
+    * arithmetic over the byte length + content hash so tests (and the SQL
+    * oracle) can verify the plumbing end-to-end. */
   object StubCodec {
     def decode(r: MediaRecord): MediaFeatures = {
-      // ??? <- real binding goes here: ImageIO.read / av_frame_decode
       val n = r.content.length.toLong
       MediaFeatures(r.media_id, r.media_type, n,
         width = (64 + n % 577).toInt,
         height = (64 + (n * 31) % 421).toInt,
         n_frames = (1 + n % 24).toInt,
-        content_hash = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.content).map("%02x".format(_)).mkString)
+        content_hash = md5Hex(r.content))
     }
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Content-sniffing decoder: formats the JDK decodes natively (PNG/GIF/
+    * BMP via `javax.imageio`, WAV/AIFF via `javax.sound.sampled`) produce
+    * REAL metadata; everything else falls through to [[StubCodec]]. The
+    * dispatch is on magic bytes, not the metadata column — corrupt or
+    * mislabeled content degrades to the stub instead of failing the task. */
+  object MediaCodec {
+    private def hasMagic(b: Array[Byte], at: Int, magic: String): Boolean =
+      b.length >= at + magic.length &&
+        magic.indices.forall(i => b(at + i) == magic.charAt(i).toByte)
+
+    private def isImage(b: Array[Byte]): Boolean =
+      (b.length >= 4 && b(0) == 0x89.toByte && hasMagic(b, 1, "PNG")) ||
+        hasMagic(b, 0, "GIF8") || hasMagic(b, 0, "BM")
+
+    private def isAudio(b: Array[Byte]): Boolean =
+      (hasMagic(b, 0, "RIFF") && hasMagic(b, 8, "WAVE")) ||
+        (hasMagic(b, 0, "FORM") && hasMagic(b, 8, "AIFF"))
+
+    def decode(r: MediaRecord): MediaFeatures =
+      if (isImage(r.content)) decodeImage(r)
+      else if (isAudio(r.content)) decodeAudio(r)
+      else StubCodec.decode(r)
+
+    private def decodeImage(r: MediaRecord): MediaFeatures =
+      try {
+        // avoid ImageIO's disk-backed cache in executor threads
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) StubCodec.decode(r)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in)
+              MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+                width = reader.getWidth(0), height = reader.getHeight(0),
+                n_frames = math.max(1, reader.getNumImages(true)),
+                content_hash = md5Hex(r.content))
+            } finally reader.dispose()
+          }
+        } finally in.close()
+      } catch { case _: Exception => StubCodec.decode(r) }
+
+    private def decodeAudio(r: MediaRecord): MediaFeatures =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+          width = 0, height = 0,
+          n_frames = in.getFrameLength.toInt,
+          content_hash = md5Hex(r.content))
+        finally in.close()
+      } catch { case _: Exception => StubCodec.decode(r) }
   }
 
   /** Build a media table from any (id, text) source — fixture adapter that
@@ -64,6 +125,6 @@ object Multimodal {
                 else media
     parts.select(col("media_id"), col("media_type"), col("content"))
       .as[MediaRecord]
-      .mapPartitions(_.map(StubCodec.decode))
+      .mapPartitions(_.map(MediaCodec.decode))
   }
 }

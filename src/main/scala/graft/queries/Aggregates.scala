@@ -182,7 +182,32 @@ object Aggregates {
       |HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2))) > 1000
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Approximate distinct-count sketch (HLL++) graded against the exact
+    * count IN the query output: the approx value itself is
+    * engine-specific, so the declared columns are the exact count and the
+    * bound check `|approx - exact| <= 3·rsd·exact` — deterministically TRUE
+    * for a correct sketch (rsd 5%, 3σ), which the oracle twin states as a
+    * literal. A sketch whose error exceeds the bound turns the column FALSE
+    * and hash-fails the gate (VERDICT r2 missing #4). */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), rsd).as("approx"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        (abs(col("approx") - col("exact_custs")) <=
+          lit(3 * rsd) * col("exact_custs")).as("within_bound"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val aggApproxDistinctSql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_distinct" -> aggApproxDistinct,
     "agg_having" -> aggHaving,
     "agg_percentiles" -> aggPercentiles,
     "agg_string_concat" -> aggStringConcat,
@@ -195,6 +220,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_having" -> aggHavingSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_string_concat" -> aggStringConcatSql,

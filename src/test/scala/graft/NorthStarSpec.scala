@@ -103,6 +103,46 @@ class NorthStarSpec extends SparkSpec {
     assert(rows.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
   }
 
+  test("media codec decodes REAL metadata for JDK-native formats, stub otherwise") {
+    import spark.implicits._
+    // golden PNG: 17x23, written by the JDK's own encoder
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        17, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(3, 5, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // golden WAV: 480 frames of silence, 8kHz mono PCM
+    val wav = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val raw = new Array[Byte](480 * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 480L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "audio", wav),
+      (3L, "text", "not a media file at all".getBytes("UTF-8"))
+    ).toDF("media_id", "media_type", "content")
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    // real decode: dimensions come from the PNG header, not stub arithmetic
+    assert(feats(1L).width === 17 && feats(1L).height === 23)
+    assert(feats(1L).n_frames === 1)
+    assert(feats(2L).n_frames === 480)
+    assert(feats(2L).width === 0 && feats(2L).height === 0)
+    // non-media bytes degrade to the deterministic stub
+    val stub = Multimodal.StubCodec.decode(
+      Multimodal.MediaRecord(3L, "text", "not a media file at all".getBytes("UTF-8")))
+    assert(feats(3L) === stub)
+  }
+
   test("exact dedup collapses identical content only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() === docs.count())  // fixture has no byte-identical dups

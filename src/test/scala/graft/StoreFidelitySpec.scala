@@ -74,13 +74,17 @@ class StoreFidelitySpec extends SparkSpec with PropHelper {
     (1 to 5).foreach(i =>
       TimeStore.writeEncoded(spark, n, PointCodec.encode(
         Seq(Point(0, i.toLong, i.toLong), Point(2, i.toLong + 100, i.toLong)))))
+    def liveFiles(): Long = {
+      // livePointsPath carries the Hadoop scheme (file:/...) — resolve via URI
+      val p = new org.apache.hadoop.fs.Path(TimeStore.livePointsPath(spark, n).get)
+      Files.walk(java.nio.file.Paths.get(p.toUri.getPath))
+        .filter(_.toString.endsWith(".parquet")).count()
+    }
     val before = TimeStore.readSimple(spark, n, 0, -1L, Seq(0L, 2L)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val filesBefore = Files.walk(java.nio.file.Paths.get(s"${n.pointsDir}"))
-      .filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = liveFiles()
     TimeStore.compact(spark, n)
-    val filesAfter = Files.walk(java.nio.file.Paths.get(s"${n.pointsDir}"))
-      .filter(_.toString.endsWith(".parquet")).count()
+    val filesAfter = liveFiles()
     val after = TimeStore.readSimple(spark, n, 0, -1L, Seq(0L, 2L)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(after === before)

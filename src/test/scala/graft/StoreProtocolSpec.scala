@@ -75,20 +75,92 @@ class StoreProtocolSpec extends SparkSpec {
     assert(TimeStore.fetchLatest(spark, n) === ((10L, 20L)))
   }
 
-  test("recoverStranded heals a crash in compact's swap window") {
+  test("recoverStranded removes a dead compaction's incomplete generation") {
     val n = freshNs()
     TimeStore.register(spark, n, 4, 4)
     TimeStore.writePoints(spark, n, pts((2L, 10L, 1L), (4L, 20L, 2L)))
     val conf = spark.sparkContext.hadoopConfiguration
-    val live = new Path(n.pointsDir)
-    val f = live.getFileSystem(conf)
-    // simulate dying between rename(live -> bak) and rename(tmp -> live)
-    f.rename(live, new Path(s"${n.dir}/points-old"))
-    assert(!f.exists(live))
-    TimeStore.recoverStranded(spark, n)
-    assert(f.exists(live))
-    assert(!f.exists(new Path(s"${n.dir}/points-old")))
+    val f = new Path(n.dir).getFileSystem(conf)
+    // simulate a compaction that died mid-write: a new generation exists
+    // but its _SUCCESS never committed
+    val dead = new Path(s"${n.dir}/points-g1")
+    f.mkdirs(new Path(dead, "kind=simple"))
+    // readers never resolve the incomplete generation...
     assert(TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L, 4L)).count() === 2)
+    // ...and recovery clears it
+    TimeStore.recoverStranded(spark, n)
+    assert(!f.exists(dead))
+    assert(TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L, 4L)).count() === 2)
+  }
+
+  test("readers are never broken by concurrent compactions (reader-safe swap)") {
+    val n = freshNs()
+    TimeStore.register(spark, n, 2, 2)
+    (1 to 4).foreach(i =>
+      TimeStore.writePoints(spark, n, pts((2L, i.toLong, i.toLong), (4L, i.toLong + 10, i.toLong))))
+    val expected = TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val readers = (0 until 2).map { _ =>
+      new Thread(() => {
+        try while (!stop) {
+          val got = TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L, 4L)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          if (got != expected) errors.add(s"content flipped: $got")
+        } catch { case t: Throwable => errors.add(s"reader broke: $t") }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // two cycles: points -> g1 (old swap window) and g1 -> g2 (also
+      // exercises retiring generation 0 under live readers)
+      TimeStore.compact(spark, n)
+      TimeStore.compact(spark, n)
+    } finally {
+      stop = true
+      readers.foreach(_.join(60000))
+    }
+    assert(errors.isEmpty, s"readers saw errors during compaction: $errors")
+    assert(TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
+  }
+
+  test("lease hammer: racing writers serialize and all eventually succeed (StoreTests.hs:128-157)") {
+    val n = freshNs()
+    TimeStore.register(spark, n, 4, 4)
+    val threads = 12
+    val perThread = 3
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { _ =>
+      new Thread(() => {
+        try {
+          var done = 0
+          while (done < perThread) {
+            try {
+              TimeStore.withWriterLease(spark, n) {
+                val now = inside.incrementAndGet()
+                maxInside.accumulateAndGet(now, math.max(_, _))
+                Thread.sleep(2)
+                inside.decrementAndGet()
+                completed.incrementAndGet()
+              }
+              done += 1
+            } catch {
+              case _: IllegalStateException => Thread.sleep(5) // busy; retry
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer threads failed: $errors")
+    assert(completed.get() === threads * perThread)
+    assert(maxInside.get() === 1, "two writers held the lease simultaneously")
   }
 
   test("register CLI is idempotent and spark-submit shaped (Store.hs:87-105)") {
