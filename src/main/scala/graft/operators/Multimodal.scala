@@ -115,6 +115,15 @@ object Multimodal {
       (element_at(split(col("source"), ":"), 1)).as("media_type"),
       col("text").cast("binary").as("content"))
 
+  /** Frame sampling: every `stride`-th frame index per media record — the
+    * fan-out step a video pipeline feeds to per-frame feature extraction.
+    * Row-local `sequence` + `explode` (no shuffle); output is (media_id,
+    * frame_idx, n_frames) with one row per sampled frame. */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.select(col("media_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
+      col("n_frames"))
+
   /** Batched per-partition decode: repartition so each task's blob volume
     * stays bounded, then decode partition-at-a-time through the typed seam.
     */

@@ -96,6 +96,74 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** Deterministic pseudo-random IVF coarse-quantizer component: centroid
+    * c, dim d, in [-1, 1) — a different hash seed than [[planeComponent]]
+    * so cells and LSH bands are uncorrelated. Literals, so the DuckDB twin
+    * embeds the same constants (see `LshOracleSql.ivfTopK`). */
+  private[graft] def centroidComponent(c: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((c, d, 7))
+    h.toDouble / Int.MaxValue
+  }
+
+  /** Array of dot(vec, centroid_c) for c in [0, cells) — each centroid a
+    * literal array, each dot a codegen'd primitive loop. */
+  private def cellScoreArray(vec: Column, cells: Int, dim: Int): Column =
+    array((0 until cells).map { c =>
+      dot(vec, array((0 until dim).map(d => lit(centroidComponent(c, d))): _*))
+    }: _*)
+
+  /** IVF (inverted-file) ANN — the classic coarse-quantize-then-probe scale
+    * path: every corpus vector is assigned to its best cell (rank-1 score,
+    * ties to the lowest cell), each probe scans only its top-`nprobe`
+    * cells. Scan cost drops to ~nprobe/cells of the corpus; recall trades
+    * against nprobe (spec-measured vs brute force on the fixture; the
+    * near-uniform fixture caps ANY quantizer's recall near its scan
+    * fraction — on clustered real corpora neighbors concentrate into few
+    * cells and recall rises at the same nprobe).
+    *
+    * The "training-free" quantizer uses deterministic pseudo-random
+    * centroids (literals) rather than k-means — deliberately: the cell
+    * assignment becomes a pure function both engines compute identically,
+    * so the DuckDB twin recomputes the whole index + probe pipeline and
+    * the gate hash-checks it end-to-end (misses included), exactly like
+    * the LSH twins. At 100 TB the same plan holds with trained centroids
+    * broadcast as literals. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
+    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
+    // Corpus assignment is ROW-LOCAL (no explode, no window, no shuffle):
+    // cell = index of the max score, ties to the lowest cell
+    // (array_position returns the FIRST occurrence). The scores array is
+    // referenced twice post-inlining — 2×cells codegen'd dots per row,
+    // still linear and shuffle-free, which is what matters at 100 TB.
+    val corpusCells = c.withColumn("__sc", cellScoreArray(col("cv"), cells, dim))
+      .withColumn("cell",
+        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+      .select(col("nbr_id"), col("cv"), col("cell"))
+    // Probe top-nprobe cells: sort (−score, cell) structs ascending = score
+    // desc / cell asc — identical tie semantics to the oracle twin's
+    // ORDER BY score DESC, cell. Row-local; probes are the small side.
+    val probeCells = p.withColumn("__sc", cellScoreArray(col("pv"), cells, dim))
+      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
+        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
+      .select(col("query_id"), col("pv"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
+      .select(col("query_id"), col("pv"), col("__top.cell").as("cell"))
+    val scored = corpusCells.join(probeCells, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+    // no distinct: every corpus vector lives in exactly ONE cell, so a
+    // (probe, corpus) pair meets at most once
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold, or the
     * global top-n pairs when the corpus has no high-sim pairs.
     *

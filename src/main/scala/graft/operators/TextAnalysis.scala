@@ -172,6 +172,22 @@ object TextAnalysis {
     * noop-sink bench). This form is posexplode → `lead()` window to build
     * each k-gram → forward-rolling `min()` window — linear, one shuffle
     * on the doc id, every expression codegen-friendly. */
+  /** Corpus-level n-gram frequency: every n-gram OCCURRENCE (not per-doc
+    * distinct — this is the frequency table, the corpus-statistics sibling
+    * of [[Dedup.shingles]]) → one hash aggregate → global top-k by (count
+    * desc, gram asc). At scale: map-side partial counts collapse the
+    * long-tail before the shuffle; the top-k limit keeps the sort tiny. */
+  def ngramFreq(df: DataFrame, idCol: String, textCol: String,
+                n: Int, topK: Int): DataFrame =
+    df.select(toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => array_join(slice(col("ts"), i, lit(n)), " "))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

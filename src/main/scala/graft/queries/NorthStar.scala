@@ -59,6 +59,40 @@ private object LshOracleSql {
        |  FROM cand JOIN v va ON va.vec_id = i JOIN v vb ON vb.vec_id = j)
        |WHERE cos_sim >= $threshold ORDER BY i, j""".stripMargin
 
+  private def centroidArray(c: Int, dim: Int): String =
+    (0 until dim).map(d => Similarity.centroidComponent(c, d).toString)
+      .mkString("[", ", ", "]")
+
+  /** Twin of [[Similarity.ivfTopK]]: the same literal centroids, the same
+    * rank-1 cell assignment / top-nprobe probe cells, the same exact-cosine
+    * re-rank — so the gate hash-checks the whole IVF pipeline. */
+  def ivfTopK(k: Int, cells: Int, nprobe: Int, dim: Int): String = {
+    val scoreRows = (0 until cells).map { c =>
+      s"SELECT vec_id, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sc AS (
+       |$scoreRows),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+       |  FROM sc),
+       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM ranked WHERE rnk = 1),
+       |probe_cells AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked
+       |  WHERE rnk <= $nprobe AND vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, nbr_id, $cosSql AS cos_sim
+       |  FROM probe_cells JOIN corpus_cells USING (cell)
+       |  JOIN v va ON va.vec_id = query_id JOIN v vb ON vb.vec_id = nbr_id
+       |  WHERE query_id != nbr_id)
+       |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+       |  SELECT query_id, nbr_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10. */
   def lshTopK(k: Int, planes: Int, bands: Int, dim: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
@@ -219,6 +253,19 @@ object NorthStar {
   val annLshSql: String =
     LshOracleSql.lshTopK(k = 5, planes = 16, bands = 8, dim = 64)
 
+  /** IVF ANN — coarse-quantize + probe, the inverted-file scale path
+    * alongside the LSH one. Deterministic literal centroids make the twin
+    * recompute the full index (see [[Similarity.ivfTopK]]). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfSql: String =
+    LshOracleSql.ivfTopK(k = 5, cells = 16, nprobe = 8, dim = 64)
+
   // ---- text analysis ----
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -378,7 +425,45 @@ object NorthStar {
       |  md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Corpus bigram frequency table, top 20 by (count desc, gram). */
+  def textNgramFreq(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramFreq(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, topK = 20)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+
+  val textNgramFreqSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS gram
+      |  FROM toks WHERE len(ts) >= 2)
+      |SELECT gram, COUNT(*) AS n_occurrences FROM grams
+      |GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
+
+  /** Frame sampling over the decoded media features: every 4th frame index
+    * per record — the video fan-out a per-frame extractor consumes. The
+    * oracle twin recomputes the stub's n_frames arithmetic + the same
+    * stride series. */
+  def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF(),
+        stride = 4)
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mediaFrameSampleSql: String =
+    """WITH feat AS (
+      |  SELECT doc_id AS media_id, CAST(1 + LENGTH(text) % 24 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT media_id,
+      |  CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx,
+      |  n_frames
+      |FROM feat ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> textNgramFreq,
+    "media_frame_sample" -> mediaFrameSample,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -387,6 +472,7 @@ object NorthStar {
     "dedup_embedding" -> dedupEmbedding,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
@@ -397,6 +483,8 @@ object NorthStar {
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
+    "text_ngram_freq" -> textNgramFreqSql,
+    "media_frame_sample" -> mediaFrameSampleSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_minhash_lsh" -> JaccardSql,
@@ -405,6 +493,7 @@ object NorthStar {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,

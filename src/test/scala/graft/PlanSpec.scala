@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding degraded to an all-pairs nested loop")
   }
 
+  test("ann_ivf assigns cells row-locally (only the final top-k windows)") {
+    // the corpus→cell assignment must be a projection (array_position over
+    // literal-centroid dots), NOT an explode + window — a window there
+    // shuffles cells× the corpus at 100 TB
+    val df = SparkEntry.queries("ann_ivf")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows === 1, s"expected exactly 1 window (final top-k), saw $windows")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degraded")
+  }
+
   test("subq_scalar is a single DAG (broadcast aggregate, no driver collect)") {
     val df = SparkEntry.queries("subq_scalar")(spark, sf("0.001"))
     // the global aggregate must be computed INSIDE the plan (broadcast of
