@@ -151,25 +151,43 @@ object Dedup {
     val e = CacheScope.cache(
       pairs.select(col("i").as("a"), col("j").as("b"))
         .union(pairs.select(col("j").as("a"), col("i").as("b"))))
-    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
-    var prev: Option[DataFrame] = None
+    // Materialize the edge cache BEFORE the loop: round 1 references it
+    // from two parallel branches (prop and the active-node seed), and
+    // concurrent fills of an uncached InMemoryRelation each recompute the
+    // lineage — for e that lineage is the whole upstream pair pipeline.
+    e.count()
+    // Iterate ONLY over nodes that appear in an edge: in a deduped corpus
+    // the overwhelming majority of documents are singletons — they can
+    // never change label, so they stay out of every round's join/shuffle
+    // and are stitched back with one left join at the end. At 10⁹ docs
+    // with 1% near-dups this shrinks each round's state 100×.
+    val active = CacheScope.cache(
+      e.select(col("a").as("node")).distinct().withColumn("label", col("node")))
+    // (no eager count here: round 1 may fill this cache from two branches,
+    // but its lineage is one distinct over the already-cached edges)
+    var labels: DataFrame = active
+    var prev: Option[DataFrame] = Some(active)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val prop = e.join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
-      // ONE driver action per round (VERDICT r2 next #2): the convergence
-      // count rides the SAME job as the label materialization via observe()
-      // — no second evaluation of the join.
+      // One round = ONE join + ONE aggregate (iterative rounds pay a fixed
+      // scheduling cost per stage, so stage count matters as much as data
+      // volume): each node's new label is min over {its own label} ∪
+      // {neighbours' labels}, expressed as a union tagged with a self flag
+      // — the same aggregate recovers the old label (the self row) for the
+      // convergence metric, and observe() rides the metric on the SAME job
+      // as the label materialization (one driver action per round,
+      // VERDICT r2 next #2).
+      val contrib = labels.withColumn("self", lit(1))
+        .union(e.join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("label"), lit(0).as("self")))
       val obs = Observation()
-      val stepped = labels.withColumnRenamed("label", "old")
-        .join(prop, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("label"),
-          col("old"))
+      val agged = contrib.groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("self") === 1, col("label"))).as("old"))
         .observe(obs,
           coalesce(sum(when(col("label") =!= col("old"), 1L)), lit(0L)).as("changed"))
-      val next = CacheScope.cache(stepped.select(col("node"), col("label")))
+      val next = CacheScope.cache(agged.select(col("node"), col("label")))
       next.count()
       changed = obs.get("changed").asInstanceOf[Long]
       // the superseded labels cache is dead the moment `next` is
@@ -189,7 +207,10 @@ object Dedup {
         s"duplicateGroups did not converge after $maxIter rounds " +
           s"($changed labels still changing) — components with diameter > " +
           s"$maxIter return partially-propagated canonicals")
-    labels.select(col("node").as("member"), col("label").as("canonical"))
+    // singletons (never entered the loop) are their own canonical
+    nodes.select(col("id").as("member"))
+      .join(labels, col("member") === col("node"), "left")
+      .select(col("member"), coalesce(col("label"), col("member")).as("canonical"))
   }
 
   /** 64-bit SimHash per document over its n-gram *shingles* (order-

@@ -116,15 +116,64 @@ object TimeSeries {
       |  CAST(max_by(CAST(value AS DECIMAL(18,2)), ts) AS DOUBLE) AS close_value
       |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_ns""".stripMargin
 
+  /** Gap filling with last-observation-carried-forward — the other classic
+    * TSDB materialization: a dense per-address hourly grid between each
+    * address's first and last observation, missing buckets filled from the
+    * latest preceding bucket. Grid generation is row-local
+    * (`sequence`+`explode` per address span — no driver loop, no cross
+    * join); the fill is one `last(ignoreNulls)` running window per
+    * address. Scale: state ∝ span-hours × addresses, shuffles once on the
+    * address key. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val obs = Tables.events(s, dir)
+      .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
+      .groupBy(col("user_id"), col("hour_ns"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), lit(hourNs))).as("hour_ns"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour_ns"), "left")
+      .select(col("user_id"), col("hour_ns"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sv"))
+      .withColumn("val_filled",
+        last(col("sv"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("user_id"), col("hour_ns"), col("n_events"), col("val_filled"))
+      .orderBy(col("user_id"), col("hour_ns"))
+  }
+
+  val gapFillSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, epoch_ns(date_trunc('hour', ts)) AS hour_ns,
+      |    COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(mn, mx, 3600000000000)) AS BIGINT) AS hour_ns
+      |  FROM (SELECT user_id, MIN(hour_ns) mn, MAX(hour_ns) mx FROM obs GROUP BY 1)),
+      |joined AS (
+      |  SELECT g.user_id, g.hour_ns, COALESCE(o.n_events, 0) AS n_events, o.sv
+      |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour_ns = g.hour_ns)
+      |SELECT user_id, hour_ns, n_events,
+      |  CAST(LAST_VALUE(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ns
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_filled
+      |FROM joined ORDER BY user_id, hour_ns""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_range_scan"     -> rangeScan,
     "ts_latest_per_key" -> latestPerKey,
-    "ts_downsample"     -> downsample
+    "ts_downsample"     -> downsample,
+    "ts_gapfill"        -> gapFill
   )
 
   def oracleSql: Map[String, String] = Map(
     "ts_range_scan"     -> rangeScanSql,
     "ts_latest_per_key" -> latestPerKeySql,
-    "ts_downsample"     -> downsampleSql
+    "ts_downsample"     -> downsampleSql,
+    "ts_gapfill"        -> gapFillSql
   )
 }

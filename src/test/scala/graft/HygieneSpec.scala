@@ -45,13 +45,14 @@ class HygieneSpec extends SparkSpec {
         val out = Dedup.duplicateGroups(pairs, nodes).collect()
         // listener delivery is async
         val deadline = System.currentTimeMillis() + 10000
-        while (actions < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        while (actions < 4 && System.currentTimeMillis() < deadline) Thread.sleep(50)
         Thread.sleep(500) // let any extra action surface
         out
       } finally spark.listenerManager.unregister(listener)
     CacheScope.release(spark)
-    // 2 round actions + the final collect()
-    assert(actions === 3, s"expected 2 round actions + 1 collect, saw $actions")
+    // 1 one-off edge-cache materialization + 2 round actions + the final
+    // collect()
+    assert(actions === 4, s"expected 1 setup + 2 rounds + 1 collect, saw $actions")
     assert(labels.map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
