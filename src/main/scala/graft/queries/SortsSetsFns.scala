@@ -156,6 +156,29 @@ object SortsSetsFns {
       |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Regex beyond extract/replace (those live in fn_string): match
+    * COUNTING (regexp_extract_all + size) and boolean matching (rlike /
+    * regexp_matches). Patterns stay in the Java∩RE2 common subset —
+    * word classes, \b boundaries, quantifiers — so both engines agree. */
+  def fnRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\bs\\w+"), lit(0)))
+          .cast("long").as("n_s_words"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]{2}"), lit(0)))
+          .cast("long").as("n_double_vowels"),
+        col("text").rlike("join.*join").as("has_double_join"),
+        col("text").rlike("^the\\b").as("starts_with_the"))
+      .orderBy(col("doc_id"))
+
+  val fnRegexSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\bs\w+')) AS n_s_words,
+      |  len(regexp_extract_all(text, '[aeiou]{2}')) AS n_double_vowels,
+      |  regexp_matches(text, 'join.*join') AS has_double_join,
+      |  regexp_matches(text, '^the\b') AS starts_with_the
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Date/time functions: extract fields, truncation, date arithmetic. */
   def fnDate(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -370,6 +393,7 @@ object SortsSetsFns {
     "set_except_all" -> setExceptAll,
     "join_range" -> joinRange,
     "fn_string" -> fnString,
+    "fn_regex" -> fnRegex,
     "fn_array" -> fnArray,
     "fn_json" -> fnJson,
     "fn_date" -> fnDate,
@@ -390,6 +414,7 @@ object SortsSetsFns {
     "set_except_all" -> setExceptAllSql,
     "join_range" -> joinRangeSql,
     "fn_string" -> fnStringSql,
+    "fn_regex" -> fnRegexSql,
     "fn_array" -> fnArraySql,
     "fn_json" -> fnJsonSql,
     "fn_date" -> fnDateSql,

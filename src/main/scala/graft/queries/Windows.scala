@@ -141,11 +141,38 @@ object Windows {
       |    FROM events))
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Value-based (RANGE) window frame: per customer, how many of their
+    * orders fall within $1000 below each order's price, and their summed
+    * value. RANGE frames are peer-inclusive and defined by the ORDER BY
+    * VALUE, so the result is deterministic under ties without any row
+    * tiebreak — the property that distinguishes them from ROWS frames. */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .withColumn("sum_nearby",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("n_nearby"), col("sum_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val winRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  COUNT(*) OVER w AS n_nearby,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_nearby
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
     "win_running_sum" -> winRunningSum,
     "win_lag_lead" -> winLagLead,
     "win_ranks" -> winRanks,
+    "win_range_frame" -> winRangeFrame,
     "win_sessionize" -> winSessionize)
 
   def oracleSql: Map[String, String] = Map(
@@ -153,5 +180,6 @@ object Windows {
     "win_running_sum" -> winRunningSumSql,
     "win_lag_lead" -> winLagLeadSql,
     "win_ranks" -> winRanksSql,
+    "win_range_frame" -> winRangeFrameSql,
     "win_sessionize" -> winSessionizeSql)
 }
