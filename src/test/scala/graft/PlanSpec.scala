@@ -84,6 +84,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("bucketed tables co-locate the fact join (zero Exchange in the plan)") {
+    // the 100 TB pattern for repeated fact-fact joins: bucket both sides on
+    // the join key at write time, and the join needs NO shuffle at read
+    // time — EnsureRequirements sees compatible HashPartitioning from the
+    // bucketing metadata
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft-bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf("0.001")).write.mode("overwrite")
+        .option("path", s"$wh/b_orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf("0.001")).write.mode("overwrite")
+        .option("path", s"$wh/b_lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n${plan.take(800)}")
+      // and it computes the same result as the plain shuffled join
+      val expected = Tables.orders(spark, sf("0.001"))
+        .join(Tables.lineitem(spark, sf("0.001")),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")
