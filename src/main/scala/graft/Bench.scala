@@ -24,6 +24,23 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Build + materialize one query; a throw yields (-1.0, Some(err)), never
+    * the time-to-throw as a plausible measurement (VERDICT r2 #4).
+    * Factored out so the error path is unit-testable. */
+  private[graft] def timeOne(spark: SparkSession, sfDir: String,
+                             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { exec(fn(spark, sfDir)); None }
+      catch {
+        case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    (if (err.isEmpty) sec else -1.0, err)
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -54,16 +71,9 @@ object Bench {
       finally cleanup()
     }
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err =
-        try { exec(SparkEntry.queries(name)(spark, sfDir)); None }
-        catch {
-          case t: Throwable =>
-            Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
-        }
-      val sec = (System.nanoTime() - t0) / 1e9  // cleanup stays untimed
-      cleanup()
-      (name, if (err.isEmpty) sec else -1.0, err)
+      val (sec, err) = timeOne(spark, sfDir, SparkEntry.queries(name))
+      cleanup()  // untimed
+      (name, sec, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

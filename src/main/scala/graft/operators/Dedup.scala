@@ -195,7 +195,13 @@ object Dedup {
       // maxIter cached frames retained per invocation). Each round's cache
       // also truncates the *execution* lineage (later rounds read the
       // in-memory relation, never recompute the chain); the logical plan
-      // grows by one join per round, bounded by maxIter.
+      // grows by one join per round, bounded by maxIter. localCheckpoint
+      // would truncate the logical plan too, but it cannot carry the
+      // observe() metric (the checkpointed LogicalRDD drops the
+      // CollectMetrics node, and its eager materialization is an RDD job
+      // that never fires the observation listener) and its blocks evade
+      // the Dataset cache manager — cache-per-round is the form that
+      // composes with single-action convergence counting.
       prev.foreach(CacheScope.free)
       prev = Some(next)
       labels = next

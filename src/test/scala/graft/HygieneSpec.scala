@@ -57,6 +57,16 @@ class HygieneSpec extends SparkSpec {
       Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("bench reports a broken query as err, never its time-to-throw") {
+    val (sec, err) = Bench.timeOne(spark, sf("0.001"),
+      (_, _) => throw new IllegalStateException("deliberately broken"))
+    assert(sec === -1.0)
+    assert(err.exists(_.contains("deliberately broken")), err)
+    val (okSec, okErr) = Bench.timeOne(spark, sf("0.001"),
+      (s, d) => Tables.nation(s, d))
+    assert(okSec > 0 && okErr.isEmpty)
+  }
+
   test("capHotBuckets drops oversized band buckets only") {
     val bucketed = Seq(
       (1L, 0, 10L), (2L, 0, 10L), (3L, 0, 10L), // hot bucket, size 3
