@@ -103,6 +103,25 @@ object StreamingIngest {
         col("s_time").as("signup_time"))
   }
 
+  /** Streaming dedup with BOUNDED state — the streaming form of the store's
+    * first-wins (address, time) dedup (`deDuplicate`,
+    * `Algorithms.hs:273-298`): the first arrival of a key wins, replays and
+    * cross-batch duplicates within the watermark horizon are dropped, and —
+    * the part that matters at 100 TB — `dropDuplicatesWithinWatermark`
+    * expires each key's state once the watermark passes it, so dedup state
+    * is bounded by the delay window instead of growing with the stream's
+    * lifetime key cardinality (plain streaming `dropDuplicates` never
+    * evicts). `tsNsCol` is an epoch-ns Long column. */
+  def dedupStream(points: DataFrame, keyCols: Seq[String], tsNsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    val ks = keyCols :+ "event_time"
+    points
+      .withColumn("event_time", timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(ks.head, ks.tail: _*)
+      .drop("event_time")
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both

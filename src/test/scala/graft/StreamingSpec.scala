@@ -106,6 +106,27 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("streaming dedup drops cross-batch duplicates with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200000000000L
+    val input = MemoryStream[(Long, Long, Long)]
+    val df = input.toDS().toDF("address", "ts_ns", "payload")
+    val q = StreamingIngest.dedupStream(df, Seq("address", "ts_ns"), "ts_ns")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    input.addData((2L, t0, 1L), (2L, t0, 99L), (4L, t0, 2L))
+    q.processAllAvailable()
+    // same (address, ts) replayed in a LATER micro-batch: still a duplicate
+    input.addData((2L, t0, 77L), (6L, t0, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((2L, t0), (4L, t0), (6L, t0)))
+  }
+
   test("stream-stream attribution join matches within the interval only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
