@@ -135,6 +135,24 @@ class StoreProtocolSpec extends SparkSpec {
     val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
     val completed = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // the reference proves exclusion through the STORE (a counter every
+    // writer read-modify-writes, StoreTests.hs:128-157), not through
+    // process-local atomics — do both: lost updates on the file counter
+    // reveal interleaving even if the atomics happen to look clean
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counterPath = new Path(s"${n.metaDir}/counter")
+    val cfs = counterPath.getFileSystem(conf)
+    def readCounter(): Long = {
+      if (!cfs.exists(counterPath)) 0L
+      else {
+        val in = cfs.open(counterPath)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      }
+    }
+    def writeCounter(v: Long): Unit = {
+      val out = cfs.create(counterPath, true)
+      try out.write(v.toString.getBytes) finally out.close()
+    }
     val pool = (0 until threads).map { _ =>
       new Thread(() => {
         try {
@@ -144,6 +162,7 @@ class StoreProtocolSpec extends SparkSpec {
               TimeStore.withWriterLease(spark, n) {
                 val now = inside.incrementAndGet()
                 maxInside.accumulateAndGet(now, math.max(_, _))
+                writeCounter(readCounter() + 1) // unprotected RMW but for the lease
                 Thread.sleep(2)
                 inside.decrementAndGet()
                 completed.incrementAndGet()
@@ -161,6 +180,8 @@ class StoreProtocolSpec extends SparkSpec {
     assert(errors.isEmpty, s"writer threads failed: $errors")
     assert(completed.get() === threads * perThread)
     assert(maxInside.get() === 1, "two writers held the lease simultaneously")
+    assert(readCounter() === threads.toLong * perThread,
+      "lost update on the lease-protected counter — writers interleaved")
   }
 
   test("register CLI is idempotent and spark-submit shaped (Store.hs:87-105)") {
