@@ -148,66 +148,77 @@ object Dedup {
     * Singleton nodes (no pairs) keep themselves as canonical. */
   def duplicateGroups(pairs: DataFrame, nodes: DataFrame,
                       maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val e = CacheScope.cache(
       pairs.select(col("i").as("a"), col("j").as("b"))
         .union(pairs.select(col("j").as("a"), col("i").as("b"))))
-    // Materialize the edge cache BEFORE the loop: round 1 references it
-    // from two parallel branches (prop and the active-node seed), and
-    // concurrent fills of an uncached InMemoryRelation each recompute the
-    // lineage — for e that lineage is the whole upstream pair pipeline.
+    // Materialize the edge cache BEFORE deriving from it: the derivations
+    // below read it from several branches of one job, and concurrent fills
+    // of an uncached InMemoryRelation each recompute the lineage — for e
+    // that lineage is the whole upstream pair pipeline.
     e.count()
     // Iterate ONLY over nodes that appear in an edge: in a deduped corpus
     // the overwhelming majority of documents are singletons — they can
     // never change label, so they stay out of every round's join/shuffle
     // and are stitched back with one left join at the end. At 10⁹ docs
     // with 1% near-dups this shrinks each round's state 100×.
-    val active = CacheScope.cache(
-      e.select(col("a").as("node")).distinct().withColumn("label", col("node")))
-    // (no eager count here: round 1 may fill this cache from two branches,
-    // but its lineage is one distinct over the already-cached edges)
-    var labels: DataFrame = active
-    var prev: Option[DataFrame] = Some(active)
+    val active = e.select(col("a").as("node")).distinct()
+    // Self-loop augmented edges: each round's new label is min over {own
+    // label} ∪ {neighbours' labels}, and with a self-loop per active node
+    // that whole set is ONE join against `labels` — crucial for plan
+    // health: a round that references `labels` twice (self branch + join
+    // branch) DOUBLES the logical plan per round, which is exponential in
+    // rounds and OOMs the driver on long chains (caught by the
+    // diameter-10 spec). Single reference ⇒ linear growth, further capped
+    // by the periodic truncation below.
+    val e2 = CacheScope.cache(
+      e.union(active.select(col("node").as("a"), col("node").as("b"))))
+    e2.count()
+    CacheScope.free(e)
+    var labels: DataFrame = active.withColumn("label", col("node"))
+    var prev: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // One round = ONE join + ONE aggregate (iterative rounds pay a fixed
       // scheduling cost per stage, so stage count matters as much as data
-      // volume): each node's new label is min over {its own label} ∪
-      // {neighbours' labels}, expressed as a union tagged with a self flag
-      // — the same aggregate recovers the old label (the self row) for the
-      // convergence metric, and observe() rides the metric on the SAME job
-      // as the label materialization (one driver action per round,
-      // VERDICT r2 next #2).
-      val contrib = labels.withColumn("self", lit(1))
-        .union(e.join(labels, col("b") === col("node"))
-          .select(col("a").as("node"), col("label"), lit(0).as("self")))
+      // volume). The self-loop row (a == b) carries the node's own label:
+      // min over the group is the new label, and the same aggregate
+      // recovers the old label for the convergence metric — observe()
+      // rides it on the SAME job as the label materialization (one driver
+      // action per round, VERDICT r2 next #2).
       val obs = Observation()
-      val agged = contrib.groupBy(col("node"))
+      val agged = e2.join(labels, col("b") === col("node"))
+        .groupBy(col("a"))
         .agg(min(col("label")).as("label"),
-          max(when(col("self") === 1, col("label"))).as("old"))
+          max(when(col("a") === col("b"), col("label"))).as("old"))
         .observe(obs,
           coalesce(sum(when(col("label") =!= col("old"), 1L)), lit(0L)).as("changed"))
-      val next = CacheScope.cache(agged.select(col("node"), col("label")))
+      val next = CacheScope.cache(
+        agged.select(col("a").as("node"), col("label")))
       next.count()
       changed = obs.get("changed").asInstanceOf[Long]
+      // Truncate the LOGICAL plan every few rounds: even at one `labels`
+      // reference per round the plan accretes one join+aggregate layer per
+      // round, and analysis/optimization cost grows with it. The
+      // Row-roundtrip rebuild reads from `next`'s cache (no job here, no
+      // recompute) and costs one ser/deser pass over the ACTIVE set only.
+      // (localCheckpoint can't be used instead: it drops the
+      // CollectMetrics node the observe() contract needs — see below.)
+      val stepped: DataFrame =
+        if (iter % 4 == 3) spark.createDataFrame(next.rdd, next.schema)
+        else next
       // the superseded labels cache is dead the moment `next` is
       // materialized — free it NOW, not at scope end (r2's leak: up to
       // maxIter cached frames retained per invocation). Each round's cache
-      // also truncates the *execution* lineage (later rounds read the
-      // in-memory relation, never recompute the chain); the logical plan
-      // grows by one join per round, bounded by maxIter. localCheckpoint
-      // would truncate the logical plan too, but it cannot carry the
-      // observe() metric (the checkpointed LogicalRDD drops the
-      // CollectMetrics node, and its eager materialization is an RDD job
-      // that never fires the observation listener) and its blocks evade
-      // the Dataset cache manager — cache-per-round is the form that
-      // composes with single-action convergence counting.
+      // also truncates the *execution* lineage: later rounds read the
+      // in-memory relation, never recompute the chain.
       prev.foreach(CacheScope.free)
       prev = Some(next)
-      labels = next
+      labels = stepped
       iter += 1
     }
-    CacheScope.free(e)
+    CacheScope.free(e2)
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateGroups did not converge after $maxIter rounds " +

@@ -45,16 +45,34 @@ class HygieneSpec extends SparkSpec {
         val out = Dedup.duplicateGroups(pairs, nodes).collect()
         // listener delivery is async
         val deadline = System.currentTimeMillis() + 10000
-        while (actions < 4 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        while (actions < 5 && System.currentTimeMillis() < deadline) Thread.sleep(50)
         Thread.sleep(500) // let any extra action surface
         out
       } finally spark.listenerManager.unregister(listener)
     CacheScope.release(spark)
-    // 1 one-off edge-cache materialization + 2 round actions + the final
-    // collect()
-    assert(actions === 4, s"expected 1 setup + 2 rounds + 1 collect, saw $actions")
+    // 2 one-off cache materializations (edges, self-loop-augmented edges)
+    // + 2 round actions + the final collect()
+    assert(actions === 5, s"expected 2 setup + 2 rounds + 1 collect, saw $actions")
     assert(labels.map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("duplicateGroups: long chains converge within diameter rounds; maxIter bounds pathology") {
+    // path graph 0-1-2-...-9: min label needs 9 hops
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("i", "j")
+    val nodes = (0L to 10L).toDF("id") // node 10 is a singleton
+    val full = Dedup.duplicateGroups(pairs, nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    CacheScope.release(spark)
+    assert((0L to 9L).forall(full(_) == 0L), s"chain not fully propagated: $full")
+    assert(full(10L) === 10L, "singleton must stay its own canonical")
+    // maxIter below the diameter: completes (warns, no throw) with
+    // partially-propagated labels — the documented bound
+    val partial = Dedup.duplicateGroups(pairs, nodes, maxIter = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    CacheScope.release(spark)
+    assert(partial(9L) !== 0L, "3 rounds cannot reach 9 hops")
+    assert(partial(1L) === 0L)
   }
 
   test("bench reports a broken query as err, never its time-to-throw") {
