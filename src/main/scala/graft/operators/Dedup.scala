@@ -149,14 +149,16 @@ object Dedup {
   def duplicateGroups(pairs: DataFrame, nodes: DataFrame,
                       maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val e = CacheScope.cache(
-      pairs.select(col("i").as("a"), col("j").as("b"))
-        .union(pairs.select(col("j").as("a"), col("i").as("b"))))
-    // Materialize the edge cache BEFORE deriving from it: the derivations
-    // below read it from several branches of one job, and concurrent fills
-    // of an uncached InMemoryRelation each recompute the lineage — for e
-    // that lineage is the whole upstream pair pipeline.
-    e.count()
+    // Cache the PAIR INPUT first and materialize it eagerly: everything
+    // below references it several times (both union directions, the
+    // active-node distinct), and every reference to an uncached frame
+    // re-evaluates the whole upstream pair pipeline — the 50k-node scale
+    // probe measured 249 s for this operator when the pipeline evaluated
+    // ~5×, 28 s with it evaluated once.
+    val p = CacheScope.cache(pairs)
+    p.count()
+    val e = p.select(col("i").as("a"), col("j").as("b"))
+      .union(p.select(col("j").as("a"), col("i").as("b")))
     // Iterate ONLY over nodes that appear in an edge: in a deduped corpus
     // the overwhelming majority of documents are singletons — they can
     // never change label, so they stay out of every round's join/shuffle
@@ -174,8 +176,11 @@ object Dedup {
     val e2 = CacheScope.cache(
       e.union(active.select(col("node").as("a"), col("node").as("b"))))
     e2.count()
-    CacheScope.free(e)
-    var labels: DataFrame = active.withColumn("label", col("node"))
+    CacheScope.free(p) // e2 is materialized; nothing else reads the pairs
+    // label seed from the CACHED e2 (its self-loop rows are exactly the
+    // active nodes) — deriving it from e would re-run the freed pipeline
+    var labels: DataFrame = e2.filter(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("label"))
     var prev: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
