@@ -127,11 +127,14 @@ object TimeSeries {
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val obs = Tables.events(s, dir)
+    // obs feeds both the span grid and the fill join, and the planner does
+    // not reuse the exchange across the two references — scope-cache it so
+    // the events scan + hourly aggregate run once (consumer releases).
+    val obs = graft.CacheScope.cache(Tables.events(s, dir)
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("user_id"), col("hour_ns"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sv"))
+        sum(col("value").cast("decimal(18,2)")).as("sv")))
     val grid = obs.groupBy(col("user_id"))
       .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
       .select(col("user_id"),
