@@ -186,20 +186,38 @@ object TimeStore {
     def ownsLease(): Boolean =
       try readSmall(spark, p.toString).contains(uuid)
       catch { case _: java.io.IOException => false }
-    // Staleness probe tolerates the lease vanishing between exists and
-    // getFileStatus (the owner's release) — that's "not stale", retry.
-    def leaseIsStale(): Boolean =
-      try f.exists(p) &&
-        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime > LeaseTimeoutMs
-      catch { case _: java.io.IOException => false }
-    // After create, verify ownership TWICE with a short settle between: the
-    // create itself is atomic, but two writers racing the same stale-break
-    // can interleave delete/create, and the settle makes exactly one racer
-    // still observe its own UUID.
-    val acquired = (tryCreate() || {
-      // stale-lease recovery: break only if older than the watchdog horizon
-      if (leaseIsStale()) { f.delete(p, false); tryCreate() } else false
-    }) && ownsLease() && { Thread.sleep(10); ownsLease() }
+    // Stale-lease break. Probe staleness + content, then break by ATOMIC
+    // RENAME to a breaker-unique tombstone (two racing breakers can't both
+    // rename the same file), then verify the tombstone still holds the
+    // probed stale content — if a fresh lease slipped in between probe and
+    // rename we grabbed a live writer's lease, so put it back and give up.
+    // This closes the delete-based race (a breaker's unconditional delete
+    // landing after another writer's fresh create removed that lease); the
+    // residual exposure is only the inherent one — an owner alive but
+    // heartbeat-dead past the 120s horizon looks identical to a crash.
+    def breakStale(): Boolean =
+      try {
+        val st = f.getFileStatus(p)
+        if (System.currentTimeMillis() - st.getModificationTime <= LeaseTimeoutMs)
+          return false
+        val staleContent = readSmall(spark, p.toString)
+        val tomb = new Path(p.getParent, s"${p.getName}.broken-$uuid")
+        if (!f.rename(p, tomb)) return false
+        if (readSmall(spark, tomb.toString) == staleContent) {
+          f.delete(tomb, false); true
+        } else {
+          // fresh lease grabbed by mistake: restore it (or drop the tomb if
+          // its owner already recreated) and fail this acquisition
+          if (!f.rename(tomb, p)) f.delete(tomb, false)
+          false
+        }
+      } catch { case _: java.io.IOException => false }
+    // After create, verify ownership TWICE with a short settle between —
+    // best-effort detection of a breaker having renamed our fresh lease
+    // away in the probe/rename window (it restores the file, but we may
+    // observe the gap and abort spuriously — the safe direction).
+    val acquired = (tryCreate() || (breakStale() && tryCreate())) &&
+      ownsLease() && { Thread.sleep(10); ownsLease() }
     if (!acquired)
       throw new IllegalStateException(
         s"namespace '${n.ns}' already has an active writer (lease $p); " +
@@ -207,8 +225,12 @@ object TimeStore {
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(LeaseTimeoutMs / 4)
+        // Catch everything non-fatal, not just IOException: a FileSystem
+        // without setTimes support throws UnsupportedOperationException,
+        // and a silently dead heartbeat makes any >120s write/compact
+        // stale-breakable mid-flight — the exact failure this prevents.
         try f.setTimes(p, System.currentTimeMillis(), -1L)
-        catch { case _: java.io.IOException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${n.ns}")
     beat.setDaemon(true)
@@ -516,18 +538,26 @@ object TimeStore {
   /** Latest point per address over a namespace kind (`latestUniques`,
     * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials.
     *
-    * Time is unsigned Word64 (`Core.hs:232-243`): the max_by orders by the
-    * sign-flipped time (unsigned order on x == signed order on x ^ MinValue),
-    * so a point at time >= 2^63 beats any small time. The payload tiebreak
-    * pins the winner when duplicate (address, time) rows carry different
-    * payloads (max_by alone keeps an arbitrary row under repartitioning). */
+    * Time is unsigned Word64 (`Core.hs:232-243`): the aggregate orders by
+    * the sign-flipped time (unsigned order on x == signed order on
+    * x ^ MinValue), so a point at time >= 2^63 beats any small time. When
+    * duplicate (address, time) rows carry different payloads the winner is
+    * the smallest unsigned (payload, value) — the SAME pinned winner as
+    * [[readKind]]'s first-wins dedup, so `lookup` (via readExtended) and
+    * `enumerate` (via this) can never disagree on a key's value. Expressed
+    * as one min_by: bitwise-NOT inverts the flipped-time order (~x is
+    * strictly decreasing), so min over (~flippedTime, unsignedPayload,
+    * value) == max unsigned time, then min unsigned (payload, value). */
   def latestPerAddress(spark: SparkSession, n: Namespace, kind: String): DataFrame = {
     val base = livePointsPath(spark, n).map(spark.read.parquet(_))
       .getOrElse(emptyPoints(spark)).filter(col("kind") === kind)
     val payload = struct(col("time"), col("payload"), col("value"))
-    val ord = struct(col("time").bitwiseXOR(lit(Long.MinValue)), col("payload"))
+    val ord = struct(
+      bitwise_not(col("time").bitwiseXOR(lit(Long.MinValue))),
+      col("payload").bitwiseXOR(lit(Long.MinValue)),
+      col("value"))
     base.groupBy(col("address"))
-      .agg(max_by(payload, ord).as("latest"))
+      .agg(min_by(payload, ord).as("latest"))
       .select(col("address"), col("latest.time").as("time"),
         col("latest.payload").as("payload"), col("latest.value").as("value"))
   }

@@ -111,12 +111,19 @@ object StreamingIngest {
     * expires each key's state once the watermark passes it, so dedup state
     * is bounded by the delay window instead of growing with the stream's
     * lifetime key cardinality (plain streaming `dropDuplicates` never
-    * evicts). `tsNsCol` is an epoch-ns Long column. */
+    * evicts). `tsNsCol` is an epoch-ns Long column.
+    *
+    * The raw ns column is always part of the dedup key: `event_time` is
+    * µs-truncated (TimestampType's resolution), so keying on it alone would
+    * collapse distinct events within the same microsecond — the batch-side
+    * `deDuplicate` twin keys on exact ns time. Integer `div` (not `/`,
+    * which promotes to Double and rounds ~256ns at epoch-ns magnitudes)
+    * derives the watermark column. */
   def dedupStream(points: DataFrame, keyCols: Seq[String], tsNsCol: String,
                   watermarkDelay: String = "10 minutes"): DataFrame = {
-    val ks = keyCols :+ "event_time"
+    val ks = (keyCols :+ tsNsCol).distinct :+ "event_time"
     points
-      .withColumn("event_time", timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsNsCol` div 1000")))
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark(ks.head, ks.tail: _*)
       .drop("event_time")

@@ -89,6 +89,33 @@ class DeterminismSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("payload") === 200L)
   }
 
+  test("lookup and enumerate agree on duplicate-(address,time) winners (ADVICE r3)") {
+    // duplicate (address, time=latest) rows with different payloads, written
+    // in separate batches so they land in separate files/partitions; the
+    // winner must be the smallest UNSIGNED (payload, value) on BOTH read
+    // paths — readExtended-based lookup and latestPerAddress-based enumerate.
+    // Payloads {-9L, -5L} (= 2^64-9, 2^64-5 unsigned): unsigned-min keeps
+    // -9L on both paths; the OLD signed-max tiebreak in latestPerAddress
+    // would have kept -5L, disagreeing with readKind — the exact divergence
+    // this pins shut.
+    val n = freshNs("agree")
+    TimeStore.register(spark, n, 4, 4)
+    def one(payload: Long, v: Array[Byte]) =
+      TimeStore.writePoints(spark, n, spark.createDataset(Seq(
+        Point(5L, 40L, payload, v)))(org.apache.spark.sql.Encoders.product[Point]))
+    one(-5L, "beta".getBytes)
+    one(-9L, "alpha".getBytes)
+    val viaRead = TimeStore.readExtended(spark, n, 0L, 100L, Seq(5L))
+      .orderBy(col("time").bitwiseXOR(lit(Long.MinValue)).desc).limit(1)
+      .collect().head
+    val viaLatest = TimeStore.latestPerAddress(spark, n, "extended")
+      .collect().head
+    assert(viaRead.getAs[Long]("payload") === -9L)
+    assert(viaLatest.getAs[Long]("payload") === -9L)
+    assert(new String(viaLatest.getAs[Array[Byte]]("value")) ===
+      new String(viaRead.getAs[Array[Byte]]("value")))
+  }
+
   test("MutableKV.lookup resolves by UNSIGNED seq (Mutable.hs:69 maxBound-adjacent)") {
     val root = Files.createTempDirectory("graft-det-mut").toString
     val n = TimeStore.namespace(root, "M")
