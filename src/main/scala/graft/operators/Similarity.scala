@@ -216,4 +216,25 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
   }
+
+  /** Per-label mean embedding (class centroids) — the corpus-statistics
+    * materialization behind IVF training, label-balance audits, and
+    * centroid-distance outlier filters. Returns one row per (label,
+    * dimension): `(label, pos, n_vecs, centroid)`.
+    *
+    * posexplode fans each vector into (pos, component) rows, then ONE hash
+    * aggregate with map-side partials — the shuffle carries `labels × dim`
+    * partial sums per partition, not the vectors, so the plan is linear in
+    * corpus size and independent of skew in label frequency. Component sums
+    * go through DECIMAL(20,8) so they are exact and order-independent (the
+    * driver-gate requirement; float addition order would differ between
+    * engines), then divide as double with fixed rounding. */
+  def labelCentroids(corpus: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    corpus.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("x").cast("double").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("centroid"))
 }

@@ -188,6 +188,37 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(topK)
 
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * filter's features: total vs distinct n-gram occurrences, the duplicate
+    * fraction, and the most-frequent-gram share. Highly repetitive
+    * documents (boilerplate, keyword stuffing, degenerate generations) are
+    * the classic pre-training poison this flags.
+    *
+    * Shape: explode grams → hash aggregate per (doc, gram) → hash aggregate
+    * per doc. Both aggregates take map-side partials, so at 100 TB the
+    * shuffle carries per-partition-collapsed gram counts, not occurrences;
+    * documents process independently. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2, dupThreshold: Double = 0.2): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+          i => array_join(slice(col("ts"), i, lit(n)), " "))).as("gram"))
+    val dupFrac = lit(1.0) -
+      col("n_distinct_grams").cast("double") / col("n_grams")
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        round(dupFrac, 6).as("dup_gram_frac"),
+        round(col("top_c").cast("double") / col("n_grams"), 6).as("top_gram_frac"),
+        (dupFrac > dupThreshold).as("repetitive"))
+  }
+
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

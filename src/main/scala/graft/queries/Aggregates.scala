@@ -206,8 +206,37 @@ object Aggregates {
       |  TRUE AS within_bound
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * ((status, priority), (status), ()) with grouping() flags so a reader
+    * can tell a real NULL key from a grouping-set subtotal row. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_having" -> aggHaving,
     "agg_percentiles" -> aggPercentiles,
     "agg_string_concat" -> aggStringConcat,
@@ -221,6 +250,7 @@ object Aggregates {
 
   def oracleSql: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_having" -> aggHavingSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_string_concat" -> aggStringConcatSql,

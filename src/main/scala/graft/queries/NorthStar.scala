@@ -409,6 +409,44 @@ object NorthStar {
       |  FROM scored)
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Gopher-style repetition features: duplicate-bigram fraction and
+    * top-bigram share per document, with the keep/flag decision. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS gram
+      |  FROM toks WHERE len(ts) >= 2),
+      |cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |    COUNT(*) AS n_distinct_grams, MAX(c) AS top_c
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_grams, n_distinct_grams,
+      |  ROUND(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_gram_frac,
+      |  ROUND(CAST(top_c AS DOUBLE) / n_grams, 6) AS top_gram_frac,
+      |  (1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams) > 0.2 AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Per-label mean embedding — one row per (label, dimension). The
+    * component sums are exact decimals on both engines, so the gate
+    * hash-checks elementwise means despite float inputs. */
+  def embLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy(col("label"), col("pos"))
+
+  val embLabelCentroidsSql: String =
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |ex AS (SELECT label, unnest(generate_series(1, len(e))) AS i, e FROM v)
+      |SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS centroid
+      |FROM ex GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   // ---- multimodal ----
 
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -480,6 +518,8 @@ object NorthStar {
     "text_winnow" -> textWinnow,
     "text_tfidf" -> textTfidf,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
+    "emb_label_centroids" -> embLabelCentroids,
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -501,5 +541,7 @@ object NorthStar {
     "text_winnow" -> textWinnowSql,
     "text_tfidf" -> textTfidfSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
+    "emb_label_centroids" -> embLabelCentroidsSql,
     "media_features" -> mediaFeaturesSql)
 }

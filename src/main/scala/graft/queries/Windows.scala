@@ -167,7 +167,35 @@ object Windows {
       |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Distribution-position functions: quartile bucket (ntile), percent_rank
+    * and cume_dist of each order's price within its priority class. The
+    * ORDER BY is made total with the orderkey tiebreak so ntile's bucket
+    * boundaries — which depend on row order, not just values — are
+    * deterministic on both engines. */
+  def winNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val winNtileSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ntile" -> winNtile,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_running_sum" -> winRunningSum,
     "win_lag_lead" -> winLagLead,
@@ -176,6 +204,7 @@ object Windows {
     "win_sessionize" -> winSessionize)
 
   def oracleSql: Map[String, String] = Map(
+    "win_ntile" -> winNtileSql,
     "win_topk_per_group" -> winTopkPerGroupSql,
     "win_running_sum" -> winRunningSumSql,
     "win_lag_lead" -> winLagLeadSql,

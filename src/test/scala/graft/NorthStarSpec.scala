@@ -109,6 +109,38 @@ class NorthStarSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("repetitionStats measures duplicate-bigram fraction on known text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),            // grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (2L, "one two three four five") // 4 grams, all distinct
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_grams") === 5L)
+    assert(rows(0).getAs[Long]("n_distinct_grams") === 2L)
+    assert(rows(0).getAs[Double]("dup_gram_frac") === 0.6)
+    assert(rows(0).getAs[Double]("top_gram_frac") === 0.6)
+    assert(rows(0).getAs[Boolean]("repetitive"))
+    assert(rows(1).getAs[Long]("n_grams") === 4L)
+    assert(rows(1).getAs[Double]("dup_gram_frac") === 0.0)
+    assert(!rows(1).getAs[Boolean]("repetitive"))
+  }
+
+  test("labelCentroids computes exact elementwise means per label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(-2.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(vecs, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos"),
+        r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid")))
+    assert(got.toSeq === Seq(
+      (0, 0, 2L, 2.0), (0, 1, 2L, 4.0), (1, 0, 1L, -2.0), (1, 1, 1L, 0.5)))
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition control") {
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "media_type", "content"))
