@@ -196,7 +196,33 @@ object Joins {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  /** Correlated LATERAL join: each nation's top-2 customers by account
+    * balance — the per-outer-row dependent-subquery shape (top-N per key
+    * written as the user writes it). Catalyst decorrelates the ordered
+    * limit into a partitioned window, so the physical plan is the same
+    * single-shuffle rank-filter as [[Windows.winTopkPerGroup]] — no
+    * per-row re-execution, which is what makes lateral viable at scale. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .lateralJoin(Tables.customer(s, dir)
+        .where(col("c_nationkey") === col("n_nationkey").outer())
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(2))
+      .select(col("n_name"), col("c_custkey"),
+        dec(col("c_acctbal")).cast("double").as("c_acctbal"))
+      .orderBy(col("n_name"), col("c_custkey"))
+
+  val joinLateralSql: String =
+    """SELECT n_name, c_custkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_name, c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_lateral" -> joinLateral,
     "join_skew_salted" -> joinSkewSalted,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
@@ -208,6 +234,7 @@ object Joins {
     "join_asof" -> joinAsof)
 
   def oracleSql: Map[String, String] = Map(
+    "join_lateral" -> joinLateralSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,

@@ -166,17 +166,94 @@ object TimeSeries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_filled
       |FROM joined ORDER BY user_id, hour_ns""".stripMargin
 
+  /** Gap filling with LINEAR INTERPOLATION — [[gapFill]]'s sibling for
+    * continuous signals (LOCF suits step signals; interpolation suits
+    * sampled continuous ones). Same dense per-address hourly grid; missing
+    * buckets get `prev + (next−prev) · elapsed/gap`, where prev/next are
+    * the nearest observed buckets on each side, carried by four
+    * ignoreNulls window functions (two window specs) — no self-join, one
+    * shuffle on the address key, state ∝ span-hours per address.
+    *
+    * Numeric determinism: the hour sums are exact decimals; the
+    * interpolation arithmetic is double with an identical expression tree
+    * in the oracle twin (ns deltas are exact in double for gaps < 104
+    * days). Rounding is `floor(x·1e6 + 0.5)/1e6` rather than `round(x, 6)`:
+    * 2-decimal deltas times rational hour fractions systematically produce
+    * values EXACTLY halfway at the 7th decimal, where Spark's round
+    * (HALF_UP over the shortest string repr) and DuckDB's (binary) disagree
+    * — the floor form is pure double arithmetic both engines evaluate
+    * identically. Observed buckets take the `nh = ph` branch and return
+    * their exact value. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val obs = graft.CacheScope.cache(Tables.events(s, dir)
+      .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
+      .groupBy(col("user_id"), col("hour_ns"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv")))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), lit(hourNs))).as("hour_ns"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("sv").isNotNull, col("hour_ns"))
+    val pv = col("pv").cast("double")
+    val nv = col("nv").cast("double")
+    grid.join(obs, Seq("user_id", "hour_ns"), "left")
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+      .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("sv"), ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("hour_ns"),
+        col("sv").isNotNull.as("observed"),
+        (floor(when(col("nh") === col("ph"), pv)
+          .otherwise(pv + (nv - pv) *
+            ((col("hour_ns") - col("ph")) / (col("nh") - col("ph"))))
+          * 1e6 + 0.5) / 1e6).as("val_interp"))
+      .orderBy(col("user_id"), col("hour_ns"))
+  }
+
+  val interpolateSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, epoch_ns(date_trunc('hour', ts)) AS hour_ns,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(mn, mx, 3600000000000)) AS BIGINT) AS hour_ns
+      |  FROM (SELECT user_id, MIN(hour_ns) mn, MAX(hour_ns) mx FROM obs GROUP BY 1)),
+      |carried AS (
+      |  SELECT g.user_id, g.hour_ns, o.sv IS NOT NULL AS observed,
+      |    LAST_VALUE(CASE WHEN o.sv IS NOT NULL THEN g.hour_ns END IGNORE NULLS) OVER back AS ph,
+      |    LAST_VALUE(o.sv IGNORE NULLS) OVER back AS pv,
+      |    FIRST_VALUE(CASE WHEN o.sv IS NOT NULL THEN g.hour_ns END IGNORE NULLS) OVER fwd AS nh,
+      |    FIRST_VALUE(o.sv IGNORE NULLS) OVER fwd AS nv
+      |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour_ns = g.hour_ns
+      |  WINDOW back AS (PARTITION BY g.user_id ORDER BY g.hour_ns
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    fwd AS (PARTITION BY g.user_id ORDER BY g.hour_ns
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, hour_ns, observed,
+      |  FLOOR((CASE WHEN nh = ph THEN CAST(pv AS DOUBLE)
+      |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+      |      ((hour_ns - ph) / (nh - ph)) END) * 1e6 + 0.5) / 1e6 AS val_interp
+      |FROM carried ORDER BY user_id, hour_ns""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_range_scan"     -> rangeScan,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
-    "ts_gapfill"        -> gapFill
+    "ts_gapfill"        -> gapFill,
+    "ts_interpolate"    -> interpolate
   )
 
   def oracleSql: Map[String, String] = Map(
     "ts_range_scan"     -> rangeScanSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
-    "ts_gapfill"        -> gapFillSql
+    "ts_gapfill"        -> gapFillSql,
+    "ts_interpolate"    -> interpolateSql
   )
 }

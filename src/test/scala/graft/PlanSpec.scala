@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degraded")
   }
 
+  test("join_lateral decorrelates to a window group-limit (no per-row subquery)") {
+    val df = SparkEntry.queries("join_lateral")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated ORDER BY + LIMIT must become a rank filter with a
+    // map-side partial group-limit before the single exchange — not a
+    // nested-loop re-execution of the inner query per outer row
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("subq_scalar is a single DAG (broadcast aggregate, no driver collect)") {
     val df = SparkEntry.queries("subq_scalar")(spark, sf("0.001"))
     // the global aggregate must be computed INSIDE the plan (broadcast of
