@@ -383,7 +383,35 @@ object SortsSetsFns {
       |         WHERE o2.o_custkey = o1.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** EXISTS / NOT EXISTS through the SQL surface: customers who placed at
+    * least one finished ('F') order but no pending ('P') one. Written as
+    * the correlated EXISTS form users write — Catalyst decorrelates the
+    * pair into one left-semi and one left-anti hash join (no per-row
+    * re-execution), which is the plan that holds at fact-table scale. The
+    * DataFrame-form semi/anti joins are declared separately
+    * (`join_semi`/`join_anti`); this entry exercises the SQL planner path. */
+  def subqExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_se_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_se_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_se_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_se_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM graft_se_orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val subqExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subq_exists" -> subqExists,
     "topk_orders" -> topkOrders,
     "sort_multi_key" -> sortMultiKey,
     "set_union" -> setUnion,
@@ -405,6 +433,7 @@ object SortsSetsFns {
     "subq_correlated" -> subqCorrelated)
 
   def oracleSql: Map[String, String] = Map(
+    "subq_exists" -> subqExistsSql,
     "topk_orders" -> topkOrdersSql,
     "sort_multi_key" -> sortMultiKeySql,
     "set_union" -> setUnionSql,

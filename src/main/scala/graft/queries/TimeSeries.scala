@@ -195,18 +195,25 @@ object TimeSeries {
       .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"), lit(hourNs))).as("hour_ns"))
+    // Both carries are RUNNING frames (unbounded-preceding → current), the
+    // forward one over DESCENDING hour order: `first over (current,
+    // unbounded following)` is semantically identical but Spark evaluates
+    // shrinking frames by rescanning current→end per row — O(partition²),
+    // 26× slower on this query at sf0.1 (61 s vs 2.3 s). Running frames
+    // update one aggregate buffer per row — O(partition). Same exchange,
+    // two sorts.
     val back = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwdAsBack = Window.partitionBy(col("user_id")).orderBy(col("hour_ns").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsHour = when(col("sv").isNotNull, col("hour_ns"))
     val pv = col("pv").cast("double")
     val nv = col("nv").cast("double")
     grid.join(obs, Seq("user_id", "hour_ns"), "left")
       .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
       .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
-      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
-      .withColumn("nv", first(col("sv"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", last(obsHour, ignoreNulls = true).over(fwdAsBack))
+      .withColumn("nv", last(col("sv"), ignoreNulls = true).over(fwdAsBack))
       .select(col("user_id"), col("hour_ns"),
         col("sv").isNotNull.as("observed"),
         (floor(when(col("nh") === col("ph"), pv)

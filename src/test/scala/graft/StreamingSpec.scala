@@ -127,6 +127,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, t0), (4L, t0), (6L, t0)))
   }
 
+  test("streaming dedup keys on exact ns time (sub-µs events are distinct — ADVICE r3)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200000000000L
+    val input = MemoryStream[(Long, Long, Long)]
+    val df = input.toDS().toDF("address", "ts_ns", "payload")
+    // keyCols deliberately OMITS ts_ns: dedupStream must append the raw ns
+    // column itself, or two distinct events inside the same microsecond
+    // would collapse into the µs-truncated event_time key
+    val q = StreamingIngest.dedupStream(df, Seq("address"), "ts_ns")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ns")
+      .start()
+    input.addData((2L, t0, 1L), (2L, t0 + 1L, 2L), // 1ns apart: BOTH survive
+      (2L, t0, 9L))                                // exact dup: dropped
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((2L, t0), (2L, t0 + 1L)))
+  }
+
   test("stream-stream attribution join matches within the interval only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
