@@ -39,6 +39,39 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Cluster-size histogram over a (member → canonical) labelling — the
+    * dedup AUDIT view a pipeline publishes before dropping copies: for
+    * each cluster size, how many clusters exist, how many documents they
+    * hold, and the corpus share they represent (= how much the dedup pass
+    * will shrink the corpus). Composes over [[duplicateGroups]] (or any
+    * labelling, e.g. [[exactGroups]] keyed by hash — on this fixture exact
+    * clusters are all singletons, so the declared query uses the near-dup
+    * groups). Two chained hash aggregates (canonical → size; size →
+    * histogram), both with map-side partials — no join or corpus-sized
+    * window, linear at any scale.
+    * The share divides exact longs as double with floor-rounding (Spark
+    * round and DuckDB round split halfway digits differently). */
+  def clusterSizeStats(labels: DataFrame, canonicalCol: String): DataFrame = {
+    // the corpus total comes from the HISTOGRAM (Σ size·count), not from a
+    // second aggregate over `labels`: labels is typically an expensive
+    // lineage (the CC label propagation) and a second reference would
+    // re-execute it. The tiny histogram (≤ max-cluster-size rows) is
+    // scope-cached so its two readers (total + share projection) hit one
+    // materialization.
+    val hist = CacheScope.cache(
+      labels.groupBy(col(canonicalCol))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs")))
+    val total = hist.agg(sum(col("n_docs")).as("__total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("__total") * 1e6 + 0.5) /
+          1e6).as("doc_share"))
+  }
+
   /** Exact pairwise n-gram Jaccard ≥ threshold — inverted-index self-join.
     * Quadratic in co-shingle frequency: correctness oracle, not the scale
     * path (use [[minhashLshPairs]] at scale). */

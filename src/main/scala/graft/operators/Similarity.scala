@@ -237,4 +237,44 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("x").cast("double").cast("decimal(20,8)")).cast("double") /
           count(lit(1)), 6).as("centroid"))
+
+  /** Int8 scalar quantization audit — the compression step an ANN index
+    * applies before storing vectors (4× smaller than float32), plus the
+    * reconstruction-error report that decides whether the codebook is
+    * usable. Per vector: min/max range, code q = ⌊(x−mn)/(mx−mn)·255 + ½⌋
+    * per component, the integer code sum and a position-weighted checksum
+    * (both EXACT, so the gate pins every code), and the max absolute
+    * reconstruction error.
+    *
+    * Shape: posexplode → per-vector min/max as unordered WINDOW aggregates
+    * (one shuffle on the vector id, no join) → codes/errors as pure double
+    * arithmetic → one hash aggregate. Relational rather than array-lambda
+    * on purpose: higher-order lambdas evaluate interpreted and Catalyst
+    * inlines aliases into them, re-running the range computation per
+    * element. All double expressions mirror the oracle twin token-for-token
+    * (float inputs widen to identical doubles; same ops = same bits);
+    * the one float statistic that survives to the output (max_abs_err)
+    * gets floor-rounding. */
+  def quantizeStats(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy(col("vid"))
+    val scale = (col("mx") - col("mn")) / 255
+    val q = when(col("mx") > col("mn"),
+      floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5))
+      .otherwise(lit(0L))
+    corpus.select(col(idCol).as("vid"), posexplode(col(vecCol)))
+      .toDF("vid", "pos", "xf")
+      .select(col("vid"), col("pos"), col("xf").cast("double").as("x"))
+      .withColumn("mn", min(col("x")).over(byVec))
+      .withColumn("mx", max(col("x")).over(byVec))
+      .withColumn("q", q)
+      .withColumn("err", abs(col("x") - (col("mn") + col("q") * scale)))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_dims"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        sum(col("q")).as("q_sum"),
+        sum(col("q") * (col("pos") + 1)).as("q_checksum"),
+        (floor(max(col("err")) * 1e8 + 0.5) / 1e8).as("max_abs_err"))
+      .withColumnRenamed("vid", "vec_id")
+  }
 }

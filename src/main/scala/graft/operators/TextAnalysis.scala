@@ -219,6 +219,37 @@ object TextAnalysis {
         (dupFrac > dupThreshold).as("repetitive"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and the DuckDB oracle twin.
+    * Deliberately restricted to syntax Java regex and RE2 agree on: no
+    * lookaround, no backreferences ('\b' word boundaries are fine in
+    * both). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe: String = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** PII detection + redaction — the scrubbing pass a training-data
+    * pipeline runs before anything else: count email / IPv4 / phone
+    * matches per document, flag documents that carry any, and emit the
+    * hash of the redacted text (emails → `<EMAIL>`, then IPs → `<IP>`,
+    * then phones → `<PHONE>` — the order matters for overlapping matches
+    * and is part of the declared contract). Hashing the redaction instead
+    * of returning it keeps the result compact while still gate-checking
+    * every replaced byte. Pure regexp column ops — linear scan, each
+    * document independent. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String): Column = size(regexp_extract_all(t, lit(re), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+      n(EmailRe).as("n_emails"), n(Ipv4Re).as("n_ips"),
+      n(PhoneRe).as("n_phones"),
+      (n(EmailRe) + n(Ipv4Re) + n(PhoneRe) > 0).as("has_pii"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
+  }
+
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 4, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

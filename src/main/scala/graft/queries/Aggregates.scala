@@ -234,7 +234,55 @@ object Aggregates {
       |ORDER BY g_status, g_priority,
       |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Pearson correlation + population covariance per group, computed from
+    * EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) combined in
+    * double with an expression tree the oracle twin mirrors token-for-token
+    * — the only way a float statistic can hash-match across engines.
+    * Spark's built-in `corr` (Welford-style streaming update) would give a
+    * partitioning-dependent last-bit, so it is deliberately not used for
+    * the declared result (specs compare the two to 1e-12 instead). One hash
+    * aggregate with map-side partials — the moment-sketch shape that
+    * mergeable-aggregate at any scale. Rounding is the floor form (see
+    * [[TimeSeries.interpolate]]): Spark round and DuckDB round disagree
+    * exactly at halfway digits. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val n  = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        r6((col("sxy").cast("double") - sx * sy / n) / n).as("cov_pop"),
+        r6((n * col("sxy").cast("double") - sx * sy) /
+          (sqrt(n * col("sxx").cast("double") - sx * sx) *
+           sqrt(n * col("syy").cast("double") - sy * sy))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  FLOOR(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cov_pop,
+      |  FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr" -> aggCorr,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_having" -> aggHaving,
@@ -249,6 +297,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_corr" -> aggCorrSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_having" -> aggHavingSql,

@@ -182,7 +182,7 @@ object NorthStar {
 
   // transitive closure of the exact-Jaccard pair graph via recursive CTE;
   // canonical = min reachable node (or self for singletons)
-  val dedupGroupsSql: String =
+  private val dedupGroupsCoreSql: String =
     s"""WITH pairs AS ($JaccardSql),
        |edges AS (
        |  SELECT i AS a, j AS b FROM pairs
@@ -197,8 +197,10 @@ object NorthStar {
        |  LEAST(doc_id, COALESCE(m.mn, doc_id)) AS canonical
        |FROM documents
        |LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
-       |  ON m.a = doc_id
-       |ORDER BY member""".stripMargin
+       |  ON m.a = doc_id""".stripMargin
+
+  val dedupGroupsSql: String =
+    s"$dedupGroupsCoreSql\nORDER BY member"
 
   /** Embedding near-dup — the 100 TB shape: LSH-band candidate generation
     * (shuffle hash join on (band, band_hash), candidate count ∝ collision
@@ -433,6 +435,106 @@ object NorthStar {
       |  (1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams) > 0.2 AS repetitive
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Dedup audit: histogram of NEAR-DUP cluster sizes (how many clusters
+    * of each size, how many documents they hold, what corpus share a dedup
+    * pass would touch) over the [[dedupGroups]] connected components. The
+    * exact-duplicate clustering is all singletons on this fixture
+    * (`dedup_exact` — 500 clusters of 1), so the informative audit is the
+    * near-dup one; the twin recomputes the recursive-CTE closure plus the
+    * same two-aggregate histogram. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
+    Dedup.clusterSizeStats(
+        Dedup.duplicateGroups(pairs, docs.select(col("doc_id").as("id"))),
+        "canonical")
+      .orderBy(col("cluster_size"))
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH g AS ($dedupGroupsCoreSql),
+       |cl AS (SELECT canonical, COUNT(*) AS cluster_size FROM g GROUP BY 1),
+       |hist AS (
+       |  SELECT cluster_size, COUNT(*) AS n_clusters,
+       |    cluster_size * COUNT(*) AS n_docs
+       |  FROM cl GROUP BY 1)
+       |SELECT cluster_size, n_clusters, n_docs,
+       |  FLOOR(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () * 1e6 + 0.5) / 1e6 AS doc_share
+       |FROM hist ORDER BY cluster_size""".stripMargin
+
+  /** PII scrub over documents. The fixture corpus is synthetic word-salad
+    * with no real PII, so the query PLANTS deterministic PII (an email,
+    * phone, and IP derived from doc_id, on every third document — the same
+    * honest-stub pattern as the media decode arithmetic) and then runs the
+    * real detection + redaction pipeline over it; the twin recomputes the
+    * planting AND the scrub, so the gate checks both detection counts and
+    * every redacted byte (via the hash). */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val footer = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ph +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0."), pmod(col("doc_id") * 7, lit(256L)).cast("string"))
+    val planted = Tables.documents(s, dir).withColumn("pii_text",
+      when(pmod(col("doc_id"), lit(3L)) === 0, concat(col("text"), footer))
+        .otherwise(col("text")))
+    TextAnalysis.piiScrub(planted, "doc_id", "pii_text")
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiSql: String = {
+    // DuckDB single-quoted strings keep backslashes literal, so the
+    // runtime Java-regex strings embed verbatim
+    val email = TextAnalysis.EmailRe
+    val ip = TextAnalysis.Ipv4Re
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com ph +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |    ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_emails,
+       |  len(regexp_extract_all(t, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+       |  len(regexp_extract_all(t, '$email')) + len(regexp_extract_all(t, '$ip'))
+       |    + len(regexp_extract_all(t, '$phone')) > 0 AS has_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_fp
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  /** Int8 scalar-quantization audit over the embedding corpus — codes are
+    * exact integers (sum + position-weighted checksum declared), the range
+    * and max reconstruction error per vector. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeStats(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  val embQuantizeSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, unnest(generate_series(1, len(e))) AS i, e FROM v),
+      |st AS (
+      |  SELECT vec_id, i, e[i] AS x,
+      |    MIN(e[i]) OVER (PARTITION BY vec_id) AS mn,
+      |    MAX(e[i]) OVER (PARTITION BY vec_id) AS mx
+      |  FROM el),
+      |qd AS (
+      |  SELECT vec_id, i, x, mn, mx,
+      |    CASE WHEN mx > mn
+      |      THEN CAST(FLOOR((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS q
+      |  FROM st)
+      |SELECT vec_id, COUNT(*) AS n_dims, MIN(x) AS mn, MAX(x) AS mx,
+      |  CAST(SUM(q) AS BIGINT) AS q_sum,
+      |  CAST(SUM(q * i) AS BIGINT) AS q_checksum,
+      |  FLOOR(MAX(ABS(x - (mn + q * ((mx - mn) / 255)))) * 1e8 + 0.5) / 1e8 AS max_abs_err
+      |FROM qd GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Per-label mean embedding — one row per (label, dimension). The
     * component sums are exact decimals on both engines, so the gate
     * hash-checks elementwise means despite float inputs. */
@@ -501,8 +603,11 @@ object NorthStar {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_freq" -> textNgramFreq,
+    "text_pii" -> textPii,
     "media_frame_sample" -> mediaFrameSample,
     "dedup_exact" -> dedupExact,
+    "dedup_cluster_stats" -> dedupClusterStats,
+    "emb_quantize" -> embQuantize,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -524,8 +629,11 @@ object NorthStar {
 
   def oracleSql: Map[String, String] = Map(
     "text_ngram_freq" -> textNgramFreqSql,
+    "text_pii" -> textPiiSql,
     "media_frame_sample" -> mediaFrameSampleSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "emb_quantize" -> embQuantizeSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_minhash_lsh" -> JaccardSql,
     "dedup_simhash" -> JaccardSql,

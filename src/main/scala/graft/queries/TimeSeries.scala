@@ -248,7 +248,61 @@ object TimeSeries {
       |      ((hour_ns - ph) / (nh - ph)) END) * 1e6 + 0.5) / 1e6 AS val_interp
       |FROM carried ORDER BY user_id, hour_ns""".stripMargin
 
+  /** Z-score anomaly detection — the classic TSDB monitoring query: events
+    * whose value deviates more than 2.5 population standard deviations from
+    * their address's mean. Per-key moments (n, Σv, Σv²) come from one hash
+    * aggregate as EXACT decimals; mean/σ/z are then double arithmetic with
+    * an expression tree the oracle twin mirrors exactly, so even the
+    * boundary comparison |z| > 2.5 resolves identically on both engines
+    * (same input bits + same ops = same double). The stats side is one row
+    * per address — broadcast-joined back to the event stream, so the plan
+    * is scan + map-side-partial aggregate + broadcast hash join: no shuffle
+    * of the fact table at any scale. Keys with σ = 0 or a single point
+    * cannot produce outliers and are filtered before the join. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val n = col("n").cast("double")
+    val sv = col("sv").cast("double")
+    val qv = col("qv").cast("double")
+    val stats = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("qv"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), (sv / n).as("mean"),
+        sqrt((qv - sv * sv / n) / n).as("std"))
+      .filter(col("std") > 0)
+    Tables.events(s, dir)
+      .join(broadcast(stats), "user_id")
+      .withColumn("z", (v.cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("user_id"), col("event_id"), nsTruncUs(col("ts")).as("ts_ns"),
+        v.cast("double").as("value"),
+        (floor(col("z") * 1e6 + 0.5) / 1e6).as("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val anomalySql: String =
+    """WITH st AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS qv
+      |  FROM events GROUP BY user_id),
+      |sigma AS (
+      |  SELECT user_id, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    SQRT((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std
+      |  FROM st WHERE n >= 2),
+      |scored AS (
+      |  SELECT e.user_id, e.event_id, epoch_ns(e.ts) AS ts_ns,
+      |    CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |    (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - mean) / std AS z
+      |  FROM events e JOIN sigma USING (user_id) WHERE std > 0)
+      |SELECT user_id, event_id, ts_ns, value,
+      |  FLOOR(z * 1e6 + 0.5) / 1e6 AS z
+      |FROM scored WHERE ABS(z) > 2.5
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
@@ -257,6 +311,7 @@ object TimeSeries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,

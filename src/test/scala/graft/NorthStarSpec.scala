@@ -195,6 +195,67 @@ class NorthStarSpec extends SparkSpec {
     assert(feats(3L) === stub)
   }
 
+  test("piiScrub detects and redacts planted emails/IPs/phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at alice.b+spam@sub.example.org today"),
+      (2L, "server 192.168.1.250 and backup 10.0.0.7 are up"),
+      (3L, "call +61-2-9999-0000 now"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "combo x@y.io on 8.8.8.8 via +1-555-0000")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(1L) === ((1, 0, 0, true)))
+    assert(out(2L) === ((0, 2, 0, true)))
+    assert(out(3L) === ((0, 0, 1, true)))
+    assert(out(4L) === ((0, 0, 0, false)))
+    assert(out(5L) === ((1, 1, 1, true)))
+    // redaction replaces every matched byte: hash equals the hand-redacted
+    // string's hash
+    val fp = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .filter(col("doc_id") === 5L).select("redacted_fp").first().getString(0)
+    val expected = "combo <EMAIL> on <IP> via <PHONE>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp === md)
+  }
+
+  test("quantizeStats codes/range/error match hand computation") {
+    import spark.implicits._
+    val df = Seq((7L, Seq(0.0f, 1.0f, 0.5f)), (8L, Seq(2.5f, 2.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeStats(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // vec 7: mn 0, mx 1 → q = [0, 255, 128]; checksum 0·1+255·2+128·3
+    val r7 = out(7L)
+    assert(r7.getAs[Long]("n_dims") === 3L)
+    assert(r7.getAs[Double]("mn") === 0.0 && r7.getAs[Double]("mx") === 1.0)
+    assert(r7.getAs[Long]("q_sum") === 383L)
+    assert(r7.getAs[Long]("q_checksum") === 894L)
+    val expectedErr = math.floor(math.abs(0.5 - 128.0 * (1.0 / 255)) * 1e8 + 0.5) / 1e8
+    assert(r7.getAs[Double]("max_abs_err") === expectedErr)
+    // constant vector: degenerate range quantizes to code 0, zero error
+    val r8 = out(8L)
+    assert(r8.getAs[Long]("q_sum") === 0L)
+    assert(r8.getAs[Double]("max_abs_err") === 0.0)
+  }
+
+  test("clusterSizeStats histograms a labelling exactly") {
+    import spark.implicits._
+    // clusters: {1,2,3}, {4,5}, {6}, {7} → sizes 3,2,1,1
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("member", "canonical")
+    val got = Dedup.clusterSizeStats(labels, "canonical")
+      .orderBy(col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, math.floor(2.0 / 7 * 1e6 + 0.5) / 1e6),
+      (2L, 1L, 2L, math.floor(2.0 / 7 * 1e6 + 0.5) / 1e6),
+      (3L, 1L, 3L, math.floor(3.0 / 7 * 1e6 + 0.5) / 1e6)))
+  }
+
   test("exact dedup collapses identical content only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() === docs.count())  // fixture has no byte-identical dups

@@ -94,6 +94,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("q3/q5 push date filters to the scans and broadcast the small dims") {
+    val q3 = SparkEntry.queries("q3_shipping_priority")(spark, sf("0.001"))
+    val q3scans = scans(q3)
+    // both date predicates land at their respective parquet readers —
+    // selectivity applies BEFORE the joins
+    assert(q3scans.exists(_.metadata("PushedFilters").contains("LessThan(o_orderdate")),
+      q3scans.map(_.metadata("PushedFilters")).mkString("; "))
+    assert(q3scans.exists(_.metadata("PushedFilters").contains("GreaterThan(l_shipdate")),
+      q3scans.map(_.metadata("PushedFilters")).mkString("; "))
+    val q5plan = SparkEntry.queries("q5_local_supplier")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(q5plan.contains("BroadcastHashJoin"), q5plan.take(500))
+  }
+
+  test("ts_anomaly broadcasts the per-key stats (fact table never shuffles)") {
+    val df = SparkEntry.queries("ts_anomaly")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"),
+      "stats join degraded to SMJ — would shuffle the event stream")
+  }
+
+  test("agg_corr is one hash aggregate (moment sums, map-side partials)") {
+    val df = SparkEntry.queries("agg_corr")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val aggs = "\\bHashAggregate\\b".r.findAllIn(plan).size
+    // partial + final of the single groupBy — no second aggregation pass,
+    // no join, no window
+    assert(aggs === 2, s"expected partial+final of ONE aggregate, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan.take(500))
+  }
+
+  test("emb_quantize shuffles the exploded components once (single window spec)") {
+    val df = SparkEntry.queries("emb_quantize")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // ONE hash exchange feeding the per-vector min/max window; the final
+    // hash aggregate reuses its partitioning. (The presentation orderBy
+    // adds a range exchange — not data-movement that grows with a join or
+    // a second clustering, so it is not counted.)
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles === 1, s"expected 1 hash exchange, saw $hashShuffles:\n$plan")
+    assert(!plan.contains("Join"), "quantization must not join")
+  }
+
   test("bucketed tables co-locate the fact join (zero Exchange in the plan)") {
     // the 100 TB pattern for repeated fact-fact joins: bucket both sides on
     // the join key at write time, and the join needs NO shuffle at read

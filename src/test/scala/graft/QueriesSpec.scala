@@ -24,6 +24,40 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("agg_corr matches Spark's built-in corr (within its 6dp rounding)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_corr")(spark, sf("0.001"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val builtin = Tables.lineitem(spark, sf("0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === builtin.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-6,
+        s"corr($k): moment-sum $v vs builtin ${builtin(k)}")
+    }
+  }
+
+  test("ts_anomaly flags exactly the |z| > 2.5 events") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ts_anomaly")(spark, sf("0.001")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getAs[Double]("z")) > 2.49999),
+      "every flagged event clears the threshold")
+    // spot-check one flagged event against driver-side stats for its key
+    val r0 = out.head
+    val uid = r0.getAs[Long]("user_id")
+    val vals = Tables.events(spark, sf("0.001"))
+      .filter(col("user_id") === uid)
+      .select(col("value").cast("decimal(18,2)").cast("double"))
+      .collect().map(_.getDouble(0))
+    val mean = vals.sum / vals.length
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    val z = (r0.getAs[Double]("value") - mean) / std
+    assert(math.abs(math.floor(z * 1e6 + 0.5) / 1e6 - r0.getAs[Double]("z")) < 1e-4)
+  }
+
   test("q1 aggregates match hand computation at sf0.001") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf("0.001"))
     val rows = df.collect()
