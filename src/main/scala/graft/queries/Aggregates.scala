@@ -281,7 +281,58 @@ object Aggregates {
       |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Mode (most frequent value) per group — two chained hash aggregates
+    * with a pinned tiebreak (highest count, then smallest quantity), NOT a
+    * window: the per-(group, value) counts collapse map-side, and the
+    * argmax is a second tiny aggregate — no sort of the fact table, no
+    * per-group window state. The twin uses the row_number formulation;
+    * with the total tiebreak both pick the identical row. */
+  def aggMode(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), dec(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(col("qty"), struct(col("c"), (lit(0) - col("qty")).as("nq")))
+          .cast("double").as("mode_qty"),
+        max(col("c")).as("mode_count"))
+      .orderBy(col("l_returnflag"))
+
+  val aggModeSql: String =
+    """SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, c AS mode_count
+      |FROM (
+      |  SELECT l_returnflag, qty, c, row_number() OVER (
+      |    PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rn
+      |  FROM (
+      |    SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |      COUNT(*) AS c
+      |    FROM lineitem GROUP BY 1, 2))
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** UNPIVOT (wide → long reshape): each order's price and a derived tax
+    * estimate melt into (o_orderkey, measure, amount) rows — Spark's
+    * `unpivot`/melt against DuckDB's UNPIVOT clause. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("total_price"),
+        (dec(col("o_totalprice")) * lit(0.1).cast("decimal(3,1)"))
+          .cast("double").as("est_tax"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("total_price"), col("est_tax")), "measure", "amount")
+      .orderBy(col("o_orderkey"), col("measure"))
+
+  val aggUnpivotSql: String =
+    """SELECT o_orderkey, measure, amount FROM (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1)) AS DOUBLE) AS est_tax
+      |  FROM orders)
+      |UNPIVOT (amount FOR measure IN (total_price, est_tax))
+      |ORDER BY o_orderkey, measure""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode,
+    "fn_unpivot" -> aggUnpivot,
     "agg_corr" -> aggCorr,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -297,6 +348,8 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_mode" -> aggModeSql,
+    "fn_unpivot" -> aggUnpivotSql,
     "agg_corr" -> aggCorrSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

@@ -194,7 +194,37 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Frame-edge value functions: first_value / last_value / nth_value over
+    * the FULL partition frame (the default running frame would make
+    * last_value ≡ current row — the classic window gotcha, made explicit
+    * here). ORDER BY is made total with the partkey tiebreak so the edge
+    * rows are pinned under any partitioning. */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        dec(col("p_retailprice")).cast("double").as("p_retailprice"),
+        first(col("p_partkey")).over(w).as("priciest_part"),
+        last(col("p_partkey")).over(w).as("cheapest_part"),
+        nth_value(col("p_partkey"), 2).over(w).as("runnerup_part"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  val winFirstLastSql: String =
+    """SELECT p_brand, p_partkey,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice,
+      |  first_value(p_partkey) OVER w AS priciest_part,
+      |  last_value(p_partkey) OVER w AS cheapest_part,
+      |  nth_value(p_partkey, 2) OVER w AS runnerup_part
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_first_last" -> winFirstLast,
     "win_ntile" -> winNtile,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_running_sum" -> winRunningSum,
@@ -204,6 +234,7 @@ object Windows {
     "win_sessionize" -> winSessionize)
 
   def oracleSql: Map[String, String] = Map(
+    "win_first_last" -> winFirstLastSql,
     "win_ntile" -> winNtileSql,
     "win_topk_per_group" -> winTopkPerGroupSql,
     "win_running_sum" -> winRunningSumSql,
