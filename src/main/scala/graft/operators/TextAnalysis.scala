@@ -219,6 +219,53 @@ object TextAnalysis {
         (dupFrac > dupThreshold).as("repetitive"))
   }
 
+  /** Benchmark decontamination — the check a training pipeline runs before
+    * shipping a corpus: which training documents share verbatim n-grams
+    * with the held-out evaluation set (shared grams mean the benchmark
+    * leaks into training and its scores are inflated). Returns one row per
+    * training document: distinct eval-shared n-grams and the contamination
+    * flag.
+    *
+    * Shape: both sides explode to distinct (doc, gram) via [[Dedup.shingles]]
+    * — linear; the eval side collapses to a distinct gram set (∝ eval-set
+    * size, ≪ corpus) which joins the training grams as the BUILD side; one
+    * count-distinct aggregate per doc; a left join restores zero-overlap
+    * docs. At 100 TB the eval gram set broadcasts and the training corpus
+    * never shuffles except the per-doc aggregate. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val trainGrams = Dedup.shingles(train, idCol, textCol, n)
+    val evalGrams = Dedup.shingles(eval, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val hits = trainGrams.join(evalGrams, "s")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sequence packing — the batch-assembly step before training:
+    * documents concatenate into one token stream per packing group
+    * (source), in deterministic doc-id order, and the stream is cut into
+    * `budget`-token context windows; each document is assigned the window
+    * its first token lands in (bin = floor(start_offset / budget)). ONE
+    * running-sum window per group key, no iteration, deterministic under
+    * any partitioning; groups pack in parallel across executors. */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               groupCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol),
+        size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        floor((col("end_off") - col("n_tokens")).cast("double") / budget)
+          .as("bin"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and the DuckDB oracle twin.
     * Deliberately restricted to syntax Java regex and RE2 agree on: no
     * lookaround, no backreferences ('\b' word boundaries are fine in

@@ -535,6 +535,55 @@ object NorthStar {
       |  FLOOR(MAX(ABS(x - (mn + q * ((mx - mn) / 255)))) * 1e8 + 0.5) / 1e8 AS max_abs_err
       |FROM qd GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Benchmark decontamination: training docs (source != src0) sharing
+    * verbatim 5-gram spans with the held-out slice (source = src0). */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val textContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') ts
+      |  FROM documents),
+      |tr AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-4),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) s
+      |  FROM toks WHERE source != 'src0' AND len(ts) >= 5),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts)-4),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) s
+      |  FROM toks WHERE source = 'src0' AND len(ts) >= 5),
+      |hits AS (
+      |  SELECT tr.doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n, 0) AS n_shared_grams,
+      |  COALESCE(n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+      |WHERE d.source != 'src0' ORDER BY d.doc_id""".stripMargin
+
+  /** Sequence packing: documents → fixed-500-token bins per source,
+    * next-fit in doc-id order (budget chosen to split every fixture
+    * source into multiple bins — ~1.3-1.5k tokens per source at sf0.01). */
+  def textPackBins(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packBins(Tables.documents(s, dir), "doc_id", "text",
+        "source", budget = 500)
+      .orderBy(col("doc_id"))
+
+  val textPackBinsSql: String =
+    """SELECT doc_id, source, n_tokens,
+      |  CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 500) AS BIGINT) AS bin
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-label mean embedding — one row per (label, dimension). The
     * component sums are exact decimals on both engines, so the gate
     * hash-checks elementwise means despite float inputs. */
@@ -604,6 +653,8 @@ object NorthStar {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_freq" -> textNgramFreq,
     "text_pii" -> textPii,
+    "text_contamination" -> textContamination,
+    "text_pack_bins" -> textPackBins,
     "media_frame_sample" -> mediaFrameSample,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_stats" -> dedupClusterStats,
@@ -630,6 +681,8 @@ object NorthStar {
   def oracleSql: Map[String, String] = Map(
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii" -> textPiiSql,
+    "text_contamination" -> textContaminationSql,
+    "text_pack_bins" -> textPackBinsSql,
     "media_frame_sample" -> mediaFrameSampleSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,

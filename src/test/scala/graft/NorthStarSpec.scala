@@ -256,6 +256,38 @@ class NorthStarSpec extends SparkSpec {
       (3L, 1L, 3L, math.floor(3.0 / 7 * 1e6 + 0.5) / 1e6)))
   }
 
+  test("contamination flags exactly the docs sharing an eval 5-gram") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "he said the quick brown fox jumps right here"), // shares 1 5-gram span
+      (2L, "a completely different sentence about spark engines"),
+      (3L, "quick brown fox jumps over the lazy dog indeed")) // shares several
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((1L, true)))   // "the quick brown fox jumps"
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L)._2 && out(3L)._1 >= 4) // sliding 5-grams of the shared span
+  }
+
+  test("packBins chunks each group's token stream by start offset") {
+    import spark.implicits._
+    // token counts 6,6,6 with budget 10: starts 0,6,12 → bins 0,0,1
+    val df = Seq(
+      (1L, "g", "a b c d e f"), (2L, "g", "a b c d e f"),
+      (3L, "g", "a b c d e f"),
+      (9L, "h", "one two three")) // separate group restarts at bin 0
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packBins(df, "doc_id", "text", "source", budget = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((6L, 0L)))
+    assert(got(2L) === ((6L, 0L)))
+    assert(got(3L) === ((6L, 1L)))
+    assert(got(9L) === ((3L, 0L)))
+  }
+
   test("exact dedup collapses identical content only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() === docs.count())  // fixture has no byte-identical dups
