@@ -188,7 +188,17 @@ object Similarity {
     * Deterministic across engines: the hyperplanes are fixed literals
     * ([[planeComponent]]) so a DuckDB twin embedding the same constants
     * computes the identical candidate set — recall (1-(1-p^r)^b, p =
-    * 1-θ/π) is a property of the parameters, not the engine. */
+    * 1-θ/π) is a property of the parameters, not the engine.
+    *
+    * SIZING IS THE SCALE LEVER: with r bits per band, average bucket
+    * occupancy is n/2^r, and the band self-join produces
+    * Θ(b · n²/2^r) random-pair candidates — fixing r while n grows makes
+    * the "linear" path quadratic. Size r ≈ log2(n/16) so buckets stay
+    * ~16 vectors (measured on an 80k structureless corpus: r=8 → 396 s,
+    * r=13 → 19 s, see SCALE.md); recall for cos ≥ 0.99 near-dups stays
+    * ≥ 0.99 with 4 bands up to r=16. [[lshSignature]] packs the signature
+    * into one Long, so b·r ≤ 64 — beyond that, widen to an array of
+    * signature words. */
   def lshBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 32, bands: Int = 4,
                      dim: Int = 64,

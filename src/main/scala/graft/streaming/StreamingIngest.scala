@@ -129,6 +129,45 @@ object StreamingIngest {
       .drop("event_time")
   }
 
+  /** Input/state/output records for [[anomalyStream]]. */
+  case class KeyedValue(key: Long, ts: Long, value: Double)
+  case class Moments(n: Long, sum: Double, sumSq: Double)
+  case class Outlier(key: Long, ts: Long, value: Double, z: Double)
+
+  /** ONLINE z-score anomaly detection — the streaming sibling of the batch
+    * `ts_anomaly` query, with the semantics a live monitor actually wants:
+    * each event is scored against the statistics of everything seen BEFORE
+    * it (prefix moments), not a global pass, so alerts fire in-stream and
+    * a later regime change can't retroactively excuse an early spike.
+    * State per key is three numbers (n, Σv, Σv²) — O(1), unbounded-stream
+    * safe without a watermark; within a micro-batch events process in
+    * (ts, value) order so replays are deterministic. Emits only outliers
+    * (flatMapGroupsWithState, Append). */
+  def anomalyStream(events: Dataset[KeyedValue],
+                    threshold: Double = 2.5): Dataset[Outlier] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Moments, Outlier](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, in: Iterator[KeyedValue], state: GroupState[Moments]) =>
+          var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+          val flagged = Seq.newBuilder[Outlier]
+          in.toSeq.sortBy(e => (e.ts, e.value)).foreach { e =>
+            if (m.n >= 2) {
+              val mean = m.sum / m.n
+              val varPop = (m.sumSq - m.sum * m.sum / m.n) / m.n
+              if (varPop > 0) {
+                val z = (e.value - mean) / math.sqrt(varPop)
+                if (math.abs(z) > threshold) flagged += Outlier(key, e.ts, e.value, z)
+              }
+            }
+            m = Moments(m.n + 1, m.sum + e.value, m.sumSq + e.value * e.value)
+          }
+          state.update(m)
+          flagged.result().iterator
+      }
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both

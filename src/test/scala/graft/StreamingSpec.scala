@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, t0), (2L, t0 + 1L)))
   }
 
+  test("online z-score flags spikes against PREFIX moments only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingIngest.{KeyedValue, Outlier}
+    val input = MemoryStream[KeyedValue]
+    val q = StreamingIngest.anomalyStream(input.toDS(), threshold = 2.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_stream")
+      .start()
+    // batch 1: establish a baseline (mean 10, small variance); none of
+    // these can be flagged — the first two have n<2 history, the rest sit
+    // inside 2.5σ of their prefixes
+    input.addData(KeyedValue(1L, 1, 9.0), KeyedValue(1L, 2, 11.0),
+      KeyedValue(1L, 3, 10.0), KeyedValue(1L, 4, 10.0), KeyedValue(1L, 5, 10.0))
+    q.processAllAvailable()
+    assert(spark.table("anomaly_stream").isEmpty)
+    // batch 2: a spike (50) fires; the normal reading after it does not,
+    // even though the spike inflated the prefix variance
+    input.addData(KeyedValue(1L, 6, 50.0), KeyedValue(1L, 7, 10.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("anomaly_stream").as[Outlier].collect()
+    assert(got.length === 1)
+    assert(got.head.ts === 6L && got.head.value === 50.0)
+    // hand-computed prefix z: mean 10, varPop of {9,11,10,10,10} = 0.4
+    val expectedZ = (50.0 - 10.0) / math.sqrt(0.4)
+    assert(math.abs(got.head.z - expectedZ) < 1e-9)
+  }
+
   test("stream-stream attribution join matches within the interval only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
