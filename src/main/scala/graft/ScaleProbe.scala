@@ -89,6 +89,14 @@ object ScaleProbe {
             k = 64, r = 4, threshold = 0.5),
           docs.select(col("doc_id").as("id")))
       }
+      // same sizing law as the hyperplane LSH below: nibble bands (16×4
+      // bits) only have 16 bucket values each, so occupancy grows n/16 —
+      // trade hamming tolerance for block width as n grows
+      val shBands = if (n <= 20000) 16 else 8
+      time(s"dedup_simhash_b$shBands", n) {
+        Dedup.simhashPairs(docs, "doc_id", "text", shingleN = 3,
+          threshold = 0.5, bands = shBands)
+      }
       time("text_winnow", n) {
         TextAnalysis.winnow(docs, "doc_id", "text")
       }

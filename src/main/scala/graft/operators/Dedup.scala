@@ -286,28 +286,48 @@ object Dedup {
       .select(col("doc"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64 bits into 16 nibbles — by
-    * pigeonhole, any pair within hamming distance 15 shares at least one
-    * band — then verify candidates with exact Jaccard (like the LSH path).
-    */
+  /** SimHash near-dup pairs: band the 64 bits into `bands` equal blocks —
+    * by pigeonhole, any pair within hamming distance `bands - 1` shares at
+    * least one block verbatim (Manku et al., WWW'07) — then verify
+    * candidates with exact Jaccard (like the LSH path).
+    *
+    * BLOCK WIDTH IS THE SCALE LEVER (same law as the hyperplane-LSH
+    * sizing, SCALE.md): a block of w = 64/bands bits has 2^w possible
+    * values, so average bucket occupancy is n/2^w and the band self-join
+    * compares Θ(bands · n²/2^w) pairs (the hamming gate prunes the OUTPUT
+    * but still EVALUATES per pair). 16 nibble bands (w=4, hamming ≤ 15)
+    * suit corpora up to ~10⁵; at larger n trade hamming tolerance for
+    * bucket cardinality — bands=8 (w=8, hamming ≤ 7) or bands=4 (w=16,
+    * hamming ≤ 3). Know what that trade buys: on SHORT documents
+    * (~100 tokens) even jaccard-0.8 pairs can sit at hamming 8-15 (few
+    * shingles → narrow bit majorities), so wide-block simhash is a
+    * near-IDENTICAL-document detector — jaccard-level similarity recall
+    * is [[minhashLshPairs]]'s job (whose buckets are hash-valued, so
+    * their cardinality scales with the corpus automatically). The
+    * exact-Jaccard verification keeps precision exact under any banding;
+    * NorthStarSpec pins the hamming-pigeonhole contract. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = CacheScope.cache(shingles(df, idCol, textCol, shingleN))
     // carry the full signature on each band row so the hamming gate applies
     // INSIDE the band join — on a bag-similar corpus most pairs share some
     // band, and gating before `distinct` keeps the pair stream tiny instead
     // of deduplicating millions of junk candidates
-    val bands = CacheScope.cache(capHotBuckets(
+    val banded = CacheScope.cache(capHotBuckets(
       simhash(sh).select(col("doc"), col("simhash"),
-        posexplode(array((0 until 16).map(b =>
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*)))
       .toDF("doc", "simhash", "band", "bh"),
       maxBucket))
-    val candidates = bands.as("a").join(bands.as("b"),
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc") &&
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 15)
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= bands - 1)
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
     verifyCandidates(sh, candidates, threshold)
   }

@@ -256,6 +256,29 @@ class NorthStarSpec extends SparkSpec {
       (3L, 1L, 3L, math.floor(3.0 / 7 * 1e6 + 0.5) / 1e6)))
   }
 
+  test("simhash wide blocks (bands=8) honor the hamming<=7 pigeonhole contract") {
+    // the scale parameterization trades the hamming-tolerance GUARANTEE
+    // (bands-1) for bucket cardinality; the contract is: every exact pair
+    // whose signatures differ by <= bands-1 bits IS found (pigeonhole),
+    // everything reported is a verified real pair. (Jaccard-level recall
+    // is MinHash's job — simhash at wide blocks targets near-identical
+    // documents; on ~120-token fixture docs even jac 0.8 pairs can sit at
+    // hamming 8-15, which is exactly why both sketches exist.)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhash(sh).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val within7 = exact.filter { case (i, j) =>
+      java.lang.Long.bitCount(sig(i) ^ sig(j)) <= 7 }
+    val wide = Dedup.simhashPairs(docs, "doc_id", "text", 3, 0.5, bands = 8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(exact), "verified pairs must all be real")
+    assert(within7.subsetOf(wide),
+      s"pigeonhole violation — lost: ${within7 -- wide}")
+    assert(within7.nonEmpty, "fixture should contain hamming<=7 pairs")
+  }
+
   test("contamination flags exactly the docs sharing an eval 5-gram") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
