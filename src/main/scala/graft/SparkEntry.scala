@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Aggregates.queries ++
       graft.queries.Windows.queries ++
       graft.queries.SortsSetsFns.queries ++
-      graft.queries.NorthStar.queries
+      graft.queries.NorthStar.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Aggregates.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.SortsSetsFns.oracleSql ++
-      graft.queries.NorthStar.oracleSql
+      graft.queries.NorthStar.oracleSql ++
+      graft.queries.Pipeline.oracleSql
 }

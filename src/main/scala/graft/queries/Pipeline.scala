@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline plumbing: deterministic sampling, train/val/test
+  * splitting, and shard assignment over the `documents` corpus.
+  *
+  * All three are built on content-independent md5 hashing of the stable key
+  * (`doc_id`) with a per-purpose salt, so that (a) assignment is a pure
+  * row-local projection — no shuffle, no state, no RNG seed coordination
+  * across 1000 executors; (b) re-running the pipeline on a grown corpus keeps
+  * every previously-assigned document in the same split/shard (the property
+  * `rand(seed)` does NOT have — its draw depends on partition layout); and
+  * (c) the DuckDB oracle can recompute the exact assignment, since md5 of the
+  * same UTF-8 bytes is identical on both engines.
+  *
+  * Rates are expressed as hex-prefix thresholds on the first byte of the
+  * digest (256 buckets): `substr(md5(salt || doc_id), 1, 2) < 'XY'` keeps
+  * `0xXY/256` of each stratum. String comparison on lowercase hex is
+  * order-isomorphic to the numeric value, so no hex→int parsing is needed on
+  * either engine.
+  *
+  * The declared outputs are the audit aggregates a pipeline publishes (per
+  * stratum: population, sampled count, id checksum) rather than the sampled
+  * rows themselves — one map-side-combined hash aggregate over a scan, the
+  * same shape at sf0.001 and at 100 TB.
+  */
+object Pipeline {
+
+  /** Hex prefix of the salted doc_id digest: 256-bucket assignment key. */
+  private def hashBucket(salt: String): Column =
+    substring(md5(concat(lit(salt), col("doc_id").cast("string")).cast("binary")), 1, 2)
+
+  /** Stratified sampling audit: keep 25% of 'en' (the majority class),
+    * 50% of every other language — the class-rebalancing downsample a
+    * training mix applies. Assignment is row-local; the audit is one hash
+    * aggregate. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val keep = hashBucket("samp:") <
+      when(col("lang") === "en", lit("40")).otherwise(lit("80"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(keep, lit(1))).as("n_sampled"),
+        coalesce(sum(when(keep, col("doc_id"))), lit(0L)).as("sampled_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_total,
+      |  count(*) FILTER (substr(md5('samp:'||CAST(doc_id AS VARCHAR)),1,2)
+      |    < CASE WHEN lang='en' THEN '40' ELSE '80' END) AS n_sampled,
+      |  CAST(COALESCE(sum(doc_id) FILTER (substr(md5('samp:'||CAST(doc_id AS VARCHAR)),1,2)
+      |    < CASE WHEN lang='en' THEN '40' ELSE '80' END), 0) AS BIGINT) AS sampled_id_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split audit per language.
+    * A different salt than sampling, so the two assignments are
+    * independent; thresholds 0xcc/256 = 79.7%, 0xe6/256 = 89.8%. */
+  def splitTrainTest(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket("split:")
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(b < "cc", lit("train")).when(b < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val splitTrainTestSql: String =
+    """SELECT split, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |         WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  /** Consistent 16-way shard assignment + balance audit. The shard key is
+    * the last hex nibble of the digest — documents keep their shard as the
+    * corpus grows, and the audit (count + byte mass per shard) is how a
+    * pipeline checks its output files are balanced before a 1000-writer
+    * fan-out. */
+  def docShard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shard",
+        substring(md5(concat(lit("shard:"), col("doc_id").cast("string")).cast("binary")), 32, 1))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"))
+
+  val docShardSql: String =
+    """SELECT substr(md5('shard:'||CAST(doc_id AS VARCHAR)),32,1) AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> sampleStratified,
+    "split_train_test" -> splitTrainTest,
+    "doc_shard" -> docShard)
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "split_train_test" -> splitTrainTestSql,
+    "doc_shard" -> docShardSql)
+}

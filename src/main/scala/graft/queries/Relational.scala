@@ -144,16 +144,52 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): aggregate the fact table
+    * first (one map-side-combined hash aggregate on l_orderkey), filter to
+    * the rare heavy orders, then join the *small filtered result* to orders
+    * and customer. The join order matters at 100 TB: the heavy-order set
+    * after HAVING is tiny (0.3% of orders here), so Spark broadcasts it to
+    * both dimension joins instead of shuffling lineitem twice — AQE picks
+    * the broadcast from the runtime size of the filtered aggregate. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+      |  CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM customer, orders,
+      |  (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) heavy
+      |WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** All queries this module contributes to SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
-    "q5_local_supplier" -> q5LocalSupplier
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q18_large_orders" -> q18LargeOrders
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
-    "q5_local_supplier" -> q5Sql
+    "q5_local_supplier" -> q5Sql,
+    "q18_large_orders" -> q18Sql
   )
 }

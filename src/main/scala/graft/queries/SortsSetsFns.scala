@@ -410,7 +410,41 @@ object SortsSetsFns {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Higher-order array functions (lambda surface): transform / filter /
+    * aggregate / exists over a generated integer sequence. All codegen'd
+    * Catalyst expressions (no UDFs) and integer-exact, so the lambda
+    * pipeline hash-matches DuckDB's list_transform/list_filter/list_sum.
+    * The lambda also captures an outer column (l_partkey) — the closure
+    * case that separates real higher-order support from simple array ops. */
+  def fnHigherOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("arr", sequence(lit(1), col("l_linenumber") + 2))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        aggregate(
+          filter(transform(col("arr"), x => x * x), x => x % 2 === 0),
+          lit(0L), (acc, x) => acc + x).as("sq_even_sum"),
+        exists(col("arr"), x => x % 3 === 0).as("has_mult3"),
+        aggregate(col("arr"), lit(0L),
+          (acc, x) => acc + x * pmod(col("l_partkey"), lit(7))).as("scaled_sum"),
+        array_join(transform(col("arr"), x => concat(lit("i"), x.cast("string"))),
+          ",").as("tagged"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val fnHigherOrderSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_filter(list_transform(range(1, l_linenumber+3),
+      |    x -> x*x), x -> x%2=0)) AS BIGINT) AS sq_even_sum,
+      |  len(list_filter(range(1, l_linenumber+3), x -> x%3=0)) > 0 AS has_mult3,
+      |  CAST(list_sum(list_transform(range(1, l_linenumber+3),
+      |    x -> x * (l_partkey % 7))) AS BIGINT) AS scaled_sum,
+      |  list_aggregate(list_transform(range(1, l_linenumber+3),
+      |    x -> 'i' || CAST(x AS VARCHAR)), 'string_agg', ',') AS tagged
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_higher_order" -> fnHigherOrder,
     "subq_exists" -> subqExists,
     "topk_orders" -> topkOrders,
     "sort_multi_key" -> sortMultiKey,
@@ -433,6 +467,7 @@ object SortsSetsFns {
     "subq_correlated" -> subqCorrelated)
 
   def oracleSql: Map[String, String] = Map(
+    "fn_higher_order" -> fnHigherOrderSql,
     "subq_exists" -> subqExistsSql,
     "topk_orders" -> topkOrdersSql,
     "sort_multi_key" -> sortMultiKeySql,

@@ -301,13 +301,79 @@ object TimeSeries {
       |FROM scored WHERE ABS(z) > 2.5
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** OHLC bars: per (user, hour) open/high/low/close + volume — the classic
+    * downsample-preserving-endpoints shape. One hash aggregate: open/close
+    * are `min_by`/`max_by` over the (µs-time, event_id) struct (ordering
+    * matches the oracle's row_number pin, ties broken by event_id), so no
+    * per-row window pass over the fact table is needed. Scales as a single
+    * map-side-combined aggregate keyed by (user, hour). */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(hourNs))).as("hr_ns"),
+        nsTruncUs(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("hr_ns"))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open_val"),
+        max(col("value")).as("high_val"),
+        min(col("value")).as("low_val"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close_val"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .orderBy(col("user_id"), col("hr_ns"))
+  }
+
+  val ohlcSql: String =
+    """SELECT user_id, hr_ns,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+      |  max(value) AS high_val, min(value) AS low_val,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM (
+      |  SELECT user_id, epoch_ns(date_trunc('hour', ts)) AS hr_ns, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |GROUP BY user_id, hr_ns ORDER BY user_id, hr_ns""".stripMargin
+
+  /** Hopping (sliding) windows: 2-hour windows advancing hourly, so every
+    * event lands in exactly 2 windows. Uses Spark's native `window()`
+    * table-valued generator (the same operator Structured Streaming uses
+    * for sliding aggregations); the oracle reproduces the fan-out with an
+    * explicit unnest of the two candidate window starts. Row fan-out is
+    * bounded (duration/slide = 2×), then one hash aggregate. */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .select(window(col("ts_us"), "2 hours", "1 hour").as("w"),
+        col("event_type"), col("value"))
+      .groupBy((unix_micros(col("w.start")) * 1000L).as("ws_ns"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("ws_ns"), col("event_type"))
+
+  val slidingWindowsSql: String =
+    """SELECT ws_ns, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT (epoch_us(date_trunc('hour', ts)) - k*3600000000)*1000 AS ws_ns,
+      |    event_type, value
+      |  FROM events, unnest([0,1]) AS t(k))
+      |GROUP BY ws_ns, event_type ORDER BY ws_ns, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
-    "ts_interpolate"    -> interpolate
+    "ts_interpolate"    -> interpolate,
+    "ts_ohlc"           -> ohlc,
+    "ts_sliding"        -> slidingWindows
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,6 +382,8 @@ object TimeSeries {
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,
-    "ts_interpolate"    -> interpolateSql
+    "ts_interpolate"    -> interpolateSql,
+    "ts_ohlc"           -> ohlcSql,
+    "ts_sliding"        -> slidingWindowsSql
   )
 }

@@ -223,7 +223,31 @@ object Windows {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY p_brand, p_partkey""".stripMargin
 
+  /** Distribution ranks: cume_dist + percent_rank of each customer's
+    * balance within its nation. Both are pure rank arithmetic (peer-group
+    * counts over the partition), so the doubles are identical IEEE
+    * divisions of the same integers on both engines. */
+  def winCumeDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec(col("c_acctbal")).cast("double").as("c_acctbal"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val winCumeDistSql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+      |  cume_dist() OVER w AS cd,
+      |  percent_rank() OVER w AS pr
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cume_dist" -> winCumeDist,
     "win_first_last" -> winFirstLast,
     "win_ntile" -> winNtile,
     "win_topk_per_group" -> winTopkPerGroup,
@@ -234,6 +258,7 @@ object Windows {
     "win_sessionize" -> winSessionize)
 
   def oracleSql: Map[String, String] = Map(
+    "win_cume_dist" -> winCumeDistSql,
     "win_first_last" -> winFirstLastSql,
     "win_ntile" -> winNtileSql,
     "win_topk_per_group" -> winTopkPerGroupSql,

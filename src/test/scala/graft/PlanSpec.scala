@@ -116,6 +116,42 @@ class PlanSpec extends SparkSpec {
       "stats join degraded to SMJ — would shuffle the event stream")
   }
 
+  test("q18 aggregates lineitem once (partial+final) and takes top-k without a global sort") {
+    val df = SparkEntry.queries("q18_large_orders")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the heavy-order HAVING aggregate is the ONLY aggregation, and the
+    // fact table is scanned exactly once — no re-scan for the final output
+    val aggs = "\\bHashAggregate\\b".r.findAllIn(plan).size
+    assert(aggs === 2, s"expected partial+final of ONE lineitem aggregate:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT 100 should be TakeOrdered, not a global sort")
+    assert(!plan.contains("SortMergeJoin"), "q18 joins should broadcast at this scale")
+  }
+
+  test("ts_ohlc is one hash aggregate — no per-row window pass over events") {
+    val df = SparkEntry.queries("ts_ohlc")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // open/close come from min_by/max_by inside the same aggregate, so the
+    // plan must NOT contain a Window operator (the oracle's row_number pin
+    // is a small-scale twin, not the execution shape). The struct ordering
+    // key makes Spark pick SortAggregate over HashAggregate — still one
+    // partial+final pass with map-side combine.
+    assert(!plan.contains(" Window"), s"ts_ohlc grew a window pass:\n$plan")
+    val aggs = "\\b(Hash|Sort)Aggregate\\b".r.findAllIn(plan).size
+    assert(aggs === 2, s"expected partial+final of ONE aggregate:\n$plan")
+  }
+
+  test("pipeline assignment queries are a single aggregate over a row-local hash") {
+    for (q <- Seq("sample_stratified", "split_train_test", "doc_shard")) {
+      val df = SparkEntry.queries(q)(spark, sf("0.001"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q must not join")
+      assert(!plan.contains(" Window"), s"$q must not window")
+      val aggs = "\\bHashAggregate\\b".r.findAllIn(plan).size
+      assert(aggs === 2, s"$q: expected partial+final of ONE aggregate:\n$plan")
+    }
+  }
+
   test("agg_corr is one hash aggregate (moment sums, map-side partials)") {
     val df = SparkEntry.queries("agg_corr")(spark, sf("0.001"))
     val plan = df.queryExecution.executedPlan.toString
