@@ -206,6 +206,32 @@ object Aggregates {
       |  TRUE AS within_bound
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Quantile sketch with a declared error bound — same pattern as
+    * `agg_approx_distinct`: the approximate value itself can't hash-match
+    * an oracle, so the declared output is the exact median plus a
+    * rank-bound check. `approx_percentile` (GK sketch) at accuracy 2000
+    * guarantees rank error ≤ n/2000 — far inside the p45..p55 exact
+    * bracket at every scale factor. The sketch is the 100 TB path (fixed
+    * memory, mergeable partials); the exact percentile is the oracle
+    * anchor. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55))").as("ex"),
+        expr("approx_percentile(l_extendedprice, 0.5, 2000)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("ex")(1), 4).as("exact_p50"),
+        (col("ap") >= col("ex")(0) && col("ap") <= col("ex")(2)).as("within_bound"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggApproxQuantileSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |  TRUE AS within_bound, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Explicit GROUPING SETS — the general form rollup/cube specialize:
     * ((status, priority), (status), ()) with grouping() flags so a reader
     * can tell a real NULL key from a grouping-set subtotal row. */
@@ -335,6 +361,7 @@ object Aggregates {
     "fn_unpivot" -> aggUnpivot,
     "agg_corr" -> aggCorr,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_having" -> aggHaving,
     "agg_percentiles" -> aggPercentiles,
@@ -352,6 +379,7 @@ object Aggregates {
     "fn_unpivot" -> aggUnpivotSql,
     "agg_corr" -> aggCorrSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_approx_quantile" -> aggApproxQuantileSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_having" -> aggHavingSql,
     "agg_percentiles" -> aggPercentilesSql,

@@ -73,7 +73,7 @@ object StreamingIngest {
                     gap: String = "30 minutes",
                     watermarkDelay: String = "10 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsNsCol` div 1000")))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -91,7 +91,7 @@ object StreamingIngest {
                       watermarkDelay: String = "10 minutes"): DataFrame = {
     def prep(df: DataFrame, side: String) = df
       .withColumn(s"${side}_time",
-        timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+        timestamp_micros(expr(s"`$tsNsCol` div 1000")))
       .withWatermark(s"${side}_time", watermarkDelay)
       .withColumnRenamed("user_id", s"${side}_user")
     val p = prep(purchases, "p")
@@ -175,11 +175,15 @@ object StreamingIngest {
     * epoch-ns Long column; rows carry (window_start, event_type, n, sum). */
   def windowedCounts(events: DataFrame, tsNsCol: String,
                      watermarkDelay: String = "10 minutes",
-                     windowLen: String = "1 hour"): DataFrame =
+                     windowLen: String = "1 hour",
+                     slide: Option[String] = None): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col(tsNsCol) / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsNsCol` div 1000")))
       .withWatermark("event_time", watermarkDelay)
-      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("event_time"), windowLen))(sl =>
+          window(col("event_time"), windowLen, sl)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),

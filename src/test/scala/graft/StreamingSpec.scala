@@ -84,6 +84,19 @@ class StreamingSpec extends SparkSpec {
     assert(got === batchExpected)
   }
 
+  test("streaming hopping-window aggregation matches the batch ts_sliding twin") {
+    val events = Tables.events(spark, sf("0.001"))
+    val batchExpected = SparkEntry.queries("ts_sliding")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val streamed = StreamingIngest.windowedCounts(events, "ts",
+      windowLen = "2 hours", slide = Some("1 hour"))
+    val got = streamed.collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000000L,
+        r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batchExpected)
+  }
+
   test("streaming sessionization: gap-merged sessions with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
