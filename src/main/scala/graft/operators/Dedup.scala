@@ -89,6 +89,31 @@ object Dedup {
     jaccardOf(pairs, sizes, threshold)
   }
 
+  /** Exact pairwise n-gram CONTAINMENT ≥ threshold — the same
+    * inverted-index self-join as [[jaccardPairs]] but scoring
+    * |A∩B| / min(|A|,|B|): catches the asymmetric near-dup Jaccard misses
+    * (a short document embedded verbatim inside a much longer one — the
+    * quote/boilerplate/contamination shape). Quadratic oracle path like
+    * jaccardPairs; at scale the same LSH candidate generation feeds this
+    * scorer instead of the full cross join. */
+  def containmentPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+    val sh = CacheScope.cache(sh0)
+    val sizes = sh.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("d", "di").withColumnRenamed("n", "ni"),
+        col("i") === col("di"))
+      .join(sizes.withColumnRenamed("d", "dj").withColumnRenamed("n", "nj"),
+        col("j") === col("dj"))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("ni"), col("nj")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+  }
+
   private def jaccardOf(pairs: DataFrame, sizes: DataFrame,
                         threshold: Double): DataFrame =
     pairs

@@ -173,6 +173,39 @@ object Joins {
       |  ON p.user_id = si.user_id AND p.ts >= si.ts
       |ORDER BY user_id, purchase_ts_ns""".stripMargin
 
+  /** FORWARD as-of: each purchase matched to the EARLIEST signup at or
+    * after it per user — the "next event" lookup (churn/conversion
+    * attribution looks forward; the reference's indexLookup floor is the
+    * backward twin). Same single-table running-extremum shape as
+    * [[joinAsof]], mirrored: a conditional running MIN over the
+    * [current, unbounded following] frame — no join, one shuffle on
+    * user_id shared with the sort. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = e.withColumn("next_signup_ts",
+      min(when(col("event_type") === "signup", col("ts"))).over(w))
+    tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("purchase_ts_ns"),
+        col("value").cast("double").as("value"),
+        (col("next_signup_ts") - pmod(col("next_signup_ts"), lit(1000L)))
+          .as("next_signup_ts_ns"))
+      .orderBy(col("user_id"), col("purchase_ts_ns"))
+  }
+
+  val joinAsofForwardSql: String =
+    """SELECT p.user_id AS user_id, epoch_ns(p.ts) AS purchase_ts_ns,
+      |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |  epoch_ns(si.ts) AS next_signup_ts_ns
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') si
+      |  ON p.user_id = si.user_id AND p.ts <= si.ts
+      |ORDER BY user_id, purchase_ts_ns""".stripMargin
+
   /** Skew-resilient join (manual salting — [[SkewOps.saltedJoin]]): the
     * event stream joined to a small per-nation-ish cohort dimension on
     * user_id. The big side salts on event_id (high-cardinality
@@ -231,7 +264,8 @@ object Joins {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
-    "join_asof" -> joinAsof)
+    "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward)
 
   def oracleSql: Map[String, String] = Map(
     "join_lateral" -> joinLateralSql,
@@ -243,5 +277,6 @@ object Joins {
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_cross" -> joinCrossSql,
-    "join_asof" -> joinAsofSql)
+    "join_asof" -> joinAsofSql,
+    "join_asof_forward" -> joinAsofForwardSql)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -157,6 +157,30 @@ object NorthStar {
     Dedup.jaccardPairs(
         Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), 0.5)
       .orderBy(col("i"), col("j"))
+
+  /** Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
+    * same 3-gram shingle sets — flags short-doc-inside-long-doc pairs that
+    * Jaccard's symmetric denominator dilutes below any usable threshold. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+        graft.operators.Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3), 0.8)
+      .orderBy(col("i"), col("j"))
+
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) s
+      |  FROM toks WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, ROUND(CAST(c AS DOUBLE)/least(si.n, sj.n), 6) containment
+      |FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j
+      |WHERE CAST(c AS DOUBLE)/least(si.n, sj.n) >= 0.8 ORDER BY i, j""".stripMargin
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
@@ -598,6 +622,48 @@ object NorthStar {
       |  ROUND(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS centroid
       |FROM ex GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** Per-dimension embedding statistics (mean/variance/range) — the
+    * codebook-health audit run before quantization or whitening: a
+    * near-zero-variance dimension is dead weight, a huge-range one
+    * dominates distance. Decimal moment sums (exact, order-independent)
+    * with the agg_corr 6dp rounding on the derived doubles; one posexplode
+    * + one hash aggregate, linear at any corpus size. */
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val n  = col("n").cast("double")
+    val sv = col("sv").cast("double")
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding"))).toDF("pos", "x0")
+      .withColumn("x", col("x0").cast("double").cast("decimal(20,8)"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sv"),
+        sum(col("x") * col("x")).as("qv"),
+        min(col("x")).cast("double").as("min_x"),
+        max(col("x")).cast("double").as("max_x"))
+      .select(col("pos"), col("n"),
+        r6(sv / n).as("mean"),
+        r6((col("qv").cast("double") - sv * sv / n) / n).as("var_pop"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("pos"))
+  }
+
+  val embDimStatsSql: String =
+    """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |ex AS (SELECT unnest(generate_series(1, len(e))) AS i, e FROM v),
+      |m AS (
+      |  SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+      |    SUM(CAST(e[i] AS DECIMAL(20,8))) AS sv,
+      |    SUM(CAST(e[i] AS DECIMAL(20,8)) * CAST(e[i] AS DECIMAL(20,8))) AS qv,
+      |    CAST(MIN(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) AS min_x,
+      |    CAST(MAX(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) AS max_x
+      |  FROM ex GROUP BY i)
+      |SELECT pos, n,
+      |  FLOOR(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean,
+      |  FLOOR((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / n
+      |    * 1e6 + 0.5) / 1e6 AS var_pop,
+      |  min_x, max_x
+      |FROM m ORDER BY pos""".stripMargin
+
   // ---- multimodal ----
 
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -660,6 +726,7 @@ object NorthStar {
     "dedup_cluster_stats" -> dedupClusterStats,
     "emb_quantize" -> embQuantize,
     "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_groups" -> dedupGroups,
@@ -676,6 +743,7 @@ object NorthStar {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "emb_label_centroids" -> embLabelCentroids,
+    "emb_dim_stats" -> embDimStats,
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -688,6 +756,7 @@ object NorthStar {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "emb_quantize" -> embQuantizeSql,
     "dedup_ngram_jaccard" -> JaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
     "dedup_simhash" -> JaccardSql,
     "dedup_groups" -> dedupGroupsSql,
@@ -704,5 +773,6 @@ object NorthStar {
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
+    "emb_dim_stats" -> embDimStatsSql,
     "media_features" -> mediaFeaturesSql)
 }

@@ -415,9 +415,15 @@ object SortsSetsFns {
     * Catalyst expressions (no UDFs) and integer-exact, so the lambda
     * pipeline hash-matches DuckDB's list_transform/list_filter/list_sum.
     * The lambda also captures an outer column (l_partkey) — the closure
-    * case that separates real higher-order support from simple array ops. */
+    * case that separates real higher-order support from simple array ops.
+    *
+    * Higher-order lambdas evaluate interpreted (no codegen), so the demo
+    * runs on a deterministic quarter of lineitem — the surface is the
+    * point, not per-row throughput; bulk array work elsewhere in the
+    * engine uses the relational forms instead (see emb_quantize note). */
   def fnHigherOrder(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .withColumn("arr", sequence(lit(1), col("l_linenumber") + 2))
       .select(
@@ -441,7 +447,8 @@ object SortsSetsFns {
       |    x -> x * (l_partkey % 7))) AS BIGINT) AS scaled_sum,
       |  list_aggregate(list_transform(range(1, l_linenumber+3),
       |    x -> 'i' || CAST(x AS VARCHAR)), 'string_agg', ',') AS tagged
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem WHERE l_orderkey % 4 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_higher_order" -> fnHigherOrder,
