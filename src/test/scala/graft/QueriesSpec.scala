@@ -58,6 +58,68 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(math.floor(z * 1e6 + 0.5) / 1e6 - r0.getAs[Double]("z")) < 1e-4)
   }
 
+  test("containment dominates jaccard: every jaccard pair is a containment pair") {
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always, so at equal thresholds the
+    // containment pair set must be a superset of the jaccard pair set
+    import org.apache.spark.sql.functions.col
+    val sh = graft.operators.Dedup.shingles(
+      Tables.documents(spark, sf("0.001")), "doc_id", "text", 3)
+    val jac = graft.operators.Dedup.jaccardPairs(sh, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val con = graft.operators.Dedup.containmentPairs(
+        graft.operators.Dedup.shingles(
+          Tables.documents(spark, sf("0.001")), "doc_id", "text", 3), 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty && jac.subsetOf(con),
+      s"jaccard pairs missing from containment: ${jac -- con}")
+  }
+
+  test("as-of joins bracket each purchase: prev signup <= purchase <= next signup") {
+    val back = SparkEntry.queries("join_asof")(spark, sf("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val fwd = SparkEntry.queries("join_asof_forward")(spark, sf("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(back.keySet === fwd.keySet)
+    assert(back.exists(_._2.isDefined) && fwd.exists(_._2.isDefined))
+    back.foreach { case (k @ (_, pts), prev) =>
+      prev.foreach(p => assert(p <= pts, s"backward match after purchase at $k"))
+      fwd(k).foreach(n => assert(n >= pts, s"forward match before purchase at $k"))
+    }
+  }
+
+  test("train/val/test split partitions the corpus exactly") {
+    val rows = SparkEntry.queries("split_train_test")(spark, sf("0.001")).collect()
+    val splits = rows.map(_.getString(0)).distinct.sorted
+    assert(splits === Array("test", "train", "val"))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.documents(spark, sf("0.001")).count())
+    // deterministic: a second run produces the identical audit
+    val again = SparkEntry.queries("split_train_test")(spark, sf("0.001")).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("ohlc bars are coherent: low <= open/close <= high, volume >= 1") {
+    SparkEntry.queries("ts_ohlc")(spark, sf("0.001")).collect().foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open_val"), r.getAs[Double]("high_val"),
+        r.getAs[Double]("low_val"), r.getAs[Double]("close_val"))
+      assert(l <= o && o <= h, s"open outside [low,high]: $r")
+      assert(l <= c && c <= h, s"close outside [low,high]: $r")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+  }
+
+  test("embedding dimension stats are coherent: var >= 0, min <= mean <= max") {
+    val rows = SparkEntry.queries("emb_dim_stats")(spark, sf("0.001")).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_pop") >= 0, s"negative variance: $r")
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("mean") + 1e-6 &&
+        r.getAs[Double]("mean") <= r.getAs[Double]("max_x") + 1e-6, s"mean outside range: $r")
+    }
+  }
+
   test("q1 aggregates match hand computation at sf0.001") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf("0.001"))
     val rows = df.collect()
