@@ -72,7 +72,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    import graft.operators.{Dedup, Similarity, SkewOps, TextAnalysis}
 
     for (n <- sizes) {
       // materialize inputs once so op timings exclude synthesis
@@ -119,6 +119,39 @@ object ScaleProbe {
         Similarity.lshBandedPairs(emb, "vec_id", "embedding",
           threshold = 0.4, planes = 4 * r, bands = 4, dim = 64)
       }
+      // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf
+      // head), joined to a keyed dim, aggregated per key. Three plans
+      // measured: AQE's runtime skew split (the default defense), manual
+      // salting (the static fallback when AQE can't fire, e.g. inside a
+      // cached subtree), and AQE disabled entirely (what a hot key does
+      // to an unprotected sort-merge join).
+      // synthesized inline (pure range arithmetic, identical cost in every
+      // variant) — 256n rows, 30% of them on ONE key: the hot reducer of an
+      // unprotected shuffle join sorts ~77n rows alone while its 31 peers
+      // average ~6n
+      val facts = spark.range(n * 256).toDF("row_id")
+        .withColumn("key",
+          when(pmod(col("row_id"), lit(10L)) < 3, lit(0L))
+            .otherwise(pmod(xxhash64(col("row_id")), lit(1000L))))
+        .withColumn("v", pmod(xxhash64(col("row_id") + 7), lit(100L)))
+      val dim = spark.range(1000).toDF("key")
+        .withColumn("weight", pmod(xxhash64(col("key")), lit(7L)) + 1)
+      def skewAgg(joined: DataFrame) =
+        joined.groupBy(col("key"))
+          .agg(sum(col("v") * col("weight")).as("wv"), count(lit(1)).as("cnt"))
+      time("join_skew_aqe", n) {
+        skewAgg(facts.hint("shuffle_merge")
+          .join(dim.hint("shuffle_merge"), "key"))
+      }
+      time("join_skew_salted", n) {
+        skewAgg(SkewOps.saltedJoin(
+          facts.hint("shuffle_merge"), dim, "key", "row_id", 16))
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try time("join_skew_unprotected", n) {
+        skewAgg(facts.hint("shuffle_merge")
+          .join(dim.hint("shuffle_merge"), "key"))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       CacheScope.release(spark)
       spark.catalog.clearCache()
     }

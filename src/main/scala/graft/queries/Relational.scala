@@ -178,18 +178,97 @@ object Relational {
       |WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping between two nations, by direction and
+    * ship year): the two tiny nation dims filter-then-broadcast so the
+    * supplier/customer joins stay shuffle-free; lineitem⋈orders is the one
+    * fact shuffle. The symmetric nation-pair predicate lands AFTER both
+    * broadcasts as a cheap row filter. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_19")
+    val sn = Tables.nation(s, dir)
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, dir)
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_3','NATION_19')
+      |  AND cn.n_name IN ('NATION_3','NATION_19')
+      |  AND sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item report): customers ranked by revenue
+    * lost to returns. The returnflag filter is pushed to the lineitem
+    * scan; one fact shuffle for lineitem⋈orders; customer join left to
+    * AQE (broadcastable after aggregation at every fixture scale); top-20
+    * as TakeOrdered, no global sort. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_returned
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** All queries this module contributes to SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
-    "q18_large_orders" -> q18LargeOrders
+    "q18_large_orders" -> q18LargeOrders,
+    "q7_volume" -> q7Volume,
+    "q10_returns" -> q10Returns
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
-    "q18_large_orders" -> q18Sql
+    "q18_large_orders" -> q18Sql,
+    "q7_volume" -> q7Sql,
+    "q10_returns" -> q10Sql
   )
 }
