@@ -227,6 +227,106 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Radius (range) search: every corpus neighbor whose cosine similarity
+    * with a probe meets `minCos` — the ANN variant for "find ALL near
+    * matches" (contamination sweeps, near-dup audits) where top-k's fixed
+    * fan-out would truncate. Same broadcast-probe shape as
+    * [[bruteForceTopK]] but with NO window pass: the threshold filter is a
+    * row-local predicate, so the plan is one codegen stage over the corpus
+    * scan — no shuffle at all. The filter compares the 6dp-rounded
+    * similarity (the emitted value), so the kept set is bit-stable across
+    * engines. */
+  def rangeSearch(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, minCos: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
+    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Nearest-centroid assignment audit (one k-means classification step):
+    * assign every vector to its nearest label centroid (squared L2,
+    * centroids from [[labelCentroids]]) and report the label × assignment
+    * confusion counts — the "are my labels separable" health check before
+    * training on them.
+    *
+    * Shape: centroids are labels × dim rows (tiny — broadcast); the corpus
+    * explodes once and joins them per position, then TWO chained hash
+    * aggregates: (vid, label, cand) → exact-decimal distance, then
+    * (vid, label) → `min_by(cand, struct(dist, cand))` (pinned tiebreak),
+    * then the confusion count. Per-term squares are identical doubles on
+    * both engines (same inputs, same op order) and the distance SUM is
+    * decimal — order-independent, so the argmin can't flip under
+    * partitioning. */
+  def nearestCentroidConfusion(corpus: DataFrame, idCol: String,
+                               labelCol: String, vecCol: String): DataFrame = {
+    val cents = labelCentroids(corpus, labelCol, vecCol)
+      .select(col("label").as("cand"), col("pos"), col("centroid"))
+    val dists = corpus
+      .select(col(idCol).as("vid"), col(labelCol).as("label"),
+        posexplode(col(vecCol)))
+      .toDF("vid", "label", "pos", "xf")
+      .join(broadcast(cents), Seq("pos"))
+      // d*d, not pow(d,2): Math.pow / C pow make no bit-identity promise
+      // for integer exponents, a plain product does
+      .withColumn("df", col("xf").cast("double") - col("centroid"))
+      .select(col("vid"), col("label"), col("cand"),
+        (col("df") * col("df")).cast("decimal(25,10)").as("term"))
+      .groupBy(col("vid"), col("label"), col("cand"))
+      .agg(sum(col("term")).as("dist"))
+    dists
+      .groupBy(col("vid"), col("label"))
+      .agg(min_by(col("cand"), struct(col("dist"), col("cand"))).as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** Centroid-distance outlier audit — the embedding-space quality filter
+    * a training pipeline runs per label: distance of every vector to its
+    * own label centroid, then per-label z-scores over those distances and
+    * a count of >2σ outliers (mislabeled or out-of-distribution vectors).
+    *
+    * Shape: distances reuse the broadcast-centroid join of
+    * [[nearestCentroidConfusion]] but only against the OWN label (join on
+    * (label, pos) — dim× smaller); the distance frame is CacheScope-cached
+    * because two branches consume it (the per-label moments and the
+    * z-score pass). Every cross-row sum is decimal (distances recast to
+    * DECIMAL(18,9) so their squares stay inside 38 digits), so the
+    * z-scores derive from order-independent moments; z and the means round
+    * under fixed r6. */
+  def centroidOutlierStats(corpus: DataFrame, idCol: String, labelCol: String,
+                           vecCol: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val cents = labelCentroids(corpus, labelCol, vecCol)
+      .select(col("label"), col("pos"), col("centroid"))
+    val d = graft.CacheScope.cache(
+      corpus.select(col(idCol).as("vid"), col(labelCol).as("label"),
+          posexplode(col(vecCol)))
+        .toDF("vid", "label", "pos", "xf")
+        .join(broadcast(cents), Seq("label", "pos"))
+        .withColumn("df", col("xf").cast("double") - col("centroid"))
+        .groupBy(col("vid"), col("label"))
+        .agg(sum((col("df") * col("df")).cast("decimal(25,10)")).as("d2"))
+        .select(col("vid"), col("label"),
+          sqrt(col("d2").cast("double")).cast("decimal(18,9)").as("d")))
+    val st = d.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("qd"))
+    val mean = col("sd").cast("double") / col("n")
+    val z = (col("d").cast("double") - mean) /
+      sqrt(col("qd").cast("double") / col("n") - mean * mean)
+    val counts = d.join(broadcast(st), Seq("label"))
+      .select(col("label"), r6(z).as("z"))
+      .groupBy(col("label"))
+      .agg(count(when(col("z") > 2.0, lit(1))).as("n_outliers"),
+        max(col("z")).as("max_z"))
+    st.select(col("label"), col("n").as("n_vecs"), r6(mean).as("mean_d"))
+      .join(counts, Seq("label"))
+  }
+
   /** Per-label mean embedding (class centroids) — the corpus-statistics
     * materialization behind IVF training, label-balance audits, and
     * centroid-distance outlier filters. Returns one row per (label,

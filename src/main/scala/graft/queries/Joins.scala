@@ -206,6 +206,58 @@ object Joins {
       |  ON p.user_id = si.user_id AND p.ts <= si.ts
       |ORDER BY user_id, purchase_ts_ns""".stripMargin
 
+  /** NEAREST as-of: each purchase matched to the signup closest in time,
+    * either direction, backward winning ties — the sensor-alignment
+    * variant of as-of (floor and forward are the two halves; nearest
+    * composes them). ONE window pass computes both running extrema: the
+    * two frames share partition (user_id) and order (ts), so Catalyst
+    * evaluates them in a single Window operator — one shuffle total, no
+    * join. The delta compare runs on the µs-truncated values both engines
+    * emit, so the pick can't flip on sub-µs ns the oracle's reader never
+    * sees. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("value"))
+    def usec(c: Column): Column = c - pmod(c, lit(1000L))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = e
+      .withColumn("prev_ns",
+        usec(max(when(col("event_type") === "signup", col("ts"))).over(wb)))
+      .withColumn("next_ns",
+        usec(min(when(col("event_type") === "signup", col("ts"))).over(wf)))
+    tagged.filter(col("event_type") === "purchase")
+      .withColumn("pt", usec(col("ts")))
+      .select(col("user_id"), col("pt").as("purchase_ts_ns"),
+        col("value").cast("double").as("value"),
+        when(col("prev_ns").isNull, col("next_ns"))
+          .when(col("next_ns").isNull, col("prev_ns"))
+          .when(col("pt") - col("prev_ns") <= col("next_ns") - col("pt"),
+            col("prev_ns"))
+          .otherwise(col("next_ns")).as("nearest_signup_ts_ns"))
+      .orderBy(col("user_id"), col("purchase_ts_ns"))
+  }
+
+  val joinAsofNearestSql: String =
+    """SELECT user_id, purchase_ts_ns, value,
+      |  CASE WHEN prev_ns IS NULL THEN next_ns
+      |       WHEN next_ns IS NULL THEN prev_ns
+      |       WHEN purchase_ts_ns - prev_ns <= next_ns - purchase_ts_ns THEN prev_ns
+      |       ELSE next_ns END AS nearest_signup_ts_ns
+      |FROM (
+      |  SELECT p.user_id AS user_id, epoch_ns(p.ts) AS purchase_ts_ns,
+      |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |    epoch_ns(sb.ts) AS prev_ns, epoch_ns(sf.ts) AS next_ns
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') sb
+      |    ON p.user_id = sb.user_id AND p.ts >= sb.ts
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') sf
+      |    ON p.user_id = sf.user_id AND p.ts <= sf.ts)
+      |ORDER BY user_id, purchase_ts_ns""".stripMargin
+
   /** Skew-resilient join (manual salting — [[SkewOps.saltedJoin]]): the
     * event stream joined to a small per-nation-ish cohort dimension on
     * user_id. The big side salts on event_id (high-cardinality
@@ -265,7 +317,8 @@ object Joins {
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
-    "join_asof_forward" -> joinAsofForward)
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest)
 
   def oracleSql: Map[String, String] = Map(
     "join_lateral" -> joinLateralSql,
@@ -278,5 +331,6 @@ object Joins {
     "join_anti" -> joinAntiSql,
     "join_cross" -> joinCrossSql,
     "join_asof" -> joinAsofSql,
-    "join_asof_forward" -> joinAsofForwardSql)
+    "join_asof_forward" -> joinAsofForwardSql,
+    "join_asof_nearest" -> joinAsofNearestSql)
 }

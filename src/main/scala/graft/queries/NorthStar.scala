@@ -292,6 +292,54 @@ object NorthStar {
   val annIvfSql: String =
     LshOracleSql.ivfTopK(k = 5, cells = 16, nprobe = 8, dim = 64)
 
+  /** Radius search — all neighbors above a similarity floor, no top-k
+    * truncation (the contamination-sweep access pattern). One codegen
+    * stage, zero shuffles: the probe set broadcasts and the threshold is a
+    * row-local filter. */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", minCos = 0.2)
+      .orderBy(col("query_id"), col("nbr_id"))
+  }
+
+  val annRangeSql: String =
+    """WITH scored AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS nbr_id,
+      |    ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |      / (SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+      |       * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos_sim
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+      |SELECT query_id, nbr_id, cos_sim FROM scored
+      |WHERE cos_sim >= 0.2 ORDER BY query_id, nbr_id""".stripMargin
+
+  /** Nearest-centroid confusion — label separability audit (one k-means
+    * classification step against the exact-decimal label centroids). */
+  def embNearestCentroid(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestCentroidConfusion(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding")
+      .orderBy(col("label"), col("assigned"))
+
+  val embNearestCentroidSql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cand, CAST(i - 1 AS INT) AS pos,
+      |    ROUND(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS centroid
+      |  FROM (SELECT label, unnest(generate_series(1, len(e))) AS i, e FROM v)
+      |  GROUP BY label, i),
+      |ex AS (SELECT vec_id AS vid, label, unnest(generate_series(1, len(e))) AS i, e FROM v),
+      |d AS (
+      |  SELECT vid, label, cand, SUM(CAST(df * df AS DECIMAL(25,10))) AS dist
+      |  FROM (SELECT vid, label, cand, e[i] - centroid AS df
+      |        FROM ex JOIN cent ON cent.pos = i - 1)
+      |  GROUP BY vid, label, cand),
+      |a AS (
+      |  SELECT vid, label, cand AS assigned,
+      |    row_number() OVER (PARTITION BY vid, label ORDER BY dist, cand) AS rn
+      |  FROM d)
+      |SELECT label, assigned, COUNT(*) AS n_vecs FROM a WHERE rn = 1
+      |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
+
   // ---- text analysis ----
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -608,6 +656,43 @@ object NorthStar {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY doc_id""".stripMargin
 
+  /** Centroid-distance outliers — the per-label embedding-space quality
+    * filter (>2σ distance to own centroid ⇒ mislabeled / OOD candidate). */
+  def embOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutlierStats(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding")
+      .orderBy(col("label"))
+
+  val embOutliersSql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |cent AS (
+      |  SELECT label, CAST(i - 1 AS INT) AS pos,
+      |    ROUND(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS centroid
+      |  FROM (SELECT label, unnest(generate_series(1, len(e))) AS i, e FROM v)
+      |  GROUP BY label, i),
+      |ex AS (SELECT vec_id AS vid, label, unnest(generate_series(1, len(e))) AS i, e FROM v),
+      |dtab AS (
+      |  SELECT vid, label,
+      |    CAST(SQRT(CAST(SUM(CAST(df * df AS DECIMAL(25,10))) AS DOUBLE)) AS DECIMAL(18,9)) AS d
+      |  FROM (SELECT vid, ex.label AS label, e[i] - centroid AS df
+      |        FROM ex JOIN cent ON cent.label = ex.label AND cent.pos = i - 1)
+      |  GROUP BY vid, label),
+      |st AS (SELECT label, COUNT(*) AS n, SUM(d) AS sd, SUM(d * d) AS qd
+      |       FROM dtab GROUP BY label),
+      |zs AS (
+      |  SELECT dtab.label AS label,
+      |    FLOOR(((CAST(d AS DOUBLE) - CAST(sd AS DOUBLE) / n)
+      |      / SQRT(CAST(qd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)))
+      |      * 1e6 + 0.5) / 1e6 AS z
+      |  FROM dtab JOIN st USING (label))
+      |SELECT label, n AS n_vecs,
+      |  FLOOR((CAST(sd AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS mean_d,
+      |  n_outliers, max_z
+      |FROM st JOIN (
+      |  SELECT label, COUNT(*) FILTER (z > 2.0) AS n_outliers, MAX(z) AS max_z
+      |  FROM zs GROUP BY label) oc USING (label)
+      |ORDER BY label""".stripMargin
+
   /** Per-label mean embedding — one row per (label, dimension). The
     * component sums are exact decimals on both engines, so the gate
     * hash-checks elementwise means despite float inputs. */
@@ -734,6 +819,9 @@ object NorthStar {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_range" -> annRange,
+    "emb_nearest_centroid" -> embNearestCentroid,
+    "emb_outliers" -> embOutliers,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
@@ -764,6 +852,9 @@ object NorthStar {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_range" -> annRangeSql,
+    "emb_nearest_centroid" -> embNearestCentroidSql,
+    "emb_outliers" -> embOutliersSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,

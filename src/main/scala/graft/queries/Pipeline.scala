@@ -104,13 +104,61 @@ object Pipeline {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Temperature-scaled source-mixing weights (α = 0.5): the data-mixing
+    * step that decides how often each source is drawn during training —
+    * up-weighting small sources relative to their raw token share
+    * (w_i ∝ n_i^α). One aggregate computes per-source token mass; the
+    * sqrt's are IEEE-exact doubles CAST TO DECIMAL before the global sum,
+    * so the normalizer is order-independent; only the final weight and
+    * share divisions run as double under the fixed r6 rounding.
+    * `oversample` = weight / raw-share — how many effective epochs of the
+    * source one epoch of the mix consumes. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+      .withColumn("sq", sqrt(col("tok").cast("double")).cast("decimal(25,10)"))
+    val totals = toks.agg(sum(col("tok")).as("tok_total"),
+      sum(col("sq")).as("sq_total"))
+    toks.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+        r6(col("tok").cast("double") / col("tok_total").cast("double"))
+          .as("raw_share"),
+        r6(col("sq").cast("double") / col("sq_total").cast("double"))
+          .as("weight"),
+        r6((col("sq").cast("double") / col("sq_total").cast("double")) /
+          (col("tok").cast("double") / col("tok_total").cast("double")))
+          .as("oversample"))
+      .orderBy(col("source"))
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH toks AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    SUM(CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)) AS tok
+      |  FROM documents GROUP BY source),
+      |sq AS (SELECT *, CAST(SQRT(CAST(tok AS DOUBLE)) AS DECIMAL(25,10)) AS sq FROM toks),
+      |tot AS (SELECT SUM(tok) AS tok_total, SUM(sq) AS sq_total FROM sq)
+      |SELECT source, n_docs, CAST(tok AS BIGINT) AS n_tokens,
+      |  FLOOR((CAST(tok AS DOUBLE) / CAST(tok_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS raw_share,
+      |  FLOOR((CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS weight,
+      |  FLOOR(((CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE)) /
+      |         (CAST(tok AS DOUBLE) / CAST(tok_total AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS oversample
+      |FROM sq, tot ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "split_train_test" -> splitTrainTest,
-    "doc_shard" -> docShard)
+    "doc_shard" -> docShard,
+    "sample_temperature" -> sampleTemperature)
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "split_train_test" -> splitTrainTestSql,
-    "doc_shard" -> docShardSql)
+    "doc_shard" -> docShardSql,
+    "sample_temperature" -> sampleTemperatureSql)
 }

@@ -253,6 +253,238 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Fixed 6dp floor-rounding for ratio-derived doubles — token-identical
+    * in the SQL twins, so both engines round the same IEEE double the same
+    * way (Spark's round() is HALF_UP via BigDecimal; DuckDB's is
+    * half-away-from-zero — close but not the same function). */
+  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** TPC-H Q6 shape (forecast revenue change): the no-join scan-aggregate.
+    * All four predicates are plain column comparisons, so every one reaches
+    * the parquet reader as a pushed filter + min/max row-group skip — at
+    * 100 TB this query is pure IO on the shipdate-sorted fraction. The
+    * discount bounds are midpoints (0.045/0.075) between the fixture's
+    * 0.01-grid values rather than exact endpoints: doubles on the grid
+    * compare identically in both engines, and the uncast column keeps the
+    * scan-level pushdown a DECIMAL cast would forfeit. */
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.045 AND l_discount <= 0.075
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): conditional aggregate ratio over a
+    * broadcast part join. The month filter pushes to the lineitem scan; the
+    * part side ships only (p_partkey, p_type). Both sums stay exact
+    * decimal; only the final percentage divides as double (identical IEEE
+    * on both engines) under the fixed r6 rounding. */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0))).as("pr"),
+        sum(vol).as("tr"))
+      .select(
+        col("pr").cast("double").as("promo_revenue"),
+        col("tr").cast("double").as("total_revenue"),
+        r6(lit(100) * col("pr").cast("double") / col("tr").cast("double"))
+          .as("promo_pct"))
+  }
+
+  val q14Sql: String =
+    """WITH s AS (
+      |  SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE 0 END) AS pr,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00')
+      |SELECT CAST(pr AS DOUBLE) AS promo_revenue, CAST(tr AS DOUBLE) AS total_revenue,
+      |  FLOOR((100 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS promo_pct
+      |FROM s""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjunctive
+    * brand/size/quantity brackets spanning both join sides. No single
+    * disjunct can push to either scan, so the plan hoists the UNION BOUND
+    * of the per-branch quantity ranges (1..30) as an explicit conjunct that
+    * DOES reach the lineitem reader — the standard trick for disjunctive
+    * predicates at scale. Part stays broadcast; the residual OR evaluates
+    * post-join in one codegen stage. */
+  def q19BracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    def bracket(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 30)) // union bound: pushable
+      .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bracket("Brand#1", 1, 15, 1, 11) ||
+        bracket("Brand#2", 1, 25, 10, 20) ||
+        bracket("Brand#3", 1, 35, 20, 30))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity BETWEEN 1 AND 30
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): the period-revenue aggregate is
+    * computed ONCE (CacheScope-persisted — two plan branches reference it:
+    * the scalar max and the equality filter), the 1-row max broadcasts,
+    * and the winner filter is an exact DECIMAL equality — no float
+    * boundary flip can change the winner set. At 100 TB the cached frame
+    * is one row per supplier, orders of magnitude smaller than the scanned
+    * fact. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.CacheScope.cache(
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("tr")))
+    val mx = rev.agg(max(col("tr")).as("mx"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("tr") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("tr").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_rev
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE tr = (SELECT MAX(tr) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape (dormant high-balance customers): scalar-subquery
+    * threshold + anti join + aggregate. The above-average test is the
+    * exact-decimal CROSS-MULTIPLIED form (bal × n > sum, no division — the
+    * subq_* determinism discipline), the 1-row positive-balance aggregate
+    * broadcasts, and "no recent orders" is a left_anti against the
+    * date-filtered orders scan (the filter pushes; the anti join's build
+    * side is only the recent slice). */
+  def q22DormantBalance(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val pos = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_pos"), count(lit(1)).as("n_pos"))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= cutoff).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22Sql: String =
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos, COUNT(*) AS n_pos
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): the widest star in the
+    * inventory — lineitem against part/orders/customer/nation/region/
+    * supplier/nation — with a conditional-aggregate share per order year.
+    * Genuinely small sides (filtered part keys, both nation maps, the
+    * region-filtered customer-nation set) broadcast; lineitem⋈orders is
+    * the one fact shuffle. The share divides exact-decimal sums as double
+    * under r6. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    val amer = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+    val custNat = Tables.nation(s, dir)
+      .join(broadcast(amer), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val econParts = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0))).as("nv"),
+        sum(vol).as("tv"))
+      .select(col("o_year"),
+        col("tv").cast("double").as("total_volume"),
+        r6(col("nv").cast("double") / col("tv").cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    """WITH vols AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+      |SELECT o_year,
+      |  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+      |  FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE)
+      |         / CAST(SUM(vol) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share
+      |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** All queries this module contributes to SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
@@ -260,7 +492,13 @@ object Relational {
     "q5_local_supplier" -> q5LocalSupplier,
     "q18_large_orders" -> q18LargeOrders,
     "q7_volume" -> q7Volume,
-    "q10_returns" -> q10Returns
+    "q10_returns" -> q10Returns,
+    "q6_revenue_delta" -> q6RevenueDelta,
+    "q14_promo_share" -> q14PromoShare,
+    "q19_bracket_revenue" -> q19BracketRevenue,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q22_dormant_balance" -> q22DormantBalance,
+    "q8_market_share" -> q8MarketShare
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -269,6 +507,12 @@ object Relational {
     "q5_local_supplier" -> q5Sql,
     "q18_large_orders" -> q18Sql,
     "q7_volume" -> q7Sql,
-    "q10_returns" -> q10Sql
+    "q10_returns" -> q10Sql,
+    "q6_revenue_delta" -> q6Sql,
+    "q14_promo_share" -> q14Sql,
+    "q19_bracket_revenue" -> q19Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q22_dormant_balance" -> q22Sql,
+    "q8_market_share" -> q8Sql
   )
 }

@@ -207,6 +207,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q6 pushes every predicate to the lineitem scan (pure-IO aggregate)") {
+    val df = SparkEntry.queries("q6_revenue_delta")(spark, sf("0.001"))
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.045)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    // no join anywhere: scan → partial agg → final agg
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(500))
+  }
+
+  test("q19 pushes the union bound of the disjunctive quantity brackets") {
+    val df = SparkEntry.queries("q19_bracket_revenue")(spark, sf("0.001"))
+    val li = scans(df).find(_.metadata("Location").contains("lineitem")).get
+    val pushed = li.metadata("PushedFilters")
+    // the OR-of-ANDs itself can't push (spans both sides), but the hoisted
+    // quantity union bound must reach the reader
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_quantity,30.0)"), pushed)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part side must broadcast")
+  }
+
+  test("ann_range broadcasts the probe set and needs no rank window") {
+    val df = SparkEntry.queries("ann_range")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "probe set must broadcast against the corpus scan")
+    assert(!plan.contains("Window"), "radius search needs no rank window")
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")
