@@ -52,18 +52,44 @@ object ScaleProbe {
             + col("pert") * ((pmod(xxhash64(col("vec_id") * 64 + d + 7), lit(2000L)) - 1000L) / 1000.0))
           .cast("array<float>").as("embedding"))
 
+  /** Collects per-task durations while one measurement runs: wall-clock
+    * alone under-reports skew on a 32-core box until the hot partition
+    * exceeds what one core absorbs inside the job's natural tail — the
+    * max/median task ratio exposes the imbalance long before that. */
+  private class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      durs.synchronized { durs += t.taskInfo.duration }
+    def maxMs: Long = durs.synchronized { if (durs.isEmpty) 0 else durs.max }
+    def medMs: Long = durs.synchronized {
+      if (durs.isEmpty) 0 else durs.sorted.apply(durs.size / 2)
+    }
+  }
+
   private def time(label: String, n: Long)(df: => DataFrame): Unit = {
     val spark = SparkSession.active
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
     val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
+    try df.write.format("noop").mode("overwrite").save()
+    finally {
+      // listener bus is async; give queued task-end events a beat to drain
+      Thread.sleep(200)
+      spark.sparkContext.removeSparkListener(stats)
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     CacheScope.release(spark)
     spark.catalog.clearCache()
-    println(f"""{"op":"$label","n":$n,"sec":$sec%.2f}""")
+    println(f"""{"op":"$label","n":$n,"sec":$sec%.2f,""" +
+      s""""max_task_ms":${stats.maxMs},"med_task_ms":${stats.medMs}}""")
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(20000L, 80000L)
+    val skewOnly = args.contains("skew")
+    val numeric = args.filter(_.forall(_.isDigit))
+    val sizes = if (numeric.nonEmpty) numeric.map(_.toLong).toSeq
+                else Seq(20000L, 80000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +101,7 @@ object ScaleProbe {
     import graft.operators.{Dedup, Similarity, SkewOps, TextAnalysis}
 
     for (n <- sizes) {
+      if (!skewOnly) {
       // materialize inputs once so op timings exclude synthesis
       val docs = CacheScope.cache(synthDocs(spark, n)); docs.count()
       val emb = CacheScope.cache(synthEmbeddings(spark, n)); emb.count()
@@ -119,6 +146,7 @@ object ScaleProbe {
         Similarity.lshBandedPairs(emb, "vec_id", "embedding",
           threshold = 0.4, planes = 4 * r, bands = 4, dim = 64)
       }
+      } // !skewOnly
       // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf
       // head), joined to a keyed dim, aggregated per key. Three plans
       // measured: AQE's runtime skew split (the default defense), manual
@@ -139,10 +167,31 @@ object ScaleProbe {
       def skewAgg(joined: DataFrame) =
         joined.groupBy(col("key"))
           .agg(sum(col("v") * col("weight")).as("wv"), count(lit(1)).as("cnt"))
-      time("join_skew_aqe", n) {
+      time("join_skew_aqe_default", n) {
         skewAgg(facts.hint("shuffle_merge")
           .join(dim.hint("shuffle_merge"), "key"))
       }
+      // AQE's skew split only fires when the hot partition exceeds BOTH
+      // skewedPartitionFactor × median AND skewedPartitionThresholdInBytes
+      // (default 256 MB) — below that the "protected" plan is identical to
+      // the unprotected one. The tuned variant drops the byte floor to
+      // what this synthetic fact actually produces.
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      // ...and even then the split is SKIPPED here without force: the join
+      // feeds a groupBy on the same key, so splitting the hot partition
+      // breaks the co-partitioning the aggregate reuses, costs an extra
+      // exchange, and AQE declines the trade by default.
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      time("join_skew_aqe_tuned", n) {
+        skewAgg(facts.hint("shuffle_merge")
+          .join(dim.hint("shuffle_merge"), "key"))
+      }
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(
           facts.hint("shuffle_merge"), dim, "key", "row_id", 16))
