@@ -485,6 +485,42 @@ object Relational {
       |         / CAST(SUM(vol) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share
       |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part average-quantity subquery, decorrelated to ONE aggregate over
+    * the same brand-filtered scan and joined back. The below-0.2×avg test
+    * is exact integer arithmetic (fixture quantities are integral):
+    * 5·n·q < Σq ⟺ q < 0.2·avg — no decimal division, no float boundary.
+    * Both passes scan only the broadcast-filtered brand slice (the
+    * decorrelated aggregate is NOT computed over all parts — the filter
+    * lands before both scans, which is the whole point at 100 TB). */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    def li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice"))
+    val pq = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(pq, col("l_partkey") === col("pk"))
+      .filter(col("q") * 5 * col("n_li") < col("sum_qty"))
+      .agg(r6(sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+      |pq AS (SELECT l_partkey AS pk, SUM(q) AS sum_qty, COUNT(*) AS n_li
+      |       FROM li GROUP BY 1)
+      |SELECT
+      |  FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 1e6 + 0.5) / 1e6 AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM li JOIN pq ON l_partkey = pk
+      |WHERE q * 5 * n_li < sum_qty""".stripMargin
+
   /** All queries this module contributes to SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
@@ -498,7 +534,8 @@ object Relational {
     "q19_bracket_revenue" -> q19BracketRevenue,
     "q15_top_supplier" -> q15TopSupplier,
     "q22_dormant_balance" -> q22DormantBalance,
-    "q8_market_share" -> q8MarketShare
+    "q8_market_share" -> q8MarketShare,
+    "q17_small_quantity" -> q17SmallQuantity
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -513,6 +550,7 @@ object Relational {
     "q19_bracket_revenue" -> q19Sql,
     "q15_top_supplier" -> q15Sql,
     "q22_dormant_balance" -> q22Sql,
-    "q8_market_share" -> q8Sql
+    "q8_market_share" -> q8Sql,
+    "q17_small_quantity" -> q17Sql
   )
 }

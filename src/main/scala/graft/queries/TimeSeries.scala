@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.operators.TimeSeriesOps
@@ -365,6 +366,69 @@ object TimeSeries {
       |  FROM events, unnest([0,1]) AS t(k))
       |GROUP BY ws_ns, event_type ORDER BY ws_ns, event_type""".stripMargin
 
+  /** 8-tap truncated EWMA (α = 0.3) of each user's view-value series — the
+    * FIR form of exponential smoothing, the online-smoothing op a metrics
+    * pipeline runs per key. A full recursive EWMA is a sequential fold
+    * (unbounded state per key — the mapGroupsWithState streaming form);
+    * the 8-tap truncation keeps >94% of the mass (0.7⁸ ≈ 0.058 residual)
+    * and becomes a pure window expression: 8 lag()s over ONE window spec —
+    * one shuffle on user_id, no state.
+    *
+    * Determinism: the taps are literal doubles embedded identically in the
+    * SQL twin (Double.toString round-trips), the weighted sum is a
+    * left-associated chain in both engines (same textual order = same IEEE
+    * fold), and the normalizer drops taps whose lag doesn't exist at the
+    * series head, so early rows renormalize rather than decay toward 0. */
+  private val EwmaAlpha = 0.3
+  private val EwmaTaps: Seq[Double] =
+    (0 until 8).map(k => EwmaAlpha * math.pow(1 - EwmaAlpha, k))
+
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val lags = EwmaTaps.indices.map(k =>
+      if (k == 0) col("v") else lag(col("v"), k).over(w))
+    val num = lags.zip(EwmaTaps)
+      .map { case (c, t) => coalesce(c, lit(0.0)) * lit(t) }
+      .reduceLeft(_ + _)
+    val den = lags.zip(EwmaTaps)
+      .map { case (c, t) => when(c.isNotNull, lit(t)).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), nsTruncUs(col("ts")).as("ts_ns"), col("event_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("v").as("value"),
+        (floor(num / den * 1e6 + 0.5) / 1e6).as("ewma"))
+      .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
+  }
+
+  val ewmaSql: String = {
+    val lagDefs = (1 until 8)
+      .map(k => s"lag(v, $k) OVER w AS lag$k").mkString(",\n      |    ")
+    val num = EwmaTaps.indices
+      .map(k => if (k == 0) s"v * ${EwmaTaps(0)}"
+                else s"COALESCE(lag$k, 0) * ${EwmaTaps(k)}")
+      .mkString(" + ")
+    val den = EwmaTaps.indices
+      .map(k => if (k == 0) s"${EwmaTaps(0)}"
+                else s"CASE WHEN lag$k IS NOT NULL THEN ${EwmaTaps(k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+      |  FROM events WHERE event_type = 'view'),
+      |lagged AS (
+      |  SELECT user_id, ts_ns, event_id, v,
+      |    $lagDefs
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+      |SELECT user_id, ts_ns, event_id, v AS value,
+      |  FLOOR(($num) / ($den) * 1e6 + 0.5) / 1e6 AS ewma
+      |FROM lagged ORDER BY user_id, ts_ns, event_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
@@ -373,7 +437,8 @@ object TimeSeries {
     "ts_gapfill"        -> gapFill,
     "ts_interpolate"    -> interpolate,
     "ts_ohlc"           -> ohlc,
-    "ts_sliding"        -> slidingWindows
+    "ts_sliding"        -> slidingWindows,
+    "ts_ewma"           -> ewma
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -384,6 +449,7 @@ object TimeSeries {
     "ts_gapfill"        -> gapFillSql,
     "ts_interpolate"    -> interpolateSql,
     "ts_ohlc"           -> ohlcSql,
-    "ts_sliding"        -> slidingWindowsSql
+    "ts_sliding"        -> slidingWindowsSql,
+    "ts_ewma"           -> ewmaSql
   )
 }

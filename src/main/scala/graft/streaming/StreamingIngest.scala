@@ -168,6 +168,38 @@ object StreamingIngest {
       }
   }
 
+  /** Smoothed output record for [[ewmaStream]]. */
+  case class Smoothed(key: Long, ts: Long, value: Double, ewma: Double)
+
+  /** ONLINE exponential smoothing — the streaming sibling of the batch
+    * `ts_ewma` query, but the EXACT recursive form the FIR truncation
+    * approximates: s ← α·v + (1−α)·s. Streaming is where the recursion is
+    * natural — state per key is ONE number, each event reads and updates
+    * it in order, no window, no lag buffer. (Batch can't fold
+    * sequentially without giving up partition-order independence, which is
+    * why the declared query carries fixed taps instead.) Within a
+    * micro-batch events process in (ts, value) order so replays are
+    * deterministic; emits every event with its smoothed value
+    * (flatMapGroupsWithState, Append). */
+  def ewmaStream(events: Dataset[KeyedValue],
+                 alpha: Double = 0.3): Dataset[Smoothed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Double, Smoothed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, in: Iterator[KeyedValue], state: GroupState[Double]) =>
+          val out = Seq.newBuilder[Smoothed]
+          var s = state.getOption
+          in.toSeq.sortBy(e => (e.ts, e.value)).foreach { e =>
+            val next = s.fold(e.value)(prev => alpha * e.value + (1 - alpha) * prev)
+            out += Smoothed(key, e.ts, e.value, next)
+            s = Some(next)
+          }
+          s.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both

@@ -132,4 +132,75 @@ class QueriesSpec extends SparkSpec {
       .filter("l_shipdate <= timestamp'1998-09-02'").count()
     assert(totalCount === liCount)
   }
+
+  test("ann_range contains every brute-force neighbor above its threshold") {
+    val range = SparkEntry.queries("ann_range")(spark, sf("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos_sim")).toMap
+    assert(range.values.forall(_ >= 0.2), "radius search leaked below-threshold rows")
+    val bf = SparkEntry.queries("ann_bruteforce")(spark, sf("0.001")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nbr_id")) -> r.getAs[Double]("cos_sim"))
+      .filter(_._2 >= 0.2)
+    assert(bf.nonEmpty)
+    bf.foreach { case (k, sim) =>
+      assert(range.get(k).contains(sim),
+        s"brute-force neighbor $k (cos $sim) missing from radius search")
+    }
+  }
+
+  test("centroid audits partition the corpus and stay in the label domain") {
+    val n = Tables.embeddings(spark, sf("0.001")).count()
+    val conf = SparkEntry.queries("emb_nearest_centroid")(spark, sf("0.001")).collect()
+    assert(conf.map(_.getAs[Long]("n_vecs")).sum === n,
+      "confusion counts must partition the corpus")
+    val labels = conf.map(_.getAs[Int]("label")).toSet
+    assert(conf.map(_.getAs[Int]("assigned")).toSet.subsetOf(labels))
+    val out = SparkEntry.queries("emb_outliers")(spark, sf("0.001")).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Double]("mean_d") > 0, s"degenerate distances: $r")
+      if (r.getAs[Long]("n_outliers") > 0)
+        assert(r.getAs[Double]("max_z") > 2.0, s"outliers without a >2σ z: $r")
+    }
+  }
+
+  test("ts_ewma FIR tracks the exact recursive fold within the tail bound") {
+    // 8-tap truncation drops (1-α)^8 of the mass; renormalized, the FIR
+    // can deviate from the recursion by at most that fraction of the
+    // key's value range (derivation in TimeSeries.ewma scaladoc context)
+    val q = 0.7 * 0.7 * 0.7 * 0.7 * 0.7 * 0.7 * 0.7 * 0.7
+    val rows = SparkEntry.queries("ts_ewma")(spark, sf("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("value"), r.getAs[Double]("ewma")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val seq = rs.sortBy(r => (r._2, r._3))
+      val range = seq.map(_._4).max - seq.map(_._4).min
+      var s = Double.NaN
+      seq.zipWithIndex.foreach { case ((_, _, _, v, fir), i) =>
+        s = if (s.isNaN) v else 0.3 * v + 0.7 * s
+        // head rows (i < 8) renormalize over the taps that exist, which
+        // over-weights recent values vs the recursion's v0 anchor — their
+        // worst-case coefficient is 0.7·(0.3/0.51 − 0.3) ≈ 0.288 at i=1;
+        // once all 8 taps exist the deviation is the dropped tail mass
+        val bound = (if (i >= 8) q else 0.3) * range + 1e-6
+        assert(math.abs(fir - s) <= bound,
+          s"FIR $fir drifted from recursion $s beyond the $bound bound (i=$i)")
+      }
+    }
+    // and the smoothing is not a no-op: some row differs from its raw value
+    assert(rows.exists(r => math.abs(r._5 - r._4) > 1e-9))
+  }
+
+  test("sample_temperature weights are a distribution that flattens shares") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, sf("0.001")).collect()
+    val rawSum = rows.map(_.getAs[Double]("raw_share")).sum
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(rawSum - 1.0) < 1e-4 && math.abs(wSum - 1.0) < 1e-4)
+    // temperature < 1 compresses: the smallest source is boosted at least
+    // as much as the largest (oversample is anti-monotone in raw share)
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("oversample") >=
+      bySize.last.getAs[Double]("oversample"))
+  }
 }

@@ -189,6 +189,30 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(got.head.z - expectedZ) < 1e-9)
   }
 
+  test("online EWMA folds recursively and state survives micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingIngest.{KeyedValue, Smoothed}
+    val input = MemoryStream[KeyedValue]
+    val q = StreamingIngest.ewmaStream(input.toDS(), alpha = 0.3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_stream")
+      .start()
+    input.addData(KeyedValue(1L, 1, 10.0), KeyedValue(1L, 2, 20.0),
+      KeyedValue(2L, 1, 5.0))
+    q.processAllAvailable()
+    // batch 2 must continue key 1's state, not restart at the raw value
+    input.addData(KeyedValue(1L, 3, 10.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ewma_stream").as[Smoothed].collect()
+      .map(s => (s.key, s.ts) -> s.ewma).toMap
+    // exact recursive fold: s1=10; s2=0.3*20+0.7*10=13; s3=0.3*10+0.7*13=12.1
+    assert(math.abs(got((1L, 1L)) - 10.0) < 1e-12)
+    assert(math.abs(got((1L, 2L)) - 13.0) < 1e-12)
+    assert(math.abs(got((1L, 3L)) - 12.1) < 1e-12)
+    assert(math.abs(got((2L, 1L)) - 5.0) < 1e-12)
+  }
+
   test("stream-stream attribution join matches within the interval only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
