@@ -67,7 +67,12 @@ object ScaleProbe {
     }
   }
 
+  /** Non-numeric CLI args (other than "skew") select which ops run, by
+    * substring match on the label — e.g. `ScaleProbe centroid 80000`. */
+  private var only: Seq[String] = Nil
+
   private def time(label: String, n: Long)(df: => DataFrame): Unit = {
+    if (only.nonEmpty && !only.exists(label.contains(_))) return
     val spark = SparkSession.active
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
@@ -88,6 +93,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("skew")
     val numeric = args.filter(_.forall(_.isDigit))
+    only = args.filterNot(a => a.forall(_.isDigit) || a == "skew").toSeq
     val sizes = if (numeric.nonEmpty) numeric.map(_.toLong).toSeq
                 else Seq(20000L, 80000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -145,6 +151,17 @@ object ScaleProbe {
       time(s"dedup_embedding_r$r", n) {
         Similarity.lshBandedPairs(emb, "vec_id", "embedding",
           threshold = 0.4, planes = 4 * r, bands = 4, dim = 64)
+      }
+      // centroid-audit family: labels synthesized as vec_id mod 10 — the
+      // broadcast-centroid join shape should grow linearly in corpus size
+      // (labels x dim stays constant)
+      val lemb = emb.withColumn("label",
+        pmod(col("vec_id"), lit(10L)).cast("int"))
+      time("emb_nearest_centroid", n) {
+        Similarity.nearestCentroidConfusion(lemb, "vec_id", "label", "embedding")
+      }
+      time("emb_outliers", n) {
+        Similarity.centroidOutlierStats(lemb, "vec_id", "label", "embedding")
       }
       } // !skewOnly
       // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf
