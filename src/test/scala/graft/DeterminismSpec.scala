@@ -142,4 +142,28 @@ class DeterminismSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === Set((1L, 150L, "r2"), (1L, 250L, "r3")))
   }
+
+  test("EVERY declared query is partitioning-invariant (shuffle 3 vs 7)") {
+    // the blanket form of the pinned-winner property: identical row
+    // multisets under different shuffle-partition counts. Catches any
+    // unpinned dedup winner, rank tie, or order-dependent float fold in
+    // the whole inventory — the oracle gate can't see this (it runs one
+    // partitioning); a 1000-executor cluster runs a different one.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries.map { case (name, fn) =>
+        try name -> fn(spark, sf("0.001")).collect()
+          .map(_.toString).sorted.toSeq
+        finally CacheScope.release(spark)
+      }
+    }
+    try {
+      val a = runAll("3")
+      val b = runAll("7")
+      val diff = a.keys.filter(k => a(k) != b(k))
+      assert(diff.isEmpty,
+        s"partitioning-dependent results: ${diff.toSeq.sorted.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
