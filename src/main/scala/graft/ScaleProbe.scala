@@ -71,13 +71,13 @@ object ScaleProbe {
     * substring match on the label — e.g. `ScaleProbe centroid 80000`. */
   private var only: Seq[String] = Nil
 
-  private def time(label: String, n: Long)(df: => DataFrame): Unit = {
+  private def timeAction(label: String, n: Long)(body: => Unit): Unit = {
     if (only.nonEmpty && !only.exists(label.contains(_))) return
     val spark = SparkSession.active
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
     val t0 = System.nanoTime()
-    try df.write.format("noop").mode("overwrite").save()
+    try body
     finally {
       // listener bus is async; give queued task-end events a beat to drain
       Thread.sleep(200)
@@ -89,6 +89,11 @@ object ScaleProbe {
     println(f"""{"op":"$label","n":$n,"sec":$sec%.2f,""" +
       s""""max_task_ms":${stats.maxMs},"med_task_ms":${stats.medMs}}""")
   }
+
+  private def time(label: String, n: Long)(df: => DataFrame): Unit =
+    timeAction(label, n) {
+      df.write.format("noop").mode("overwrite").save()
+    }
 
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("skew")
@@ -209,6 +214,36 @@ object ScaleProbe {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+
+      // Store path: distributed ingest (route -> one shuffle on
+      // (kind,epoch,bucket) -> partitioned append + rollover) and the
+      // bucket-pruned range scan, at 64n points — the reference's actual
+      // workload at a scale the driver fixtures never reach.
+      if (only.exists(o => "store_write_read".contains(o))) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-store-$n").toString
+        val ns = TimeStore.namespace(root, "PROBE")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val pts = spark.range(rows).select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"), // even = simple
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        timeAction("store_write", n) {
+          TimeStore.writePoints(spark, ns, pts)
+        }
+        // 4 addresses over a quarter of the time range: bucket pruning
+        // keeps <=4 of 64 partitions, the time predicate row-group-skips
+        time("store_read_pruned", n) {
+          TimeStore.readSimple(spark, ns, 0L, rows * 250L,
+            Seq(2L, 40L, 100L, 500L))
+        }
+      }
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(
           facts.hint("shuffle_merge"), dim, "key", "row_id", 16))
