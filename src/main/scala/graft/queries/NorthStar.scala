@@ -226,6 +226,41 @@ object NorthStar {
   val dedupGroupsSql: String =
     s"$dedupGroupsCoreSql\nORDER BY member"
 
+  /** Dedup APPLY audit — the shrinkage report a pipeline publishes after
+    * near-dup removal: per source, the docs and character mass kept under
+    * the keep-the-canonical policy. The components are the same
+    * MinHash-LSH pair set as `dedup_groups`; applying them is one join
+    * back to the corpus on the doc key plus a conditional aggregate —
+    * integer counts/sums, one double keep-rate under r6. */
+  def dedupShrinkage(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
+    val groups = Dedup.duplicateGroups(pairs, docs.select(col("doc_id").as("id")))
+    docs.join(groups, col("doc_id") === col("member"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") === col("canonical"), lit(1))).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        coalesce(sum(when(col("doc_id") === col("canonical"), col("n_chars"))),
+          lit(0L)).as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("chars_total"), col("chars_kept"),
+        r6(col("n_kept").cast("double") / col("n_docs")).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  val dedupShrinkageSql: String =
+    s"""WITH g AS ($dedupGroupsCoreSql)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (doc_id = canonical) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(COALESCE(SUM(n_chars) FILTER (doc_id = canonical), 0) AS BIGINT) AS chars_kept,
+       |  FLOOR((CAST(COUNT(*) FILTER (doc_id = canonical) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS keep_rate
+       |FROM documents JOIN g ON doc_id = member
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Embedding near-dup — the 100 TB shape: LSH-band candidate generation
     * (shuffle hash join on (band, band_hash), candidate count ∝ collision
     * density, never corpus×corpus) + exact cosine ≥ 0.4 on candidates
@@ -815,6 +850,7 @@ object NorthStar {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_groups" -> dedupGroups,
+    "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -848,6 +884,7 @@ object NorthStar {
     "dedup_minhash_lsh" -> JaccardSql,
     "dedup_simhash" -> JaccardSql,
     "dedup_groups" -> dedupGroupsSql,
+    "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
