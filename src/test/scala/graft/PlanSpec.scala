@@ -239,6 +239,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "radius search needs no rank window")
   }
 
+  test("ts_ewma evaluates all 8 taps in ONE window operator") {
+    // both frames share (partition, order), so Catalyst must merge the
+    // lags into a single Window node — one shuffle, one sort, not eight
+    val df = SparkEntry.queries("ts_ewma")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan
+    val stripped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = stripped.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length === 1, s"expected one Window operator, got $windows")
+  }
+
+  test("q17 broadcasts the brand filter into both lineitem passes") {
+    val df = SparkEntry.queries("q17_small_quantity")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "brand parts must broadcast")
+    // both scans carry the quantity/price projection only after the join —
+    // but the part scans themselves must push the brand predicate
+    val partScans = scans(df).filter(_.metadata("Location").contains("part"))
+    assert(partScans.nonEmpty)
+    partScans.foreach { sc =>
+      assert(sc.metadata("PushedFilters").contains("EqualTo(p_brand,Brand#1)"),
+        sc.metadata("PushedFilters"))
+    }
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")
