@@ -150,15 +150,111 @@ object Pipeline {
       |         (CAST(tok AS DOUBLE) / CAST(tok_total AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS oversample
       |FROM sq, tot ORDER BY source""".stripMargin
 
+  /** The canonical preprocessing pipeline as ONE query: quality gate →
+    * exact dedup (keep min-id per content hash) → near-dup removal (keep
+    * the component canonical over the MinHash-LSH pair graph) → stable
+    * hash split → per-(split, source) audit. Every stage is an operator
+    * that is individually oracle-green; this query proves they COMPOSE —
+    * the whole corpus-cleaning run a training-data team ships, expressed
+    * as one declarative plan (quality/exact stages are row-local +
+    * hash-partitioned windows, the near-dup stage is the banded pair join
+    * + label propagation, the audit one hash aggregate).
+    *
+    * Twin note: the LSH pair set equals the exact-Jaccard pair set on the
+    * fixture (measured 100% recall — NorthStar scaladoc), and both
+    * signatures and pair Jaccards are per-document/per-pair quantities,
+    * so filtering the corpus upstream cannot change surviving pairs among
+    * the survivors — the SQL twin recomputes exact pairs over the
+    * filtered set. */
+  def pipelineCleanSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val keep = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id").as("kid"))
+    val qdocs = docs.join(keep, col("doc_id") === col("kid")).drop("kid")
+    val edocs = qdocs
+      .withColumn("__c", min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("__c")).drop("__c")
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.shingles(edocs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
+    val canon = Dedup.duplicateGroups(pairs, edocs.select(col("doc_id").as("id")))
+      .filter(col("member") === col("canonical")).select(col("member"))
+    val b = hashBucket("split:")
+    edocs.join(canon, col("doc_id") === col("member"))
+      .withColumn("split",
+        when(b < "cc", lit("train")).when(b < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val pipelineCleanSplitSql: String =
+    """WITH feat AS (
+      |  SELECT doc_id, LENGTH(text) AS n_chars,
+      |    len(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+      |    ROUND(CAST(list_sum(list_transform(regexp_extract_all(lower(text), '\w+'), x -> LENGTH(x))) AS DOUBLE) /
+      |      GREATEST(len(regexp_extract_all(lower(text), '\w+')), 1), 6) AS avg_token_len,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS digit_ratio
+      |  FROM documents),
+      |ok AS (
+      |  SELECT doc_id FROM feat
+      |  WHERE NOT (n_chars < 200 OR n_chars > 100000 OR n_tokens < 30
+      |    OR avg_token_len < 2.5 OR avg_token_len > 12.0
+      |    OR digit_ratio > 0.2 OR punct_ratio > 0.1)),
+      |qdocs AS (SELECT d.* FROM documents d JOIN ok USING (doc_id)),
+      |ed AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS c FROM qdocs),
+      |edocs AS (SELECT doc_id, text, source, n_chars FROM ed WHERE doc_id = c),
+      |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM edocs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) s
+      |  FROM toks WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.doc_id i, b.doc_id j, COUNT(*) c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+      |  WHERE CAST(c AS DOUBLE)/(si.n + sj.n - c) >= 0.5),
+      |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT a, b FROM edges
+      |    UNION
+      |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+      |  SELECT a, b FROM r),
+      |final AS (
+      |  SELECT e.* FROM edocs e
+      |  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m ON m.a = e.doc_id
+      |  WHERE LEAST(doc_id, COALESCE(mn, doc_id)) = doc_id)
+      |SELECT split, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT *,
+      |    CASE WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |         WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM final)
+      |GROUP BY split, source ORDER BY split, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "split_train_test" -> splitTrainTest,
     "doc_shard" -> docShard,
-    "sample_temperature" -> sampleTemperature)
+    "sample_temperature" -> sampleTemperature,
+    "pipeline_clean_split" -> pipelineCleanSplit)
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "split_train_test" -> splitTrainTestSql,
     "doc_shard" -> docShardSql,
-    "sample_temperature" -> sampleTemperatureSql)
+    "sample_temperature" -> sampleTemperatureSql,
+    "pipeline_clean_split" -> pipelineCleanSplitSql)
 }
