@@ -206,6 +206,37 @@ object Aggregates {
       |  TRUE AS within_bound
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** TWO-LEVEL mergeable sketches — the 100 TB re-aggregation pattern:
+    * partial HLL sketches built per fine-grained cell (nation × segment —
+    * think per-day partial aggregates in a lakehouse), then UNIONED to the
+    * coarse level without touching the raw data again (`hll_union_agg`
+    * over the serialized sketch column). That merge step is what
+    * `approx_count_distinct` alone doesn't demonstrate, and it is why
+    * sketches beat exact distinct at scale: partials are tiny, mergeable,
+    * and storable. Declared output is the exact distinct plus a bound
+    * check on the merged estimate (DataSketches HLL, lgConfigK=12 →
+    * relative error ≈ 1.6%; bound 5% + 1). */
+  def aggSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    val merged = partial.groupBy(col("c_nationkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("n_exact"))
+      .join(merged, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * 0.05 + lit(1)).as("merged_ok"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val aggSketchMergeSql: String =
+    """SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_exact,
+      |  TRUE AS merged_ok
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Quantile sketch with a declared error bound — same pattern as
     * `agg_approx_distinct`: the approximate value itself can't hash-match
     * an oracle, so the declared output is the exact median plus a
@@ -361,6 +392,7 @@ object Aggregates {
     "fn_unpivot" -> aggUnpivot,
     "agg_corr" -> aggCorr,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_sketch_merge" -> aggSketchMerge,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_having" -> aggHaving,
@@ -379,6 +411,7 @@ object Aggregates {
     "fn_unpivot" -> aggUnpivotSql,
     "agg_corr" -> aggCorrSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_sketch_merge" -> aggSketchMergeSql,
     "agg_approx_quantile" -> aggApproxQuantileSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_having" -> aggHavingSql,
