@@ -149,13 +149,13 @@ object ScaleProbe {
       // LSH sizing is the scale lever: with FIXED r bits per band, average
       // bucket occupancy n/2^r grows linearly and the band self-join goes
       // quadratic (measured: 9.6 s at 20k but 396 s at 80k with r=8 on
-      // this worst-case structureless corpus). Size r so buckets stay
-      // ~16 vectors: r = log2(n/16). Recall for cos≈0.99 near-dups stays
-      // ≥0.9 with 4 bands up to r≈16.
-      val r = math.max(8, math.ceil(math.log(n / 16.0) / math.log(2))).toInt
-      time(s"dedup_embedding_r$r", n) {
-        Similarity.lshBandedPairs(emb, "vec_id", "embedding",
-          threshold = 0.4, planes = 4 * r, bands = 4, dim = 64)
+      // this worst-case structureless corpus). The DECLARED path
+      // (lshBandedPairsSized — what dedup_embedding runs) now self-sizes
+      // r = log2(n/16) so buckets stay ~16 vectors; this measures that
+      // exact call, count() included.
+      time(s"dedup_embedding_r${Similarity.sizedBandBits(n)}", n) {
+        Similarity.lshBandedPairsSized(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 4, dim = 64)
       }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
@@ -219,7 +219,11 @@ object ScaleProbe {
       // (kind,epoch,bucket) -> partitioned append + rollover) and the
       // bucket-pruned range scan, at 64n points — the reference's actual
       // workload at a scale the driver fixtures never reach.
-      if (only.exists(o => "store_write_read".contains(o))) {
+      // The block fires when ANY token selects either store op; inside,
+      // BOTH ops always run — a pruned read against a store the skipped
+      // write left empty is a meaningless measurement (ADVICE r4).
+      if (only.exists(o =>
+          Seq("store_write", "store_read_pruned").exists(_.contains(o)))) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._
@@ -234,15 +238,19 @@ object ScaleProbe {
             xxhash64(col("id")).as("payload"),
             lit(null).cast("binary").as("value"))
           .as[Point]
-        timeAction("store_write", n) {
-          TimeStore.writePoints(spark, ns, pts)
-        }
-        // 4 addresses over a quarter of the time range: bucket pruning
-        // keeps <=4 of 64 partitions, the time predicate row-group-skips
-        time("store_read_pruned", n) {
-          TimeStore.readSimple(spark, ns, 0L, rows * 250L,
-            Seq(2L, 40L, 100L, 500L))
-        }
+        val saved = only
+        only = Nil
+        try {
+          timeAction("store_write", n) {
+            TimeStore.writePoints(spark, ns, pts)
+          }
+          // 4 addresses over a quarter of the time range: bucket pruning
+          // keeps <=4 of 64 partitions, the time predicate row-group-skips
+          time("store_read_pruned", n) {
+            TimeStore.readSimple(spark, ns, 0L, rows * 250L,
+              Seq(2L, 40L, 100L, 500L))
+          }
+        } finally only = saved
       }
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(

@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery — schema, partition-size control, batched
   * `mapPartitions` decode with a typed output schema — is real and tested.
   * Decoding dispatches on content magic bytes ([[MediaCodec]]): formats the
-  * JDK ships codecs for (PNG/GIF/BMP via `javax.imageio`, WAV/AIFF via
+  * JDK ships codecs for (PNG/GIF/BMP/JPEG via `javax.imageio`, WAV/AIFF via
   * `javax.sound.sampled`) yield REAL width/height/frame metadata; formats
-  * needing external libraries this environment lacks (JPEG variants beyond
-  * ImageIO, video) fall through to [[StubCodec.decode]], which derives
+  * needing external libraries this environment lacks (video, exotic image
+  * codecs) fall through to [[StubCodec.decode]], which derives
   * deterministic pseudo-features from the bytes — clearly marked, with the
   * exact seam a libjpeg/ffmpeg binding would plug into.
   *
@@ -64,7 +64,11 @@ object Multimodal {
 
     private def isImage(b: Array[Byte]): Boolean =
       (b.length >= 4 && b(0) == 0x89.toByte && hasMagic(b, 1, "PNG")) ||
-        hasMagic(b, 0, "GIF8") || hasMagic(b, 0, "BM")
+        hasMagic(b, 0, "GIF8") || hasMagic(b, 0, "BM") ||
+        // JPEG (FF D8 FF): javax.imageio ships a native JPEG reader, so the
+        // most common image format gets REAL width/height, not the stub
+        (b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+          b(2) == 0xFF.toByte)
 
     private def isAudio(b: Array[Byte]): Boolean =
       (hasMagic(b, 0, "RIFF") && hasMagic(b, 8, "WAVE")) ||

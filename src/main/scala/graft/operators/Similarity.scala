@@ -70,10 +70,19 @@ object Similarity {
 
   /** LSH-bucketed ANN: probes only score corpus rows sharing any band of
     * the signature. Sub-linear scan at the cost of recall (tested ~1.0 at
-    * 16 planes / 4 bands on the fixture). */
+    * 16 planes / 4 bands on the fixture).
+    *
+    * Hot-bucket guard on the CORPUS side (same defense as every other band
+    * join here — [[lshBandedPairs]], [[Dedup.minhashLshPairs]],
+    * [[Dedup.simhashPairs]]): a degenerate band value shared by a dense
+    * embedding cluster would inflate every probe landing in it; corpus
+    * buckets above `maxBucket` are excluded deterministically, so the
+    * DuckDB twin mirrors the cap. Probes are a bounded set and stay
+    * uncapped. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 16, bands: Int = 8,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64,
+              maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val r = planes / bands
     def withBuckets(df: DataFrame, id: String, vecOut: String): DataFrame = {
       val sig = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vecOut))
@@ -82,7 +91,7 @@ object Similarity {
         shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
         .toDF(id, vecOut, "band", "bh")
     }
-    val c = withBuckets(corpus, "nbr_id", "cv")
+    val c = Dedup.capHotBuckets(withBuckets(corpus, "nbr_id", "cv"), maxBucket)
     val p = withBuckets(probes, "query_id", "pv")
     val scored = c.join(p, Seq("band", "bh"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -225,6 +234,35 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Band width sized from the corpus count so average bucket occupancy
+    * stays ~16 vectors: r = clamp(8, ⌈log2(n/16)⌉, 64/bands). The scale
+    * law (see [[lshBandedPairs]]): fixed r makes the band self-join
+    * Θ(b·n²/2^r) — quadratic as n grows (measured: r=8 → 396 s at 80k
+    * vectors vs 19 s for sized r, SCALE.md); sizing r keeps it linear.
+    * The upper clamp keeps b·r ≤ 64 so the signature still packs into one
+    * Long; recall for cos ≥ 0.99 near-dups stays ≥ 0.99 with 4 bands up
+    * to r=16. */
+  def sizedBandBits(n: Long, bands: Int = 4): Int = {
+    val sized = math.ceil(
+      math.log(math.max(n, 1L).toDouble / 16.0) / math.log(2.0)).toInt
+    math.min(64 / bands, math.max(8, sized))
+  }
+
+  /** [[lshBandedPairs]] with the band width SIZED from the corpus count —
+    * the declared 100 TB path. One `count()` (metadata-only on parquet)
+    * unless the caller already knows n (`nHint` — e.g. a catalog stat).
+    * At fixture scale (n ≤ 16·2⁸ = 4096) the sizing floors at r = 8, so
+    * the static r=8 oracle twin stays exact at the driver's gate. */
+  def lshBandedPairsSized(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, bands: Int = 4, dim: Int = 64,
+                          maxBucket: Int = Dedup.DefaultMaxBucket,
+                          nHint: Option[Long] = None): DataFrame = {
+    val n = nHint.getOrElse(corpus.count())
+    val r = sizedBandBits(n, bands)
+    lshBandedPairs(corpus, idCol, vecCol, threshold,
+      planes = bands * r, bands = bands, dim = dim, maxBucket = maxBucket)
   }
 
   /** Radius (range) search: every corpus neighbor whose cosine similarity

@@ -78,18 +78,48 @@ case class BucketPruneRule(getConf: String => Option[String])
       val Array(ep, b) = e.split(':'); (ep.toLong, b.toInt)
     })
 
-  /** Namespace = path segment before "/points" in the relation location. */
-  private def namespaceOf(rel: LogicalRelation): Option[String] =
+  /** Namespace directory + name: the relation root is
+    * `<...>/<ns>/points[-gN]`, so both derive from the segment before
+    * "/points". */
+  private def nsOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption.map(_.toString)
           .flatMap { p =>
             val i = p.lastIndexOf("/points")
             if (i <= 0) None
-            else Some(p.substring(0, i).split('/').last)
+            else {
+              val dir = p.substring(0, i)
+              Some((dir, dir.split('/').last))
+            }
           }
       case _ => None
     }
+
+  /** Fallback when no `spark.graft.index.*` conf is published (a fresh
+    * session running ad-hoc SQL before any store read): resolve the index
+    * from `<ns>/meta/<kind>Index` via the relation's root path — the same
+    * file [[graft.sources.TimeStore.fetchIndex]] reads — and publish it so
+    * later queries skip the FS probe. Returns the conf-format string. */
+  private def indexFromPath(nsDir: String, ns: String,
+                            kind: String): Option[String] =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val p = new org.apache.hadoop.fs.Path(s"$nsDir/meta/${kind}Index")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val compact = body.split('\n').filter(_.nonEmpty).map { l =>
+          val Array(e, b) = l.split(','); s"$e:$b"
+        }.mkString(",")
+        spark.conf.set(s"spark.graft.index.$ns.$kind", compact)
+        Some(compact)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: LogicalRelation)
@@ -97,8 +127,11 @@ case class BucketPruneRule(getConf: String => Option[String])
       addressList(cond) match {
         case Some(addrs) if addrs.nonEmpty =>
           val kind = parseKind(cond).getOrElse("simple")
-          val idx = namespaceOf(rel)
-            .flatMap(ns => getConf(s"spark.graft.index.$ns.$kind"))
+          val idx = nsOf(rel)
+            .flatMap { case (dir, ns) =>
+              getConf(s"spark.graft.index.$ns.$kind")
+                .orElse(indexFromPath(dir, ns, kind))
+            }
             .map(parse)
           idx match {
             case Some(index) =>

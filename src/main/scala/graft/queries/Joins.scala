@@ -177,15 +177,21 @@ object Joins {
     * after it per user — the "next event" lookup (churn/conversion
     * attribution looks forward; the reference's indexLookup floor is the
     * backward twin). Same single-table running-extremum shape as
-    * [[joinAsof]], mirrored: a conditional running MIN over the
-    * [current, unbounded following] frame — no join, one shuffle on
-    * user_id shared with the sort. */
+    * [[joinAsof]], mirrored: a conditional running MIN over a GROWING
+    * frame on DESCENDING ts — `min over (current, unbounded following)`
+    * is semantically identical, but Spark evaluates shrinking frames by
+    * rescanning current→end per row, O(partition²) (measured 26× on
+    * `ts_interpolate`'s carries; see TimeSeries.scala). The desc growing
+    * frame updates one buffer per row — O(partition). RANGE (not ROWS) so
+    * a signup tied at the purchase's exact ts stays in frame, matching
+    * ASOF's inclusive bound. No join, one shuffle on user_id shared with
+    * the sort. */
   def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("user_id"), col("ts"), col("event_type"),
       col("value").cast("decimal(18,2)").as("value"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = e.withColumn("next_signup_ts",
       min(when(col("event_type") === "signup", col("ts"))).over(w))
     tagged.filter(col("event_type") === "purchase")
@@ -209,12 +215,13 @@ object Joins {
   /** NEAREST as-of: each purchase matched to the signup closest in time,
     * either direction, backward winning ties — the sensor-alignment
     * variant of as-of (floor and forward are the two halves; nearest
-    * composes them). ONE window pass computes both running extrema: the
-    * two frames share partition (user_id) and order (ts), so Catalyst
-    * evaluates them in a single Window operator — one shuffle total, no
-    * join. The delta compare runs on the µs-truncated values both engines
-    * emit, so the pick can't flip on sub-µs ns the oracle's reader never
-    * sees. */
+    * composes them). Both extrema are GROWING frames — the forward one
+    * over DESCENDING ts (shrinking frames rescan current→end per row,
+    * O(partition²); see [[joinAsofForward]]) — so this is two Window
+    * operators (asc + desc sort) over ONE exchange on user_id, each
+    * O(partition). The delta compare runs on the µs-truncated values both
+    * engines emit, so the pick can't flip on sub-µs ns the oracle's
+    * reader never sees. */
   def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("user_id"), col("ts"), col("event_type"),
@@ -222,8 +229,8 @@ object Joins {
     def usec(c: Column): Column = c - pmod(c, lit(1000L))
     val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = e
       .withColumn("prev_ns",
         usec(max(when(col("event_type") === "signup", col("ts"))).over(wb)))

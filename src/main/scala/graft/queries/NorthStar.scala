@@ -93,14 +93,22 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10. */
-  def lshTopK(k: Int, planes: Int, bands: Int, dim: Int): String =
+  /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10 — including
+    * the CORPUS-side hot-bucket cap (`cb` mirrors
+    * [[graft.operators.Dedup.capHotBuckets]]; probes stay uncapped, same
+    * as the Spark side). */
+  def lshTopK(k: Int, planes: Int, bands: Int, dim: Int,
+              maxBucket: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |sb AS (
        |${bandedSignatures(planes, bands, dim)}),
+       |cb AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) bn
+       |    FROM sb) WHERE bn <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT p.vec_id query_id, c.vec_id nbr_id
-       |  FROM sb p JOIN sb c ON p.band = c.band AND p.bh = c.bh
+       |  FROM sb p JOIN cb c ON p.band = c.band AND p.bh = c.bh
        |  WHERE p.vec_id < 10 AND c.vec_id != p.vec_id),
        |scored AS (
        |  SELECT query_id, nbr_id, $cosSql AS cos_sim
@@ -178,9 +186,10 @@ object NorthStar {
       |  SELECT a.doc_id i, b.doc_id j, COUNT(*) c
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
-      |SELECT i, j, ROUND(CAST(c AS DOUBLE)/least(si.n, sj.n), 6) containment
-      |FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j
-      |WHERE CAST(c AS DOUBLE)/least(si.n, sj.n) >= 0.8 ORDER BY i, j""".stripMargin
+      |SELECT i, j, containment FROM (
+      |  SELECT i, j, ROUND(CAST(c AS DOUBLE)/least(si.n, sj.n), 6) containment
+      |  FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j)
+      |WHERE containment >= 0.8 ORDER BY i, j""".stripMargin
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
@@ -269,10 +278,16 @@ object NorthStar {
     * the same plane literals, so the gate checks the full pipeline —
     * signatures, banding, candidate join, verification — not just recall
     * luck. The all-pairs exact form stays in [[Similarity.cosinePairsTopN]]
-    * as the spec-checked small-scale baseline. */
+    * as the spec-checked small-scale baseline.
+    *
+    * The band width SELF-SIZES from the corpus count
+    * ([[Similarity.lshBandedPairsSized]]): fixed r=8 was measured
+    * quadratic at 80k vectors (396 s — SCALE.md); sized r keeps bucket
+    * occupancy ~16. At the gate's fixture sizes (n ≤ 4096) the sizing
+    * floors at r=8, so the static twin below stays an exact hash check. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshBandedPairs(Tables.embeddings(s, dir), "vec_id",
-      "embedding", threshold = 0.4, planes = 32, bands = 4, dim = 64)
+    Similarity.lshBandedPairsSized(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.4, bands = 4, dim = 64)
 
   val dedupEmbeddingSql: String =
     LshOracleSql.bandedPairs(threshold = 0.4, planes = 32, bands = 4, dim = 64,
@@ -312,7 +327,8 @@ object NorthStar {
   }
 
   val annLshSql: String =
-    LshOracleSql.lshTopK(k = 5, planes = 16, bands = 8, dim = 64)
+    LshOracleSql.lshTopK(k = 5, planes = 16, bands = 8, dim = 64,
+      maxBucket = graft.operators.Dedup.DefaultMaxBucket)
 
   /** IVF ANN — coarse-quantize + probe, the inverted-file scale path
     * alongside the LSH one. Deterministic literal centroids make the twin

@@ -115,13 +115,15 @@ object Pipeline {
     * source one epoch of the mix consumes. */
   def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
     def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-    val toks = Tables.documents(s, dir)
+    // toks feeds both the totals aggregate and the final select — cached,
+    // or the full documents scan + regex tokenization runs twice.
+    val toks = graft.CacheScope.cache(Tables.documents(s, dir)
       .select(col("source"),
         size(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0)))
           .cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
-      .withColumn("sq", sqrt(col("tok").cast("double")).cast("decimal(25,10)"))
+      .withColumn("sq", sqrt(col("tok").cast("double")).cast("decimal(25,10)")))
     val totals = toks.agg(sum(col("tok")).as("tok_total"),
       sum(col("sq")).as("sq_total"))
     toks.crossJoin(broadcast(totals))
@@ -173,10 +175,13 @@ object Pipeline {
     val keep = TextAnalysis.qualityFilter(docs, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id").as("kid"))
     val qdocs = docs.join(keep, col("doc_id") === col("kid")).drop("kid")
-    val edocs = qdocs
+    // edocs feeds three consumers (shingling, the CC node list, the final
+    // split join) — cached, or the regex-heavy quality filter re-runs over
+    // the full corpus once per consumer. Released by the session consumer.
+    val edocs = graft.CacheScope.cache(qdocs
       .withColumn("__c", min(col("doc_id"))
         .over(Window.partitionBy(md5(col("text").cast("binary")))))
-      .filter(col("doc_id") === col("__c")).drop("__c")
+      .filter(col("doc_id") === col("__c")).drop("__c"))
     val pairs = Dedup.minhashLshPairs(
       Dedup.shingles(edocs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
     val canon = Dedup.duplicateGroups(pairs, edocs.select(col("doc_id").as("id")))

@@ -75,15 +75,44 @@ class ExtensionsSpec extends SparkSpec {
       val pruned = spark.read.parquet(n.pointsDir).where(sql)
         .selectExpr("address", "time").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // disable the rule via the excludedRules conf is not possible for
-      // experimental rules; compare against the conf being absent instead
-      val saved = spark.conf.getOption(s"spark.graft.index.PROP.simple")
-      spark.conf.unset(s"spark.graft.index.PROP.simple")
-      val plain = spark.read.parquet(n.pointsDir).where(sql)
+      // the rule only fires on filters carrying an address list, so a
+      // kind-only scan is the unpruned oracle (unsetting the conf no
+      // longer disables pruning — the path-based fallback resolves the
+      // index from the relation root)
+      val plain = spark.read.parquet(n.pointsDir).where("kind = 'simple'")
         .selectExpr("address", "time").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      saved.foreach(v => spark.conf.set(s"spark.graft.index.PROP.simple", v))
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, _) => addrs.contains(a) }.toSet
       assert(pruned === plain, s"addrs=$addrs")
     }
+  }
+
+  test("BucketPruneRule prunes in a fresh session (path-based index fallback)") {
+    GraftExtensions.install(spark)
+    val root = Files.createTempDirectory("graft-prune-fresh").toString
+    val n = TimeStore.namespace(root, "FRESH")
+    TimeStore.register(spark, n, 8, 8)
+    TimeStore.writeEncoded(spark, n,
+      PointCodec.encode((0L until 64L by 2L).map(a => Point(a, a, a))))
+    // simulate a FRESH session running ad-hoc SQL before any store read:
+    // no spark.graft.index.* conf published (register/write published one —
+    // drop it)
+    spark.conf.unset("spark.graft.index.FRESH.simple")
+    val df = spark.read.parquet(n.pointsDir)
+      .where("kind = 'simple' AND address IN (2, 10)")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("bucket")),
+      s"fallback did not inject a bucket filter: ${scans.head.partitionFilters}")
+    val parts = scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters)
+    assert(parts.length === 1,
+      s"expected 1 pruned partition, got ${parts.map(_.values.toString)}")
+    // the fallback re-publishes the conf for later queries in the session
+    assert(spark.conf.getOption("spark.graft.index.FRESH.simple").isDefined)
+    assert(df.selectExpr("address", "time").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 2L), (10L, 10L)))
   }
 }

@@ -268,6 +268,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of variants never use a shrinking (unbounded-following) frame") {
+    // Spark evaluates [current, unboundedFollowing) frames by rescanning
+    // current→end per row — O(partition²), measured 26× on ts_interpolate's
+    // carries at sf0.1. All as-of variants must express the forward extremum
+    // as a GROWING frame over descending ts instead.
+    for (q <- Seq("join_asof", "join_asof_forward", "join_asof_nearest")) {
+      val df = SparkEntry.queries(q)(spark, sf("0.001"))
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("unboundedfollowing"),
+        s"$q window frame shrank (O(partition²) rescan):\n${plan.take(800)}")
+    }
+    // nearest composes asc+desc extrema: two Window operators, but ONE
+    // hash exchange — the desc sort reuses the user_id partitioning
+    val nearest = SparkEntry.queries("join_asof_nearest")(spark, sf("0.001"))
+    val nplan = nearest.queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(nplan).size
+    assert(hashShuffles === 1, s"expected 1 hash exchange, saw $hashShuffles:\n$nplan")
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")

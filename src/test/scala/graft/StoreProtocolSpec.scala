@@ -126,62 +126,131 @@ class StoreProtocolSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
-  test("lease hammer: racing writers serialize and all eventually succeed (StoreTests.hs:128-157)") {
+  test("lease hammer: 50 writers + 50 readers over a store counter (StoreTests.hs:128-157)") {
     val n = freshNs()
     TimeStore.register(spark, n, 4, 4)
-    val threads = 12
-    val perThread = 3
+    // the reference contract-tests 100 exclusive writers + 100 shared
+    // readers over a counter; this ports that shape at the scale this box
+    // schedules (50+50 threads, 100 exclusive sections)
+    val writers = 50
+    val readerCount = 50
+    val perWriter = 2
+    val total = writers.toLong * perWriter
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
     val completed = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // the reference proves exclusion through the STORE (a counter every
-    // writer read-modify-writes, StoreTests.hs:128-157), not through
-    // process-local atomics — do both: lost updates on the file counter
-    // reveal interleaving even if the atomics happen to look clean
-    val conf = spark.sparkContext.hadoopConfiguration
-    val counterPath = new Path(s"${n.metaDir}/counter")
-    val cfs = counterPath.getFileSystem(conf)
+    // writer read-modify-writes), not through process-local atomics — do
+    // both: lost updates on the file counter reveal interleaving even if
+    // the atomics happen to look clean. Publication is write-temp +
+    // atomic rename so the SHARED READERS always see a whole value and
+    // can assert monotonicity (the shared-lock half of the contract).
+    val counter = java.nio.file.Paths.get(n.metaDir, "counter")
+    java.nio.file.Files.createDirectories(counter.getParent)
+    java.nio.file.Files.write(counter, "0".getBytes)
     def readCounter(): Long = {
-      if (!cfs.exists(counterPath)) 0L
-      else {
-        val in = cfs.open(counterPath)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      var attempts = 0
+      while (true) {
+        try return new String(java.nio.file.Files.readAllBytes(counter)).trim.toLong
+        catch {
+          case _: java.io.IOException if attempts < 1000 =>
+            attempts += 1; Thread.sleep(1)
+        }
       }
+      0L // unreachable
     }
     def writeCounter(v: Long): Unit = {
-      val out = cfs.create(counterPath, true)
-      try out.write(v.toString.getBytes) finally out.close()
+      val tmp = counter.resolveSibling(
+        s"counter.tmp-${Thread.currentThread().getId}")
+      java.nio.file.Files.write(tmp, v.toString.getBytes)
+      java.nio.file.Files.move(tmp, counter,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val pool = (0 until threads).map { _ =>
+    @volatile var writersDone = false
+    val writerPool = (0 until writers).map { _ =>
       new Thread(() => {
         try {
           var done = 0
-          while (done < perThread) {
+          while (done < perWriter) {
             try {
               TimeStore.withWriterLease(spark, n) {
                 val now = inside.incrementAndGet()
                 maxInside.accumulateAndGet(now, math.max(_, _))
                 writeCounter(readCounter() + 1) // unprotected RMW but for the lease
-                Thread.sleep(2)
+                Thread.sleep(1)
                 inside.decrementAndGet()
                 completed.incrementAndGet()
               }
               done += 1
             } catch {
-              case _: IllegalStateException => Thread.sleep(5) // busy; retry
+              case _: IllegalStateException => Thread.sleep(2) // busy; retry
             }
           }
         } catch { case t: Throwable => errors.add(t) }
       })
     }
-    pool.foreach(_.start())
-    pool.foreach(_.join(120000))
-    assert(errors.isEmpty, s"writer threads failed: $errors")
-    assert(completed.get() === threads * perThread)
+    val readerPool = (0 until readerCount).map { i =>
+      new Thread(() => {
+        try {
+          var last = 0L
+          while (!writersDone) {
+            val v = readCounter()
+            if (v < last)
+              violations.add(s"reader $i saw counter go backwards: $last -> $v")
+            if (v > total)
+              violations.add(s"reader $i saw counter overshoot: $v > $total")
+            last = v
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    readerPool.foreach(_.start())
+    writerPool.foreach(_.start())
+    writerPool.foreach(_.join(300000))
+    writersDone = true
+    readerPool.foreach(_.join(30000))
+    assert(errors.isEmpty, s"hammer threads failed: $errors")
+    assert(violations.isEmpty, s"shared readers saw bad states: $violations")
+    assert(completed.get() === writers * perWriter)
     assert(maxInside.get() === 1, "two writers held the lease simultaneously")
-    assert(readCounter() === threads.toLong * perThread,
+    assert(readCounter() === total,
       "lost update on the lease-protected counter — writers interleaved")
+  }
+
+  test("a reader survives TWO back-to-back compactions; aged generations retire") {
+    val n = freshNs()
+    TimeStore.register(spark, n, 2, 2)
+    (1 to 3).foreach(i =>
+      TimeStore.writePoints(spark, n, pts((2L, i.toLong, i.toLong))))
+    val expected = Set((2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L))
+    // an in-flight reader: this plan resolved generation 0's file listing…
+    val inflight = TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L))
+    // …then TWO compactions commit during its scan. The count-based rule
+    // (retire everything below live−1) deleted generation 0 at the second
+    // commit and broke the scan; age-based retirement keeps it for the
+    // lease horizon after supersession.
+    TimeStore.compact(spark, n) // points -> g1
+    TimeStore.compact(spark, n) // g1 -> g2
+    val got = inflight.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "in-flight reader broken by double compaction")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path(n.dir).getFileSystem(conf)
+    assert(f.exists(new Path(n.pointsDir)),
+      "recently superseded generation must be retained")
+    // age both supersessions past the lease horizon -> g0 and g1 retire
+    val old = System.currentTimeMillis() - TimeStore.LeaseTimeoutMs - 5000
+    for (g <- Seq("points-g1", "points-g2"))
+      f.setTimes(new Path(s"${n.dir}/$g/_SUCCESS"), old, old)
+    TimeStore.recoverStranded(spark, n)
+    assert(!f.exists(new Path(n.pointsDir)), "aged generation 0 retired")
+    assert(!f.exists(new Path(s"${n.dir}/points-g1")), "aged generation 1 retired")
+    assert(f.exists(new Path(s"${n.dir}/points-g2")), "live generation kept")
+    assert(TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
   test("register CLI is idempotent and spark-submit shaped (Store.hs:87-105)") {
