@@ -215,8 +215,18 @@ object Dedup {
     // ~5×, 28 s with it evaluated once.
     val p = CacheScope.cache(pairs)
     p.count()
-    val e = p.select(col("i").as("a"), col("j").as("b"))
-      .union(p.select(col("j").as("a"), col("i").as("b")))
+    // Truncate the LOGICAL plan on top of the materialized cache: `e2`
+    // references p five times (two union directions + the active-node
+    // distinct), so an untruncated pair PIPELINE (LSH band self-join over
+    // shingles over a filtered corpus — thousands of plan nodes) gets
+    // re-embedded 5× into e2's tree and then once more into EVERY round's
+    // plan — measured ~2 s of pure Catalyst analysis per round on
+    // pipeline_clean_split while the cached execution itself took 0.3 s.
+    // The Row-roundtrip keeps fault tolerance (the wrapped RDD still reads
+    // — and on block loss recomputes — the cache), unlike localCheckpoint.
+    val pt = spark.createDataFrame(p.rdd, p.schema)
+    val e = pt.select(col("i").as("a"), col("j").as("b"))
+      .union(pt.select(col("j").as("a"), col("i").as("b")))
     // Iterate ONLY over nodes that appear in an edge: in a deduped corpus
     // the overwhelming majority of documents are singletons — they can
     // never change label, so they stay out of every round's join/shuffle
@@ -235,9 +245,13 @@ object Dedup {
       e.union(active.select(col("node").as("a"), col("node").as("b"))))
     e2.count()
     CacheScope.free(p) // e2 is materialized; nothing else reads the pairs
+    // same truncation for e2: every round and the final stitch reference
+    // it, and its own tree (even over the truncated pt) need not re-enter
+    // per-round analysis at all
+    val e2t = spark.createDataFrame(e2.rdd, e2.schema)
     // label seed from the CACHED e2 (its self-loop rows are exactly the
     // active nodes) — deriving it from e would re-run the freed pipeline
-    var labels: DataFrame = e2.filter(col("a") === col("b"))
+    var labels: DataFrame = e2t.filter(col("a") === col("b"))
       .select(col("a").as("node"), col("a").as("label"))
     var prev: Option[DataFrame] = None
     var changed = 1L
@@ -251,7 +265,7 @@ object Dedup {
       // rides it on the SAME job as the label materialization (one driver
       // action per round, VERDICT r2 next #2).
       val obs = Observation()
-      val agged = e2.join(labels, col("b") === col("node"))
+      val agged = e2t.join(labels, col("b") === col("node"))
         .groupBy(col("a"))
         .agg(min(col("label")).as("label"),
           max(when(col("a") === col("b"), col("label"))).as("old"))
