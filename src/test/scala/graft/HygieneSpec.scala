@@ -134,6 +134,24 @@ class HygieneSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
+  test("ann_lsh probe join stays bounded on a degenerate identical-vector corpus") {
+    // every corpus vector lands in the same bucket of every band: without
+    // the corpus-side cap each probe would score the entire corpus — the
+    // quadratic blowup the other band joins already guard against
+    val vec = (0 until 64).map(d => 0.1 * ((d % 7) - 3)).toArray
+    val emb = (0L until 50L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val probes = (0L until 5L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val capped = Similarity.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 3, maxBucket = 10)
+    assert(capped.count() === 0)
+    CacheScope.release(spark)
+    // an uncapped run on the same corpus scores everything (k per probe)
+    val uncapped = Similarity.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 3, maxBucket = Int.MaxValue)
+    assert(uncapped.count() === 5L * 3L)
+    CacheScope.release(spark)
+  }
+
   test("embedding band join stays bounded on a degenerate identical-vector corpus") {
     val vec = (0 until 64).map(d => 0.1 * ((d % 7) - 3)).toArray
     val emb = (0L until 50L).map(i => (i, vec)).toDF("vec_id", "embedding")

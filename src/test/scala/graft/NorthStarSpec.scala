@@ -166,6 +166,18 @@ class NorthStarSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    // golden JPEG: 29x13, via the JDK's native JPEG writer (ImageIO ships
+    // a JPEG codec — the most common image format must NOT fall to the stub)
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(
+        29, 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(7, 2, 0x3366cc)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    assert(jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte
+      && jpeg(2) == 0xFF.toByte, "JPEG fixture must start with the SOI magic")
     // golden WAV: 480 frames of silence, 8kHz mono PCM
     val wav = {
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
@@ -180,13 +192,17 @@ class NorthStarSpec extends SparkSpec {
     val media = Seq(
       (1L, "image", png),
       (2L, "audio", wav),
-      (3L, "text", "not a media file at all".getBytes("UTF-8"))
+      (3L, "text", "not a media file at all".getBytes("UTF-8")),
+      (4L, "image", jpeg)
     ).toDF("media_id", "media_type", "content")
     val feats = Multimodal.decodeFeatures(spark, media).collect()
       .map(f => f.media_id -> f).toMap
     // real decode: dimensions come from the PNG header, not stub arithmetic
     assert(feats(1L).width === 17 && feats(1L).height === 23)
     assert(feats(1L).n_frames === 1)
+    // JPEG decodes through the same ImageIO path as PNG
+    assert(feats(4L).width === 29 && feats(4L).height === 13)
+    assert(feats(4L).n_frames === 1)
     assert(feats(2L).n_frames === 480)
     assert(feats(2L).width === 0 && feats(2L).height === 0)
     // non-media bytes degrade to the deterministic stub
