@@ -109,7 +109,15 @@ object Relational {
     val sup = Tables.supplier(s, dir)
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    // semi-join reduction: only customers in ASIA nations can satisfy the
+    // c_nationkey = s_nationkey predicate (suppliers are ASIA-restricted),
+    // so filter customer against the broadcast nation keys BEFORE the fact
+    // join — the big exchange then carries 1/5 of the customer rows
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("c_nationkey"))
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
@@ -448,12 +456,19 @@ object Relational {
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val econParts = Tables.part(s, dir)
       .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    // semi-join reduction: restrict customer to AMERICA nations BEFORE it
+    // meets the fact stream — the broadcast against ~5 nation keys shrinks
+    // the customer side of the one big shuffle ~5× (joining the full
+    // customer table first and filtering after moves the whole table
+    // through the exchange for rows the region filter then drops)
+    val amerCust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
     Tables.lineitem(s, dir)
       .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))

@@ -287,6 +287,38 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles === 1, s"expected 1 hash exchange, saw $hashShuffles:\n$nplan")
   }
 
+  test("q5/q8 reduce customer against the broadcast nation keys before the fact join") {
+    // semi-join reduction: the region-restricted nation set must filter
+    // customer BELOW the exchange that feeds the fact join, or the full
+    // customer table shuffles for rows the region filter then drops
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def pathToCustomerScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case s: FileSourceScanExec
+          if s.metadata("Location").contains("customer") => Some(List(s))
+      case _ => p.children.view.flatMap(pathToCustomerScan)
+        .headOption.map(p :: _)
+    }
+    for (q <- Seq("q5_local_supplier", "q8_market_share")) {
+      val df = SparkEntry.queries(q)(spark, sf("0.001"))
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val path = pathToCustomerScan(plan)
+        .getOrElse(fail(s"$q: no customer scan found"))
+      // walking UP from the scan, a broadcast join must appear before any
+      // shuffle exchange
+      val fromScan = path.reverse
+      val bcast = fromScan.indexWhere(_.isInstanceOf[BroadcastHashJoinExec])
+      val shuffle = fromScan.indexWhere(_.isInstanceOf[ShuffleExchangeLike])
+      assert(bcast >= 0, s"$q: customer never meets a broadcast join")
+      assert(shuffle < 0 || bcast < shuffle,
+        s"$q: customer shuffles before the nation-key broadcast filters it")
+    }
+  }
+
   test("timestore read pushes signed time range + prunes partitions") {
     val root = Files.createTempDirectory("graft-plan").toString
     val n = TimeStore.namespace(root, "PLAN")
