@@ -157,6 +157,14 @@ object ScaleProbe {
         Similarity.lshBandedPairsSized(emb, "vec_id", "embedding",
           threshold = 0.4, bands = 4, dim = 64)
       }
+      // same sized call with the count supplied by the caller (the catalog-
+      // stat path): isolates the sizing count() — which on this SYNTHESIZED
+      // corpus re-runs the whole 64-component generation, where a parquet
+      // table answers from footer metadata
+      time(s"dedup_embedding_nhint_r${Similarity.sizedBandBits(n)}", n) {
+        Similarity.lshBandedPairsSized(emb, "vec_id", "embedding",
+          threshold = 0.4, bands = 4, dim = 64, nHint = Some(n))
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)
