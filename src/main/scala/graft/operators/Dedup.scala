@@ -307,6 +307,101 @@ object Dedup {
       .select(col("member"), coalesce(col("label"), col("member")).as("canonical"))
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log²) -round variant for PATHOLOGICAL component shapes (long
+    * chains), after Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (the algorithm is public; this is an original DataFrame
+    * formulation). [[duplicateGroups]]' HashToMin stays the default:
+    * near-dup clusters are near-cliques that converge in 2-3 rounds there,
+    * and its round is one join lighter — reach for this one when component
+    * diameter is unbounded (transitive chains of pairwise near-dups).
+    *
+    * One alternation halves chain distances (large-star connects every
+    * larger neighbor to the neighborhood min; small-star flattens the
+    * resulting to-smaller forest), so a diameter-d component converges in
+    * ~log₂(d) alternations vs d rounds of min propagation. Each
+    * alternation is two aggregate+join rounds over the DIRECTED edge set,
+    * with the same cache/truncation discipline as [[duplicateGroups]]:
+    * superseded caches freed mid-flight, constant-size per-round plans,
+    * convergence detected by (count, Σchild, Σparent) stabilizing and then
+    * CONFIRMED with one exact symmetric-difference check (the stats are a
+    * cheap filter; only their false positives pay the exact pass).
+    * Contract matches [[duplicateGroups]]: (member, canonical) with
+    * singletons their own canonical. */
+  def duplicateGroupsStar(pairs: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 24): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = CacheScope.cache(pairs)
+    p.count()
+    val pt = spark.createDataFrame(p.rdd, p.schema)
+    // directed to-smaller edges (child > parent), deduped — the small-star
+    // fixed point is a star forest in exactly this representation
+    var e = CacheScope.cache(
+      pt.select(col("i").as("c"), col("j").as("p"))
+        .union(pt.select(col("j").as("c"), col("i").as("p")))
+        .filter(col("c") > col("p")).distinct())
+    var stats: (Long, Long, Long) = {
+      val obs = Observation()
+      e.observe(obs, count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("p")).as("sp")).write.format("noop").mode("overwrite").save()
+      (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("sc")).fold(0L)(_.asInstanceOf[Long]),
+        Option(obs.get("sp")).fold(0L)(_.asInstanceOf[Long]))
+    }
+    CacheScope.free(p)
+    var converged = stats._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val et = spark.createDataFrame(e.rdd, e.schema)
+      // large-star over the SYMMETRIC view: m(u) = min(Γ(u) ∪ {u});
+      // every edge, seen from its smaller endpoint u, reconnects the
+      // larger endpoint to m(u) — chain distances halve
+      val sym = et.union(et.select(col("p").as("c"), col("c").as("p")))
+      val mL = sym.groupBy(col("c")).agg(min(col("p")).as("mn"))
+        .select(col("c").as("u"), least(col("c"), col("mn")).as("m"))
+      val ls = sym.filter(col("p") > col("c"))
+        .join(mL, col("c") === col("u"))
+        .select(col("p").as("c"), col("m").as("p"))
+        .filter(col("c") > col("p")).distinct()
+      // small-star on the to-smaller forest: every child (and the node
+      // itself) hangs off the minimum parent
+      val mS = ls.groupBy(col("c")).agg(min(col("p")).as("m"))
+      val next = CacheScope.cache(
+        ls.join(mS, Seq("c"))
+          .select(when(col("p") === col("m"), col("c")).otherwise(col("p")).as("c"),
+            col("m").as("p"))
+          .filter(col("c") > col("p")).distinct())
+      val obs = Observation()
+      next.observe(obs, count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("p")).as("sp")).write.format("noop").mode("overwrite").save()
+      val nextStats = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("sc")).fold(0L)(_.asInstanceOf[Long]),
+        Option(obs.get("sp")).fold(0L)(_.asInstanceOf[Long]))
+      if (nextStats == stats) {
+        // stats stable — confirm exactly (symmetric difference, one job;
+        // runs at most a handful of times per call)
+        converged = next.exceptAll(spark.createDataFrame(e.rdd, e.schema))
+          .union(spark.createDataFrame(e.rdd, e.schema).exceptAll(next))
+          .isEmpty
+      }
+      CacheScope.free(e)
+      e = next
+      stats = nextStats
+      iter += 1
+    }
+    if (!converged && stats._1 > 0L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateGroupsStar did not converge after $maxIter alternations " +
+          "— returning the current (possibly unflattened) forest")
+    // the final edge cache stays tracked (consumer releases it) — the
+    // returned frame reads it on every materialization
+    val labels = spark.createDataFrame(e.rdd, e.schema)
+    nodes.select(col("id").as("member"))
+      .join(labels, col("member") === col("c"), "left")
+      .select(col("member"),
+        coalesce(col("p"), col("member")).as("canonical"))
+  }
+
   /** 64-bit SimHash per document over its n-gram *shingles* (order-
     * sensitive features — token-level simhash degenerates on permuted
     * near-dups and bag-similar corpora: every document collides). One

@@ -235,6 +235,19 @@ object NorthStar {
   val dedupGroupsSql: String =
     s"$dedupGroupsCoreSql\nORDER BY member"
 
+  /** [[dedupGroups]] computed by the alternating large-star/small-star CC
+    * ([[Dedup.duplicateGroupsStar]]) — the O(log²)-round variant for
+    * unbounded component diameters. Same (member, canonical) contract, so
+    * the twin is the same recursive-CTE closure: the oracle proves the two
+    * algorithms agree on real pair graphs, not just the spec fixtures. */
+  def dedupGroupsStar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), k = 64, r = 4, threshold = 0.5)
+    Dedup.duplicateGroupsStar(pairs, docs.select(col("doc_id").as("id")))
+      .orderBy(col("member"))
+  }
+
   /** Dedup APPLY audit — the shrinkage report a pipeline publishes after
     * near-dup removal: per source, the docs and character mass kept under
     * the keep-the-canonical policy. The components are the same
@@ -866,6 +879,7 @@ object NorthStar {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_groups" -> dedupGroups,
+    "dedup_groups_star" -> dedupGroupsStar,
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "ann_bruteforce" -> annBruteforce,
@@ -900,6 +914,7 @@ object NorthStar {
     "dedup_minhash_lsh" -> JaccardSql,
     "dedup_simhash" -> JaccardSql,
     "dedup_groups" -> dedupGroupsSql,
+    "dedup_groups_star" -> dedupGroupsSql,
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,

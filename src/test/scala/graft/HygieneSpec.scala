@@ -99,6 +99,34 @@ class HygieneSpec extends SparkSpec {
     assert(partial(1L) === 0L)
   }
 
+  test("duplicateGroupsStar: diameter-50 chain converges in <= 12 alternations") {
+    // the pathological shape for min propagation: a 51-node path needs 50
+    // HashToMin rounds, but large-star/small-star halves chain distances
+    // per alternation — log2(50) ≈ 6, so 12 is a comfortable hard bound
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("i", "j")
+    val nodes = (0L to 52L).toDF("id") // 51, 52 are singletons
+    val out = Dedup.duplicateGroupsStar(pairs, nodes, maxIter = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    CacheScope.release(spark)
+    assert((0L to 50L).forall(out(_) == 0L),
+      s"chain not fully flattened within 12 alternations: $out")
+    assert(out(51L) === 51L && out(52L) === 52L,
+      "singletons must stay their own canonical")
+    // contract parity with the HashToMin default on a mixed shape
+    val mixed = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("i", "j")
+    val mnodes = (1L to 10L).toDF("id")
+    val star = Dedup.duplicateGroupsStar(mixed, mnodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    CacheScope.release(spark)
+    val htm = Dedup.duplicateGroups(mixed, mnodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    CacheScope.release(spark)
+    assert(star === htm, s"star=$star differs from hashToMin=$htm")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "duplicateGroupsStar leaked caches after release")
+  }
+
   test("bench reports a broken query as err, never its time-to-throw") {
     val (sec, err) = Bench.timeOne(spark, sf("0.001"),
       (_, _) => throw new IllegalStateException("deliberately broken"))
