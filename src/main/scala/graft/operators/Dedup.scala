@@ -140,22 +140,53 @@ object Dedup {
   def minhashLshPairs(sh0: DataFrame, k: Int, r: Int, threshold: Double,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = CacheScope.cache(sh0)
-    // one row per doc, reused per band side; scoped like sh
+    val bucketed = bandedBuckets(sh, k, r, maxBucket)
+    val candidates = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+    verifyCandidates(sh, candidates, threshold)
+  }
+
+  /** (doc, band, bh) band buckets of the k-minhash signature, hot buckets
+    * capped — the shared front half of the self- and cross-corpus LSH
+    * joins. One hash-aggregate pass for all k minhashes. */
+  private def bandedBuckets(sh: DataFrame, k: Int, r: Int,
+                            maxBucket: Int): DataFrame = {
+    // cached: the self-join path references the bucketed frame from both
+    // sides, and the k-minhash aggregate is the expensive half
     val sig = CacheScope.cache(minhashSignature(sh, k))
     val bands = k / r
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("bh"))
     }
-    val bucketed = capHotBuckets(sig.select(col("doc"),
+    capHotBuckets(sig.select(col("doc"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh")),
       maxBucket)
-    val candidates = bucketed.as("a").join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc") < col("b.doc"))
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup pairs: every (incoming, corpus)
+    * document pair with exact Jaccard ≥ threshold — the INCREMENTAL dedup /
+    * doc-level decontamination path: dedup a new batch against the corpus
+    * you already hold without ever pairing the corpus against itself. The
+    * band join is incoming×corpus only, so candidate volume is
+    * Θ(n_incoming · bucket occupancy) regardless of corpus size, with the
+    * hot-bucket cap applied to each side independently (at 100 TB the
+    * corpus-side signatures are computed once and reused across batches —
+    * callers can pass pre-shingled frames). Doc ids must be disjoint
+    * across the two sides. Returns (i = incoming, j = corpus, jac). */
+  def minhashLshPairsCross(shIncoming: DataFrame, shCorpus: DataFrame,
+                           k: Int, r: Int, threshold: Double,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val shI = CacheScope.cache(shIncoming)
+    val shC = CacheScope.cache(shCorpus)
+    val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
+      .join(bandedBuckets(shC, k, r, maxBucket).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
-    verifyCandidates(sh, candidates, threshold)
+    verifyCandidates(shI.union(shC), candidates, threshold)
   }
 
   /** Band buckets larger than this are excluded from self-joins by default.

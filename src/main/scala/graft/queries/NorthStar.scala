@@ -197,6 +197,41 @@ object NorthStar {
         k = 64, r = 4, threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
+  /** Incremental / decontamination dedup: near-dup pairs between an
+    * incoming batch (every 5th doc — a deterministic 20% "new crawl") and
+    * the held corpus (the rest), via [[Dedup.minhashLshPairsCross]]. The
+    * band join never pairs the corpus against itself — the shape that lets
+    * a daily batch dedup against 100 TB of history. Recall argument is the
+    * same as `dedup_minhash_lsh`: every fixture cross pair sits at
+    * jaccard ≥ 0.9, where 16 bands of r=4 miss with p ≈ 3e-8. */
+  def dedupCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    Dedup.minhashLshPairsCross(
+        Dedup.shingles(incoming, "doc_id", "text", 3),
+        Dedup.shingles(corpus, "doc_id", "text", 3),
+        k = 64, r = 4, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val dedupCrossSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) s
+      |  FROM toks WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT i, j, ROUND(CAST(c AS DOUBLE)/(si.n+sj.n-c), 6) jac
+      |FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j
+      |WHERE CAST(c AS DOUBLE)/(si.n+sj.n-c) >= 0.5 ORDER BY i, j""".stripMargin
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.5)
@@ -880,6 +915,7 @@ object NorthStar {
     "dedup_simhash" -> dedupSimhash,
     "dedup_groups" -> dedupGroups,
     "dedup_groups_star" -> dedupGroupsStar,
+    "dedup_cross" -> dedupCross,
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "ann_bruteforce" -> annBruteforce,
@@ -915,6 +951,7 @@ object NorthStar {
     "dedup_simhash" -> JaccardSql,
     "dedup_groups" -> dedupGroupsSql,
     "dedup_groups_star" -> dedupGroupsSql,
+    "dedup_cross" -> dedupCrossSql,
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_bruteforce" -> annBruteforceSql,
