@@ -127,6 +127,26 @@ object ScaleProbe {
             k = 64, r = 4, threshold = 0.5),
           docs.select(col("doc_id").as("id")))
       }
+      // the alternating-star variant on the same pair graph: near-clique
+      // components converge in few rounds either way, so at synthetic-probe
+      // shapes this measures the per-alternation constant (the log-diameter
+      // advantage only shows on chain graphs — spec'd, not probed)
+      time("dedup_groups_star", n) {
+        Dedup.duplicateGroupsStar(
+          Dedup.minhashLshPairs(Dedup.shingles(docs, "doc_id", "text", 3),
+            k = 64, r = 4, threshold = 0.5),
+          docs.select(col("doc_id").as("id")))
+      }
+      // incremental dedup: every 5th doc as the incoming batch against the
+      // rest — candidate volume tracks the BATCH, not the corpus
+      time("dedup_cross", n) {
+        Dedup.minhashLshPairsCross(
+          Dedup.shingles(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text", 3),
+          Dedup.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            "doc_id", "text", 3),
+          k = 64, r = 4, threshold = 0.5)
+      }
       // same sizing law as the hyperplane LSH below: nibble bands (16×4
       // bits) only have 16 bucket values each, so occupancy grows n/16 —
       // trade hamming tolerance for block width as n grows
