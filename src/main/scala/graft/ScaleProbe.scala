@@ -57,13 +57,32 @@ object ScaleProbe {
     * exceeds what one core absorbs inside the job's natural tail — the
     * max/median task ratio exposes the imbalance long before that. */
   private class TaskStats extends org.apache.spark.scheduler.SparkListener {
-    val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val durs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val names = scala.collection.mutable.Map.empty[Int, String]
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      durs.synchronized {
+        names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+      }
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      durs.synchronized { durs += t.taskInfo.duration }
-    def maxMs: Long = durs.synchronized { if (durs.isEmpty) 0 else durs.max }
+      durs.synchronized { durs += ((t.stageId, t.taskInfo.duration)) }
+    def maxMs: Long =
+      durs.synchronized { if (durs.isEmpty) 0 else durs.map(_._2).max }
     def medMs: Long = durs.synchronized {
-      if (durs.isEmpty) 0 else durs.sorted.apply(durs.size / 2)
+      if (durs.isEmpty) 0 else durs.map(_._2).sorted.apply(durs.size / 2)
+    }
+    /** The stage owning the slowest task, as (maxMs, medMs, tasks) — the
+      * whole-op max/med ratio can't distinguish "one skewed stage" from
+      * "a long stage among short ones"; this pins WHERE the tail lives. */
+    def hotStage: (Long, Long, Int, String) = durs.synchronized {
+      if (durs.isEmpty) (0L, 0L, 0, "")
+      else {
+        val byStage = durs.groupBy(_._1).view.mapValues(_.map(_._2))
+        val (sid, ds) = byStage.maxBy(_._2.max)
+        (ds.max, ds.sorted.apply(ds.size / 2), ds.size,
+          names.getOrElse(sid, ""))
+      }
     }
   }
 
@@ -86,8 +105,11 @@ object ScaleProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     CacheScope.release(spark)
     spark.catalog.clearCache()
+    val (hsMax, hsMed, hsTasks, hsName) = stats.hotStage
     println(f"""{"op":"$label","n":$n,"sec":$sec%.2f,""" +
-      s""""max_task_ms":${stats.maxMs},"med_task_ms":${stats.medMs}}""")
+      s""""max_task_ms":${stats.maxMs},"med_task_ms":${stats.medMs},""" +
+      s""""hot_stage":{"max_ms":$hsMax,"med_ms":$hsMed,"tasks":$hsTasks,""" +
+      s""""name":"$hsName"}}""")
   }
 
   private def time(label: String, n: Long)(df: => DataFrame): Unit =

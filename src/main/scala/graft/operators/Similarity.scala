@@ -84,20 +84,33 @@ object Similarity {
               dim: Int = 64,
               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val r = planes / bands
-    def withBuckets(df: DataFrame, id: String, vecOut: String): DataFrame = {
-      val sig = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vecOut))
-        .withColumn("sig", lshSignature(col(vecOut), planes, dim))
-      sig.select(col(id), col(vecOut), posexplode(array((0 until bands).map(b =>
+    // NARROW band buckets (id, band, bh) — the signature projects in its
+    // own eagerly-materialized stage and the dim-wide vectors never enter
+    // the bucket join or the cap window (see [[lshBandedPairs]]: caching or
+    // shuffling the array column was the measured 10× of the whole
+    // operator); vectors re-join per UNIQUE candidate for scoring.
+    def buckets(df: DataFrame, id: String): DataFrame = {
+      val sig = graft.CacheScope.cache(
+        df.select(col(idCol).as(id),
+          lshSignature(asDouble(col(vecCol)), planes, dim).as("sig")))
+      sig.count()
+      sig.select(col(id), posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
-        .toDF(id, vecOut, "band", "bh")
+        .toDF(id, "band", "bh")
     }
-    val c = Dedup.capHotBuckets(withBuckets(corpus, "nbr_id", "cv"), maxBucket)
-    val p = withBuckets(probes, "query_id", "pv")
-    val scored = c.join(p, Seq("band", "bh"))
+    val c = Dedup.capHotBuckets(buckets(corpus, "nbr_id"), maxBucket)
+    val p = buckets(probes, "query_id")
+    val cand = c.join(p, Seq("band", "bh"))
       .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"))
+      .distinct() // a pair can share several bands
+    val cv = corpus.select(col(idCol).as("__ci"), asDouble(col(vecCol)).as("cv"))
+    val pv = probes.select(col(idCol).as("__pi"), asDouble(col(vecCol)).as("pv"))
+    val scored = cand
+      .join(cv, col("nbr_id") === col("__ci"))
+      .join(pv, col("query_id") === col("__pi"))
       .select(col("query_id"), col("nbr_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
-      .distinct()  // a pair can share several bands
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -217,19 +230,38 @@ object Similarity {
     // vectors (a dense embedding cluster) would make its bucket quadratic;
     // buckets above maxBucket are excluded — deterministically, so the
     // DuckDB twin mirrors the same cap ([[graft.queries]] LshOracleSql).
-    val sig = Dedup.capHotBuckets(
-      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-        .withColumn("sig", lshSignature(col("v"), planes, dim))
-        .select(col("id"), col("v"), posexplode(array((0 until bands).map(b =>
+    // The whole band path is NARROW — (id, sig) cached and EAGERLY
+    // materialized, (id, band, bh) through the cap window and self-join —
+    // and the dim-wide vectors re-join only per UNIQUE candidate pair.
+    // Two measured 10× traps drove this shape (80k probe, SCALE.md):
+    // (a) left lazy, the planes× dot-product projection evaluates in the
+    // map stage of the cap window's exchange behind a Generate, where
+    // codegen can't split the huge method and the stage drops out of JIT
+    // (12.5 s/task × 32 uniform tasks vs 1.5 s in its own stage — the
+    // eager count() pins it there); (b) caching or shuffling the
+    // ARRAY<DOUBLE> column costs more than every other stage combined
+    // (columnar cache building for array types), so the vectors stay in
+    // the corpus scan and meet only the deduped candidates.
+    // Consumer-released like every operator cache.
+    val sigN = graft.CacheScope.cache(
+      corpus.select(col(idCol).as("id"),
+        lshSignature(asDouble(col(vecCol)), planes, dim).as("sig")))
+    sigN.count()
+    val bucketed = Dedup.capHotBuckets(
+      sigN.select(col("id"), posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))): _*)))
-        .toDF("id", "v", "band", "bh"),
+        .toDF("id", "band", "bh"),
       maxBucket)
-    val a = sig.toDF("i", "va", "band", "bh")
-    val b = sig.toDF("j", "vb", "band", "bh")
-    a.join(b, Seq("band", "bh"))
+    val cand = bucketed.toDF("i", "band", "bh")
+      .join(bucketed.toDF("j", "band", "bh"), Seq("band", "bh"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("va"), col("vb"))
-      .dropDuplicates("i", "j") // a pair can collide in several bands
+      .select(col("i"), col("j"))
+      .distinct() // a pair can collide in several bands
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      asDouble(col(vecCol)).as("__v"))
+    cand
+      .join(vecs.toDF("__vi", "va"), col("i") === col("__vi"))
+      .join(vecs.toDF("__vj", "vb"), col("j") === col("__vj"))
       .select(col("i"), col("j"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
