@@ -207,6 +207,13 @@ object ScaleProbe {
         Similarity.lshBandedPairsSized(emb, "vec_id", "embedding",
           threshold = 0.4, bands = 4, dim = 64, nHint = Some(n))
       }
+      // IVF ANN at corpus scale: the corpus-side cell assignment (2×cells
+      // codegen'd dots) runs in the cell-join exchange's map stage — the
+      // same place the LSH signature hit the JIT method-split cliff
+      time("ann_ivf", n) {
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, cells = 16, nprobe = 4)
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)
