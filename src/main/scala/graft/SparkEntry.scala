@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.SortsSetsFns.queries ++
       graft.queries.NorthStar.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Windows.oracleSql ++
       graft.queries.SortsSetsFns.oracleSql ++
       graft.queries.NorthStar.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++
+      graft.queries.Streaming.oracleSql
 }
