@@ -68,9 +68,57 @@ object Streaming {
       |WHERE epoch_us(date_trunc('hour', ts)) // 1000 + 3600000 <= wm_ms
       |GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin
 
+  /** Watermark-bounded streaming dedup driven through a real execution —
+    * the exactly-once ingest shape ([[StreamingIngest.dedupStream]]):
+    * events stream through `dropDuplicatesWithinWatermark` on
+    * (user_id, ts) and land in an append sink; the read-back audits
+    * distinct event counts per user. Dedup emits each first occurrence
+    * immediately (no watermark withholding in the OUTPUT — the watermark
+    * only bounds state), so with the whole fixture replayed the surviving
+    * set is exactly the batch distinct, which is what the twin computes.
+    * Only key columns are emitted: which duplicate ROW survives is
+    * engine-internal, the surviving key set is the contract. */
+  def streamDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val out = s"$tmp/out"
+    val batchSchema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // µs-truncate the dedup key up front (integer ops) so the Spark-side
+      // distinct-ns set IS the distinct-µs set the DuckDB twin sees —
+      // semantic equality by construction, not fixture luck
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+    val q = StreamingIngest.dedupStream(src, Seq("user_id"), "ts",
+        watermarkDelay = "1 hour")
+      .select(col("user_id"), col("ts"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema("user_id BIGINT, ts BIGINT").parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_distinct_events"),
+        min(col("ts")).as("first_ts_us_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Twin: batch distinct over the same keys — the Spark side µs-truncates
+    * its dedup key up front, and DuckDB's `ts` IS the µs truncation of the
+    * same instants, so both engines count the identical distinct set. */
+  val streamDedupEventsSql: String =
+    """SELECT user_id, COUNT(DISTINCT epoch_us(ts)) AS n_distinct_events,
+      |  MIN(epoch_us(ts)) * 1000 AS first_ts_us_ns
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_events_tumbling" -> streamEventsTumbling)
+    "stream_events_tumbling" -> streamEventsTumbling,
+    "stream_dedup_events" -> streamDedupEvents)
 
   def oracleSql: Map[String, String] = Map(
-    "stream_events_tumbling" -> streamEventsTumblingSql)
+    "stream_events_tumbling" -> streamEventsTumblingSql,
+    "stream_dedup_events" -> streamDedupEventsSql)
 }
