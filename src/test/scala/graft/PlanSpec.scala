@@ -287,6 +287,18 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles === 1, s"expected 1 hash exchange, saw $hashShuffles:\n$nplan")
   }
 
+  test("dedup_cross pairs batch against corpus through band buckets only") {
+    // the incremental-dedup contract: candidates come from the (band, bh)
+    // bucket join — never a batch×corpus nested loop or cartesian product
+    val df = SparkEntry.queries("dedup_cross")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dedup_cross degraded to a nested loop")
+    assert(!plan.contains("CartesianProduct"),
+      "dedup_cross degraded to a cartesian product")
+    CacheScope.release(spark)
+  }
+
   test("q5/q8 reduce customer against the broadcast nation keys before the fact join") {
     // semi-join reduction: the region-restricted nation set must filter
     // customer BELOW the exchange that feeds the fact join, or the full
