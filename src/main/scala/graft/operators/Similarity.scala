@@ -418,6 +418,63 @@ object Similarity {
         round(sum(col("x").cast("double").cast("decimal(20,8)")).cast("double") /
           count(lit(1)), 6).as("centroid"))
 
+  /** Deterministic product-quantization codebook component: subspace s,
+    * centroid k, local dim d, in [-1, 1) — a third hash seed so PQ
+    * codebooks, IVF cells and LSH planes are pairwise uncorrelated.
+    * Literals, so the DuckDB twin embeds the same constants. */
+  private[graft] def pqComponent(s: Int, k: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((s, k, d, 13))
+    h.toDouble / Int.MaxValue
+  }
+
+  /** Product quantization (PQ) encoding — the memory side of IVF-PQ, the
+    * standard billion-vector ANN layout: the vector splits into `subs`
+    * contiguous subspaces and each subspace is replaced by the index of its
+    * nearest codebook centroid, compressing dim×float32 down to
+    * subs×log2(ksub) bits (64×4B → 2B here). Returns per vector: the packed
+    * code word, and the total squared reconstruction error that decides
+    * whether the codebook is usable.
+    *
+    * Scale shape: the entire encoding is ONE row-local projection over the
+    * corpus scan — no explode, no window, no shuffle; subs·ksub·dims/subs
+    * = dim·ksub squared-difference terms per row, codegen'd. At 100 TB the
+    * same plan holds with trained codebooks substituted as literals.
+    *
+    * Determinism: each subspace distance is a FIXED-ORDER left-associated
+    * sum of (x−c)² doubles — an expression fold, not an aggregate — so both
+    * engines produce identical bits and the argmin (ties → lowest k) cannot
+    * flip; the packed code is exact integer arithmetic and only the final
+    * error is rounded (r6). `d*d`, never `pow`. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              subs: Int = 8, ksub: Int = 4, dim: Int = 64): DataFrame = {
+    val ds = dim / subs
+    def xd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
+    // dist(s, k): left-assoc sum over the subspace's ds components
+    def dist(s: Int, k: Int): Column =
+      (0 until ds).map { d =>
+        val c = lit(pqComponent(s, k, d))
+        val t = xd(s * ds + d) - c
+        t * t
+      }.reduce(_ + _)
+    // argmin over ksub distances, ties to the lowest centroid index
+    def code(s: Int): Column = {
+      val dists = (0 until ksub).map(k => dist(s, k))
+      (0 until ksub - 1).foldRight(lit(ksub - 1): Column) { (k, rest) =>
+        when((k + 1 until ksub).map(j => dists(k) <= dists(j)).reduce(_ && _),
+          lit(k)).otherwise(rest)
+      }
+    }
+    // the chosen centroid's distance IS the subspace minimum
+    def chosenDist(s: Int): Column =
+      least((0 until ksub).map(k => dist(s, k)): _*)
+    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
+    val packed = (0 until subs).map(s => code(s).cast("long") * weights(s))
+      .reduce(_ + _)
+    val err = (0 until subs).map(chosenDist).reduce(_ + _)
+    corpus.select(col(idCol).as("vec_id"), packed.as("pq_code"),
+      (floor(err * 1e6 + 0.5) / 1e6).as("recon_err"))
+  }
+
   /** Int8 scalar quantization audit — the compression step an ANN index
     * applies before storing vectors (4× smaller than float32), plus the
     * reconstruction-error report that decides whether the codebook is

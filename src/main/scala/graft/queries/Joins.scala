@@ -173,6 +173,47 @@ object Joins {
       |  ON p.user_id = si.user_id AND p.ts >= si.ts
       |ORDER BY user_id, purchase_ts_ns""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof `tolerance`, kdb
+    * wj's window): the backward match is discarded when it is STALER than
+    * 48 h — the staleness guard every sensor/price alignment needs (an
+    * hours-old quote should not fill a current tick). Same single-window
+    * running-max plan as [[joinAsof]] — the bound is one row-local CASE on
+    * the matched timestamp afterwards, so the tolerance adds ZERO cost at
+    * any scale (the alternative, a range join on [ts−tol, ts], explodes).
+    * The compare runs on the µs-truncated values both engines emit. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolNs = 48L * 3600L * 1000000000L
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = e.withColumn("signup_ts",
+      max(when(col("event_type") === "signup", col("ts"))).over(w))
+    def usec(c: Column): Column = c - pmod(c, lit(1000L))
+    tagged.filter(col("event_type") === "purchase")
+      .withColumn("pt", usec(col("ts")))
+      .withColumn("st", usec(col("signup_ts")))
+      .select(col("user_id"), col("pt").as("purchase_ts_ns"),
+        col("value").cast("double").as("value"),
+        when(col("pt") - col("st") <= tolNs, col("st"))
+          .as("recent_signup_ts_ns"))
+      .orderBy(col("user_id"), col("purchase_ts_ns"))
+  }
+
+  val joinAsofToleranceSql: String =
+    """SELECT user_id, purchase_ts_ns, value,
+      |  CASE WHEN purchase_ts_ns - signup_ts_ns <= 172800000000000
+      |       THEN signup_ts_ns END AS recent_signup_ts_ns
+      |FROM (
+      |  SELECT p.user_id AS user_id, epoch_ns(p.ts) AS purchase_ts_ns,
+      |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |    epoch_ns(si.ts) AS signup_ts_ns
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') si
+      |    ON p.user_id = si.user_id AND p.ts >= si.ts)
+      |ORDER BY user_id, purchase_ts_ns""".stripMargin
+
   /** FORWARD as-of: each purchase matched to the EARLIEST signup at or
     * after it per user — the "next event" lookup (churn/conversion
     * attribution looks forward; the reference's indexLookup floor is the
@@ -325,7 +366,8 @@ object Joins {
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
-    "join_asof_nearest" -> joinAsofNearest)
+    "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_tolerance" -> joinAsofTolerance)
 
   def oracleSql: Map[String, String] = Map(
     "join_lateral" -> joinLateralSql,
@@ -339,5 +381,6 @@ object Joins {
     "join_cross" -> joinCrossSql,
     "join_asof" -> joinAsofSql,
     "join_asof_forward" -> joinAsofForwardSql,
-    "join_asof_nearest" -> joinAsofNearestSql)
+    "join_asof_nearest" -> joinAsofNearestSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql)
 }

@@ -93,6 +93,44 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[Similarity.pqCodes]]: the same literal codebooks
+    * ([[Similarity.pqComponent]]), the same left-associated fixed-order
+    * squared-difference sums (identical double bits), the same
+    * ties-to-lowest argmin and mixed-radix packing. Distances compute once
+    * in a CTE; the outer select does the argmin/pack/error arithmetic. */
+  def pqCodes(subs: Int, ksub: Int, dim: Int): String = {
+    val ds = dim / subs
+    def dist(s: Int, k: Int): String =
+      (0 until ds).map { d =>
+        val c = Similarity.pqComponent(s, k, d).toString
+        val x = s"CAST(embedding[${s * ds + d + 1}] AS DOUBLE)"
+        s"(($x - $c) * ($x - $c))"
+      }.mkString(" + ")
+    val distCols = (for (s <- 0 until subs; k <- 0 until ksub)
+      yield s"${dist(s, k)} AS d_${s}_$k").mkString(",\n    ")
+    def code(s: Int): String = {
+      val whens = (0 until ksub - 1).map { k =>
+        val conds = (k + 1 until ksub)
+          .map(j => s"d_${s}_$k <= d_${s}_$j").mkString(" AND ")
+        s"WHEN $conds THEN $k"
+      }.mkString(" ")
+      s"(CASE $whens ELSE ${ksub - 1} END)"
+    }
+    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
+    val packed = (0 until subs).map(s => s"${code(s)} * ${weights(s)}")
+      .mkString(" + ")
+    val err = (0 until subs).map(s =>
+      s"LEAST(${(0 until ksub).map(k => s"d_${s}_$k").mkString(", ")})")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |    $distCols
+       |  FROM embeddings)
+       |SELECT vec_id, CAST($packed AS BIGINT) AS pq_code,
+       |  FLOOR(($err) * 1e6 + 0.5) / 1e6 AS recon_err
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
   /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10 — including
     * the CORPUS-side hot-bucket cap (`cb` mirrors
     * [[graft.operators.Dedup.capHotBuckets]]; probes stay uncapped, same
@@ -706,6 +744,17 @@ object NorthStar {
       |  FLOOR(MAX(ABS(x - (mn + q * ((mx - mn) / 255)))) * 1e8 + 0.5) / 1e8 AS max_abs_err
       |FROM qd GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization encoding over the embedding corpus — the
+    * IVF-PQ memory layout step (64 float32 dims → one 16-bit code word +
+    * reconstruction error). One row-local projection, no shuffle; see
+    * [[Similarity.pqCodes]]. */
+  def embPqQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
+        subs = 8, ksub = 4, dim = 64)
+      .orderBy(col("vec_id"))
+
+  val embPqQuantizeSql: String = LshOracleSql.pqCodes(subs = 8, ksub = 4, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -909,6 +958,7 @@ object NorthStar {
     "dedup_exact" -> dedupExact,
     "dedup_cluster_stats" -> dedupClusterStats,
     "emb_quantize" -> embQuantize,
+    "emb_pq_quantize" -> embPqQuantize,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -945,6 +995,7 @@ object NorthStar {
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "emb_quantize" -> embQuantizeSql,
+    "emb_pq_quantize" -> embPqQuantizeSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,

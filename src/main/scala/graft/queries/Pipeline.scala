@@ -104,6 +104,39 @@ object Pipeline {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Deterministic fixed-size (reservoir-equivalent) sample: exactly k=20
+    * documents per language, uniform over the stratum — the eval-set /
+    * human-review draw where a fixed COUNT is wanted rather than
+    * [[sampleStratified]]'s fixed rate. Ranking by the salted md5 digest is
+    * equivalent to a uniform k-reservoir but deterministic and engine-
+    * independent, and (unlike a true streaming reservoir) re-running on a
+    * grown corpus evicts only documents out-ranked by new arrivals.
+    *
+    * Scale shape: rank-filter over one hash-partitioned window. Spark
+    * rewrites the `row_number <= k` filter into WindowGroupLimit, which
+    * runs a partial top-k per input partition BEFORE the exchange — the
+    * shuffle carries ≤ k rows per (mapper × stratum), not the corpus
+    * (guarded in PlanSpec). The declared output is the sample itself
+    * (k × languages rows), which pins every chosen id at the gate. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("resv:"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val sampleReservoirSql: String =
+    """SELECT lang, rn, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('resv:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   /** Temperature-scaled source-mixing weights (α = 0.5): the data-mixing
     * step that decides how often each source is drawn during training —
     * up-weighting small sources relative to their raw token share
@@ -251,6 +284,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
+    "sample_reservoir" -> sampleReservoir,
     "split_train_test" -> splitTrainTest,
     "doc_shard" -> docShard,
     "sample_temperature" -> sampleTemperature,
@@ -258,6 +292,7 @@ object Pipeline {
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_reservoir" -> sampleReservoirSql,
     "split_train_test" -> splitTrainTestSql,
     "doc_shard" -> docShardSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -327,6 +327,39 @@ class NorthStarSpec extends SparkSpec {
     assert(got(9L) === ((3L, 0L)))
   }
 
+  test("pqCodes matches an independent in-memory encoder on fixture vectors") {
+    val subs = 8; val ksub = 4; val dim = 64; val ds = dim / subs
+    val sample = emb.filter(col("vec_id") < 8)
+    val vecs = sample.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.nonEmpty)
+    val got = Similarity.pqCodes(sample, "vec_id", "embedding",
+        subs, ksub, dim)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    for ((id, v) <- vecs) {
+      // same fixed-order left-associated double arithmetic as the plan
+      def dist(s: Int, k: Int): Double =
+        (0 until ds).foldLeft(0.0) { (acc, d) =>
+          val t = v(s * ds + d).toDouble - Similarity.pqComponent(s, k, d)
+          acc + t * t
+        }
+      var packed = 0L; var err = 0.0; var weight = 1L
+      for (s <- 0 until subs) {
+        val dists = (0 until ksub).map(k => dist(s, k))
+        val code = dists.indices.find(k =>
+          (k + 1 until ksub).forall(j => dists(k) <= dists(j))).get
+        packed += code.toLong * weight
+        weight *= ksub
+        err += dists.min
+      }
+      val expErr = math.floor(err * 1e6 + 0.5) / 1e6
+      assert(got(id) === ((packed, expErr)), s"vec $id")
+    }
+    // codes must discriminate: a constant corpus would be a useless codebook
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
   test("exact dedup collapses identical content only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() === docs.count())  // fixture has no byte-identical dups

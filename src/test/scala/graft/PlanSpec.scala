@@ -273,7 +273,8 @@ class PlanSpec extends SparkSpec {
     // current→end per row — O(partition²), measured 26× on ts_interpolate's
     // carries at sf0.1. All as-of variants must express the forward extremum
     // as a GROWING frame over descending ts instead.
-    for (q <- Seq("join_asof", "join_asof_forward", "join_asof_nearest")) {
+    for (q <- Seq("join_asof", "join_asof_forward", "join_asof_nearest",
+        "join_asof_tolerance")) {
       val df = SparkEntry.queries(q)(spark, sf("0.001"))
       val plan = df.queryExecution.executedPlan.toString.toLowerCase
       assert(!plan.contains("unboundedfollowing"),
@@ -285,6 +286,28 @@ class PlanSpec extends SparkSpec {
     val nplan = nearest.queryExecution.executedPlan.toString
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(nplan).size
     assert(hashShuffles === 1, s"expected 1 hash exchange, saw $hashShuffles:\n$nplan")
+  }
+
+  test("sample_reservoir pushes a partial per-group top-k below the exchange") {
+    // the rank-filter must rewrite into WindowGroupLimit with a Partial pass
+    // BEFORE the lang exchange — the shuffle then carries ≤ k rows per
+    // (mapper × stratum) instead of the corpus
+    val df = SparkEntry.queries("sample_reservoir")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not push a WindowGroupLimit:\n${plan.take(800)}")
+    assert(plan.contains("Partial"),
+      s"no map-side partial top-k below the exchange:\n${plan.take(800)}")
+  }
+
+  test("emb_pq_quantize encodes in one row-local projection (no shuffle ops)") {
+    // the PQ encoding is a pure projection over the corpus scan: any
+    // Window / aggregate / join in the plan means the codebook assignment
+    // stopped being row-local
+    val df = SparkEntry.queries("emb_pq_quantize")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("Window", "HashAggregate", "SortAggregate", "Join"))
+      assert(!plan.contains(bad), s"PQ plan contains $bad:\n${plan.take(800)}")
   }
 
   test("dedup_cross pairs batch against corpus through band buckets only") {
