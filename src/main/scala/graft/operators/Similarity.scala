@@ -475,6 +475,60 @@ object Similarity {
       (floor(err * 1e6 + 0.5) / 1e6).as("recon_err"))
   }
 
+  /** PQ top-k search via ADC (asymmetric distance computation) — how a
+    * billion-vector index actually serves queries: the corpus is scanned as
+    * its 2-byte [[pqCodes]] code words (128× smaller than the raw float32
+    * vectors), each probe precomputes ONE subs×ksub table of
+    * probe-subvector→centroid squared distances, and the distance to a
+    * corpus row is subs table lookups indexed by the bit-sliced code — no
+    * per-pair vector arithmetic at all.
+    *
+    * Scale shape: encode is a row-local projection ([[pqCodes]]); the probe
+    * table builds once per probe row and BROADCASTS with it; scoring is a
+    * broadcast nested-loop over (code word, table) with `element_at`
+    * lookups — the big side never shuffles until the rank window, and the
+    * `row_number <= k` filter rewrites to a partial WindowGroupLimit so the
+    * exchange carries ≤ k rows per mapper × probe. At 100 TB this is the
+    * IVF-PQ cell-scan inner loop with trained codebooks as literals.
+    *
+    * Determinism: table entries are the same fixed-order folds as
+    * [[pqCodes]], the ADC sum is a fixed-order fold over subspaces, and
+    * ranking uses the r6-rounded distance with an id tie-break — both
+    * engines rank identical doubles. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
+             dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val ds = dim / subs
+    val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
+      .select(col("vec_id").as("nbr_id"), col("pq_code"))
+    def pd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
+    def dist(s: Int, c: Int): Column =
+      (0 until ds).map { d =>
+        val t = pd(s * ds + d) - lit(pqComponent(s, c, d))
+        t * t
+      }.reduce(_ + _)
+    val dtab = array((for (s <- 0 until subs; c <- 0 until ksub)
+      yield dist(s, c)): _*)
+    val p = probes.select(col(idCol).as("query_id"), dtab.as("dtab"))
+    // Σ_s dtab[s·ksub + code_s] — code_s bit-sliced from the packed word
+    val adc = (0 until subs).map { s =>
+      val codeS = shiftright(col("pq_code"), s * shift)
+        .bitwiseAND(lit((ksub - 1).toLong))
+      element_at(col("dtab"), (codeS + lit(s * ksub + 1)).cast("int"))
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+  }
+
   /** Int8 scalar quantization audit — the compression step an ANN index
     * applies before storing vectors (4× smaller than float32), plus the
     * reconstruction-error report that decides whether the codebook is

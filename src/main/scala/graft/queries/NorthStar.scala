@@ -98,7 +98,9 @@ private object LshOracleSql {
     * squared-difference sums (identical double bits), the same
     * ties-to-lowest argmin and mixed-radix packing. Distances compute once
     * in a CTE; the outer select does the argmin/pack/error arithmetic. */
-  def pqCodes(subs: Int, ksub: Int, dim: Int): String = {
+  /** Shared select list of probe/corpus→centroid squared distances
+    * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
+  private def pqDistCols(subs: Int, ksub: Int, dim: Int): String = {
     val ds = dim / subs
     def dist(s: Int, k: Int): String =
       (0 until ds).map { d =>
@@ -106,8 +108,13 @@ private object LshOracleSql {
         val x = s"CAST(embedding[${s * ds + d + 1}] AS DOUBLE)"
         s"(($x - $c) * ($x - $c))"
       }.mkString(" + ")
-    val distCols = (for (s <- 0 until subs; k <- 0 until ksub)
+    (for (s <- 0 until subs; k <- 0 until ksub)
       yield s"${dist(s, k)} AS d_${s}_$k").mkString(",\n    ")
+  }
+
+  /** Mixed-radix packed code word from the argmin of each subspace's
+    * `d_s_k` columns (ties → lowest k, same CASE order as the plan). */
+  private def pqPackedExpr(subs: Int, ksub: Int): String = {
     def code(s: Int): String = {
       val whens = (0 until ksub - 1).map { k =>
         val conds = (k + 1 until ksub)
@@ -117,18 +124,57 @@ private object LshOracleSql {
       s"(CASE $whens ELSE ${ksub - 1} END)"
     }
     val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
-    val packed = (0 until subs).map(s => s"${code(s)} * ${weights(s)}")
-      .mkString(" + ")
+    (0 until subs).map(s => s"${code(s)} * ${weights(s)}").mkString(" + ")
+  }
+
+  def pqCodes(subs: Int, ksub: Int, dim: Int): String = {
     val err = (0 until subs).map(s =>
       s"LEAST(${(0 until ksub).map(k => s"d_${s}_$k").mkString(", ")})")
       .mkString(" + ")
     s"""WITH d AS (
        |  SELECT vec_id,
-       |    $distCols
+       |    ${pqDistCols(subs, ksub, dim)}
        |  FROM embeddings)
-       |SELECT vec_id, CAST($packed AS BIGINT) AS pq_code,
+       |SELECT vec_id, CAST(${pqPackedExpr(subs, ksub)} AS BIGINT) AS pq_code,
        |  FLOOR(($err) * 1e6 + 0.5) / 1e6 AS recon_err
        |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  /** Twin of [[Similarity.pqTopK]] with probe set vec_id < 10: corpus
+    * re-encoded from the `d_s_k` distances, probe table re-derived from
+    * the SAME select list, ADC assembled per subspace by bit-slicing the
+    * code word into a CASE over the probe's distance columns — the SQL
+    * mirror of the `element_at` table lookup. */
+  def pqTopK(k: Int, subs: Int, ksub: Int, dim: Int): String = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val adc = (0 until subs).map { s =>
+      val whens = (0 until ksub)
+        .map(c => s"WHEN $c THEN d_${s}_$c").mkString(" ")
+      s"(CASE ((pq_code >> ${s * shift}) & ${ksub - 1}) $whens END)"
+    }.mkString("\n      + ")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id AS nbr_id,
+       |    CAST(${pqPackedExpr(subs, ksub)} AS BIGINT) AS pq_code
+       |  FROM d),
+       |pd AS (
+       |  SELECT vec_id AS query_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, nbr_id,
+       |    FLOOR(($adc) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM codes CROSS JOIN pd
+       |  WHERE query_id != nbr_id)
+       |SELECT query_id, rnk, nbr_id, adc_dist FROM (
+       |  SELECT query_id, nbr_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Twin of [[Similarity.lshTopK]] with probe set vec_id < 10 — including
@@ -755,6 +801,17 @@ object NorthStar {
 
   val embPqQuantizeSql: String = LshOracleSql.pqCodes(subs = 8, ksub = 4, dim = 64)
 
+  /** PQ-ADC top-k search — corpus scanned as 2-byte code words, probes
+    * carrying a broadcast distance table; see [[Similarity.pqTopK]]. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqSql: String = LshOracleSql.pqTopK(k = 5, subs = 8, ksub = 4, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -959,6 +1016,7 @@ object NorthStar {
     "dedup_cluster_stats" -> dedupClusterStats,
     "emb_quantize" -> embQuantize,
     "emb_pq_quantize" -> embPqQuantize,
+    "ann_pq" -> annPq,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -996,6 +1054,7 @@ object NorthStar {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_pq_quantize" -> embPqQuantizeSql,
+    "ann_pq" -> annPqSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,

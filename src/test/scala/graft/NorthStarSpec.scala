@@ -360,6 +360,43 @@ class NorthStarSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("pqTopK ADC equals the distance to the reconstructed corpus vector") {
+    val subs = 8; val ksub = 4; val dim = 64; val ds = dim / subs
+    val corpus = emb.filter(col("vec_id") < 40)
+    val probes = emb.filter(col("vec_id") < 3)
+    val vecs = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // in-memory encoder (same fixed-order folds as the plan)
+    def dist(v: Seq[Float], s: Int, k: Int): Double =
+      (0 until ds).foldLeft(0.0) { (acc, d) =>
+        val t = v(s * ds + d).toDouble - Similarity.pqComponent(s, k, d)
+        acc + t * t
+      }
+    def encode(v: Seq[Float]): IndexedSeq[Int] =
+      (0 until subs).map { s =>
+        val dists = (0 until ksub).map(k => dist(v, s, k))
+        dists.indices.find(k =>
+          (k + 1 until ksub).forall(j => dists(k) <= dists(j))).get
+      }
+    val got = Similarity.pqTopK(corpus, probes, "vec_id", "embedding",
+        k = 1000, subs, ksub, dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    for (((qid, nid), adc) <- got) {
+      // ADC = Σ_s ||p_s − centroid(s, code_s(c))||², the distance between
+      // the probe and the corpus vector's codebook reconstruction
+      val codes = encode(vecs(nid))
+      val exp = (0 until subs).foldLeft(0.0) { (acc, s) =>
+        acc + dist(vecs(qid), s, codes(s))
+      }
+      assert(adc === math.floor(exp * 1e6 + 0.5) / 1e6, s"pair ($qid,$nid)")
+    }
+    // every probe ranks the full (non-self) corpus: 39 neighbors each
+    val perQuery = got.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.toSet === Set(vecs.size - 1))
+  }
+
   test("exact dedup collapses identical content only") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() === docs.count())  // fixture has no byte-identical dups

@@ -300,6 +300,22 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial top-k below the exchange:\n${plan.take(800)}")
   }
 
+  test("ann_pq scans code words against a broadcast probe table") {
+    // the ADC contract: the corpus side carries only (nbr_id, pq_code) into
+    // a broadcast nested-loop against the probes' distance tables — the big
+    // side must not shuffle before the rank window, and the rank filter
+    // must push a partial top-k below that single exchange
+    val df = SparkEntry.queries("ann_pq")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe table did not broadcast:\n${plan.take(800)}")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles === 1,
+      s"expected only the window exchange, saw $hashShuffles:\n${plan.take(1200)}")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank filter did not push a partial top-k:\n${plan.take(800)}")
+  }
+
   test("emb_pq_quantize encodes in one row-local projection (no shuffle ops)") {
     // the PQ encoding is a pure projection over the corpus scan: any
     // Window / aggregate / join in the plan means the codebook assignment
