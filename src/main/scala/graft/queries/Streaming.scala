@@ -114,11 +114,79 @@ object Streaming {
       |  MIN(epoch_us(ts)) * 1000 AS first_ts_us_ns
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event-time sessionization driven through a streaming execution —
+    * `session_window` state per user, 30 min gap, 1 h watermark, append
+    * sink ([[StreamingIngest.sessionCounts]]). Append mode emits exactly
+    * the sessions CLOSED by the final watermark (last event + gap at or
+    * before max-event-time − delay); later sessions die in discarded state
+    * — that withholding is the semantics under test, `win_sessionize` is
+    * the complete-data batch relative. Event times are ms-floored up front
+    * with integer ops so session bounds, the ms-granular watermark, and
+    * the twin's gaps-and-islands reconstruction compare identical
+    * instants. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val out = s"$tmp/out"
+    val batchSchema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("ts div 1000000") * 1000000L)
+    val q = StreamingIngest.sessionCounts(src, "ts", gap = "30 minutes",
+        watermarkDelay = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .schema("session_start TIMESTAMP, session_end TIMESTAMP, " +
+        "user_id BIGINT, n_events BIGINT")
+      .parquet(out)
+      .select(col("user_id"),
+        (unix_micros(col("session_start")) * 1000L).as("session_start_ns"),
+        (unix_micros(col("session_end")) * 1000L).as("session_end_ns"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_ns"))
+  }
+
+  /** Twin: gaps-and-islands over ms-floored event times (a break at gap ≥
+    * 30 min — `session_window` merges only STRICT overlaps), session end =
+    * last event + gap, emitted iff closed by the final watermark. All
+    * integer arithmetic. */
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+      |wm AS (SELECT MAX(ms) - 3600000 AS wm_ms FROM e),
+      |g AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+      |              >= 1800000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ms,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |agg AS (
+      |  SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
+      |    COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, start_ms * 1000000 AS session_start_ns,
+      |  end_ms * 1000000 AS session_end_ns, n_events
+      |FROM agg, wm WHERE end_ms <= wm_ms
+      |ORDER BY user_id, session_start_ns""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_tumbling" -> streamEventsTumbling,
-    "stream_dedup_events" -> streamDedupEvents)
+    "stream_dedup_events" -> streamDedupEvents,
+    "stream_sessionize" -> streamSessionize)
 
   def oracleSql: Map[String, String] = Map(
     "stream_events_tumbling" -> streamEventsTumblingSql,
-    "stream_dedup_events" -> streamDedupEventsSql)
+    "stream_dedup_events" -> streamDedupEventsSql,
+    "stream_sessionize" -> streamSessionizeSql)
 }
