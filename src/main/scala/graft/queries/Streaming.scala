@@ -180,13 +180,64 @@ object Streaming {
       |FROM agg, wm WHERE end_ms <= wm_ms
       |ORDER BY user_id, session_start_ns""".stripMargin
 
+  /** Stream-stream interval join driven through a streaming execution —
+    * each purchase matched to same-user signups at or before it within
+    * 1 h ([[StreamingIngest.attributionJoin]]: both sides watermarked so
+    * join state expires instead of growing without bound — the part that
+    * matters on an unbounded stream). An append-mode INNER join emits
+    * every match as it forms (watermarks bound STATE, not output), so with
+    * the fixture replayed the emitted set is exactly the batch interval
+    * join, which is what the twin computes at the same µs precision. */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-attr")
+    val out = s"$tmp/out"
+    val batchSchema = Tables.events(s, dir).schema
+    def src() = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = StreamingIngest.attributionJoin(
+        src().filter(col("event_type") === "purchase"),
+        src().filter(col("event_type") === "signup"),
+        "ts", within = "1 hour", watermarkDelay = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read
+      .schema("user_id BIGINT, purchase_time TIMESTAMP, signup_time TIMESTAMP")
+      .parquet(out)
+      .select(col("user_id"),
+        (unix_micros(col("purchase_time")) * 1000L).as("purchase_ts_ns"),
+        (unix_micros(col("signup_time")) * 1000L).as("signup_ts_ns"))
+      .orderBy(col("user_id"), col("purchase_ts_ns"), col("signup_ts_ns"))
+  }
+
+  /** Twin: the batch interval join over the same µs instants (DuckDB's
+    * `ts` IS the µs truncation of the nanoseconds Spark floors with
+    * `div 1000`); bounds inclusive on both ends, every qualifying
+    * (purchase, signup) pair emitted. */
+  val streamAttributionSql: String =
+    """SELECT p.user_id AS user_id,
+      |  epoch_us(p.ts) * 1000 AS purchase_ts_ns,
+      |  epoch_us(si.ts) * 1000 AS signup_ts_ns
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'signup') si
+      |  ON p.user_id = si.user_id AND si.ts <= p.ts
+      | AND epoch_us(p.ts) <= epoch_us(si.ts) + 3600000000
+      |ORDER BY user_id, purchase_ts_ns, signup_ts_ns""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_dedup_events" -> streamDedupEvents,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_attribution" -> streamAttribution)
 
   def oracleSql: Map[String, String] = Map(
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_dedup_events" -> streamDedupEventsSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_attribution" -> streamAttributionSql)
 }
