@@ -188,6 +188,17 @@ object ScaleProbe {
       time("emb_quantize", n) {
         Similarity.quantizeStats(emb, "vec_id", "embedding")
       }
+      // PQ family: encode is a row-local projection (must track corpus
+      // size linearly); ADC search scans the 2-byte codes against a
+      // broadcast probe table — the per-pair work is 8 array lookups, so
+      // growth should also be linear with a probe-count constant
+      time("emb_pq_quantize", n) {
+        Similarity.pqCodes(emb, "vec_id", "embedding")
+      }
+      time("ann_pq", n) {
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5)
+      }
       // LSH sizing is the scale lever: with FIXED r bits per band, average
       // bucket occupancy n/2^r grows linearly and the band self-join goes
       // quadratic (measured: 9.6 s at 20k but 396 s at 80k with r=8 on

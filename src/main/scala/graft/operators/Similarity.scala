@@ -501,8 +501,15 @@ object Similarity {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
     val shift = Integer.numberOfTrailingZeros(ksub)
     val ds = dim / subs
-    val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
-      .select(col("vec_id").as("nbr_id"), col("pq_code"))
+    // pin the 2-byte code words into their OWN stage: the ADC sum reads
+    // `pq_code` subs times, and CollapseProject would otherwise inline the
+    // 256-term encode expression into the per-PAIR projection above the
+    // join — measured 100× per-task on the 320k probe (same trap as the
+    // LSH signature, see lshTopK). Cached size is 2 longs/row.
+    val codes = graft.CacheScope.cache(
+      pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
+        .select(col("vec_id").as("nbr_id"), col("pq_code")))
+    codes.count()
     def pd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
     def dist(s: Int, c: Int): Column =
       (0 until ds).map { d =>
