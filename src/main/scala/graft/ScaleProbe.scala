@@ -199,6 +199,12 @@ object ScaleProbe {
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5)
       }
+      // composed IVF-PQ: the cell join should cut the scored volume to
+      // ~nprobe/cells of ann_pq's full ADC scan
+      time("ann_ivfpq", n) {
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, cells = 16, nprobe = 4)
+      }
       // LSH sizing is the scale lever: with FIXED r bits per band, average
       // bucket occupancy n/2^r grows linearly and the band self-join goes
       // quadratic (measured: 9.6 s at 20k but 396 s at 80k with r=8 on

@@ -495,12 +495,34 @@ object Similarity {
     * [[pqCodes]], the ADC sum is a fixed-order fold over subspaces, and
     * ranking uses the r6-rounded distance with an id tie-break — both
     * engines rank identical doubles. */
+  /** Probe-side ADC distance table: subs×ksub probe-subvector→centroid
+    * squared distances, each the same fixed-order fold as [[pqCodes]]. */
+  private def pqDistTable(vecCol: String, subs: Int, ksub: Int,
+                          dim: Int): Column = {
+    val ds = dim / subs
+    def pd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
+    def dist(s: Int, c: Int): Column =
+      (0 until ds).map { d =>
+        val t = pd(s * ds + d) - lit(pqComponent(s, c, d))
+        t * t
+      }.reduce(_ + _)
+    array((for (s <- 0 until subs; c <- 0 until ksub) yield dist(s, c)): _*)
+  }
+
+  /** Σ_s dtab[s·ksub + code_s] — code_s bit-sliced from the packed word. */
+  private def adcSum(subs: Int, ksub: Int): Column = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    (0 until subs).map { s =>
+      val codeS = shiftright(col("pq_code"), s * shift)
+        .bitwiseAND(lit((ksub - 1).toLong))
+      element_at(col("dtab"), (codeS + lit(s * ksub + 1)).cast("int"))
+    }.reduce(_ + _)
+  }
+
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
              dim: Int = 64): DataFrame = {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
-    val shift = Integer.numberOfTrailingZeros(ksub)
-    val ds = dim / subs
     // pin the 2-byte code words into their OWN stage: the ADC sum reads
     // `pq_code` subs times, and CollapseProject would otherwise inline the
     // 256-term encode expression into the per-PAIR projection above the
@@ -510,22 +532,67 @@ object Similarity {
       pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
         .select(col("vec_id").as("nbr_id"), col("pq_code")))
     codes.count()
-    def pd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
-    def dist(s: Int, c: Int): Column =
-      (0 until ds).map { d =>
-        val t = pd(s * ds + d) - lit(pqComponent(s, c, d))
-        t * t
-      }.reduce(_ + _)
-    val dtab = array((for (s <- 0 until subs; c <- 0 until ksub)
-      yield dist(s, c)): _*)
-    val p = probes.select(col(idCol).as("query_id"), dtab.as("dtab"))
-    // Σ_s dtab[s·ksub + code_s] — code_s bit-sliced from the packed word
-    val adc = (0 until subs).map { s =>
-      val codeS = shiftright(col("pq_code"), s * shift)
-        .bitwiseAND(lit((ksub - 1).toLong))
-      element_at(col("dtab"), (codeS + lit(s * ksub + 1)).cast("int"))
-    }.reduce(_ + _)
+    val p = probes.select(col(idCol).as("query_id"),
+      pqDistTable(vecCol, subs, ksub, dim).as("dtab"))
+    val adc = adcSum(subs, ksub)
     val scored = codes.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+  }
+
+  /** IVF-PQ top-k — the composed billion-vector index architecture
+    * ([[ivfTopK]]'s cell pruning × [[pqTopK]]'s compressed scan): the
+    * corpus index is (cell, 2-byte code word) per vector, built in one
+    * row-local projection and pinned to its own stage; each probe expands
+    * to its top-`nprobe` cells carrying its broadcast ADC table; the cell
+    * join scans only ~nprobe/cells of the code words, ADC-scores them with
+    * subs table lookups, and takes top-k. Both the scan-fraction lever
+    * (nprobe/cells) and the 128× compression compose — this is the
+    * structure a 100 TB corpus actually serves from, with trained
+    * coarse/fine codebooks substituted as literals.
+    *
+    * Determinism: cell assignment and code word are [[ivfTopK]]/
+    * [[pqCodes]]'s pinned-tie row-local expressions; ranking uses the
+    * r6-rounded ADC with an id tie-break. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 8,
+                subs: Int = 8, ksub: Int = 4, dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      asDouble(col(vecCol)).as("cv"))
+    // corpus index: cell (argmax dot, ties→lowest) + packed PQ code, one
+    // row-local pass, cached (3 narrow columns/row) so neither wide
+    // expression re-evaluates inside the join (see pqTopK)
+    val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
+      .select(col("vec_id"), col("pq_code"))
+    val corpusIdx = graft.CacheScope.cache(
+      c.withColumn("__sc", cellScoreArray(col("cv"), cells, dim))
+        .withColumn("cell",
+          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+        .select(col("nbr_id"), col("cell"))
+        .join(codes, col("nbr_id") === col("vec_id"))
+        .select(col("nbr_id"), col("cell"), col("pq_code")))
+    corpusIdx.count()
+    // probes: top-nprobe cells (score desc / cell asc, the ivfTopK tie
+    // rule) × the ADC distance table; tiny side, broadcast
+    val p = probes.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("pv"))
+    val probeCells = p
+      .withColumn("__sc", cellScoreArray(col("pv"), cells, dim))
+      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
+        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
+      .withColumn("dtab", pqDistTable("pv", subs, ksub, dim))
+      .select(col("query_id"), col("dtab"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
+      .select(col("query_id"), col("dtab"), col("__top.cell").as("cell"))
+    val adc = adcSum(subs, ksub)
+    val scored = corpusIdx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))

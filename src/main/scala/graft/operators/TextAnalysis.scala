@@ -152,6 +152,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Unigram language-model quality score — the lightweight perplexity
+    * proxy of CCNet-style LM filtering, with a corpus-estimated unigram
+    * model standing in for the trained LM: p(t) = (c_t + 1) / (N + V)
+    * (add-one smoothed over the corpus vocabulary), and each document
+    * scores mean_t −ln p(t). High = improbable/garbled text, low =
+    * repetitive/templated — both tails are what the filter flags.
+    *
+    * Shape: one exploded-token aggregate builds the model (term → count,
+    * a vocabulary-sized broadcast dim), the (N, V) totals broadcast as a
+    * 1-row aggregate, and tokens re-join the model by term. At 100 TB the
+    * model becomes a top-V table with an OOV floor — the same broadcast
+    * join. Determinism: the ln argument is a ratio of exact integers (both
+    * engines round the same double), each token's −ln p is rounded to 8 dp
+    * and summed as DECIMAL(20,8) — order-independent under any
+    * partitioning — and the per-doc mean is r6. */
+  def unigramNegLogprob(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("t"))
+    val model = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val stats = tok.agg(count(lit(1)).as("__n"),
+      countDistinct(col("t")).as("__v"))
+    val nl = floor(log((col("__n") + col("__v")).cast("double") /
+      (col("c") + 1)) * 1e8 + 0.5) / 1e8
+    tok.join(broadcast(model), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), nl.cast("decimal(20,8)").as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nl")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("s").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+          .as("avg_neg_logprob"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. 2003): hash token k-grams,
     * keep the minimum per sliding window of w — a compact sketch whose
     * overlap estimates document similarity. Returns (id, Array[String]).

@@ -93,11 +93,6 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** Twin of [[Similarity.pqCodes]]: the same literal codebooks
-    * ([[Similarity.pqComponent]]), the same left-associated fixed-order
-    * squared-difference sums (identical double bits), the same
-    * ties-to-lowest argmin and mixed-radix packing. Distances compute once
-    * in a CTE; the outer select does the argmin/pack/error arithmetic. */
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
   private def pqDistCols(subs: Int, ksub: Int, dim: Int): String = {
@@ -127,6 +122,11 @@ private object LshOracleSql {
     (0 until subs).map(s => s"${code(s)} * ${weights(s)}").mkString(" + ")
   }
 
+  /** Twin of [[Similarity.pqCodes]]: the same literal codebooks
+    * ([[Similarity.pqComponent]]), the same left-associated fixed-order
+    * squared-difference sums (identical double bits), the same
+    * ties-to-lowest argmin and mixed-radix packing. Distances compute once
+    * in a CTE; the outer select does the argmin/pack/error arithmetic. */
   def pqCodes(subs: Int, ksub: Int, dim: Int): String = {
     val err = (0 until subs).map(s =>
       s"LEAST(${(0 until ksub).map(k => s"d_${s}_$k").mkString(", ")})")
@@ -169,6 +169,62 @@ private object LshOracleSql {
        |    FLOOR(($adc) * 1e6 + 0.5) / 1e6 AS adc_dist
        |  FROM codes CROSS JOIN pd
        |  WHERE query_id != nbr_id)
+       |SELECT query_id, rnk, nbr_id, adc_dist FROM (
+       |  SELECT query_id, nbr_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[Similarity.ivfPqTopK]] with probe set vec_id < 10:
+    * composes the ivfTopK cell CTEs (corpus rank-1 cell, probe top-nprobe
+    * cells) with the pqTopK code/ADC CTEs — the cell join prunes, the
+    * bit-sliced CASE scores. */
+  def ivfPqTopK(k: Int, cells: Int, nprobe: Int, subs: Int, ksub: Int,
+                dim: Int): String = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val scoreRows = (0 until cells).map { c =>
+      s"SELECT vec_id, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    val adc = (0 until subs).map { s =>
+      val whens = (0 until ksub)
+        .map(c => s"WHEN $c THEN d_${s}_$c").mkString(" ")
+      s"(CASE ((pq_code >> ${s * shift}) & ${ksub - 1}) $whens END)"
+    }.mkString("\n      + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sc AS (
+       |$scoreRows),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+       |  FROM sc),
+       |d AS (
+       |  SELECT vec_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(${pqPackedExpr(subs, ksub)} AS BIGINT) AS pq_code
+       |  FROM d),
+       |corpus_idx AS (
+       |  SELECT r.vec_id AS nbr_id, r.cell, c.pq_code
+       |  FROM ranked r JOIN codes c ON c.vec_id = r.vec_id
+       |  WHERE r.rnk = 1),
+       |probe_cells AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked
+       |  WHERE rnk <= $nprobe AND vec_id < 10),
+       |pd AS (
+       |  SELECT vec_id AS query_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT pc.query_id, ci.nbr_id,
+       |    FLOOR(($adc) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM probe_cells pc
+       |  JOIN corpus_idx ci USING (cell)
+       |  JOIN pd ON pd.query_id = pc.query_id
+       |  WHERE pc.query_id != ci.nbr_id)
        |SELECT query_id, rnk, nbr_id, adc_dist FROM (
        |  SELECT query_id, nbr_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id
@@ -614,6 +670,33 @@ object NorthStar {
       |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(m) AS fp FROM mins)
       |ORDER BY doc_id, fp""".stripMargin
 
+  /** Unigram-LM perplexity proxy per document — the corpus-model quality
+    * score; see [[TextAnalysis.unigramNegLogprob]]. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramNegLogprob(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Twin: same add-one unigram model, same 8 dp per-token rounding into
+    * an exact decimal sum, same r6 mean — LN of a ratio of exact integers
+    * rounds to the same double in both engines. */
+  val textPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+      |  FROM documents),
+      |st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM tok),
+      |m AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |sc AS (
+      |  SELECT doc_id,
+      |    FLOOR(LN(CAST(n + v AS DOUBLE) / (c + 1)) * 1e8 + 0.5) / 1e8 AS nl
+      |  FROM tok JOIN m USING (t), st),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(nl AS DECIMAL(20,8))) AS s
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  FLOOR(CAST(s AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS avg_neg_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Quality-filter decisions with auditable reject reasons. */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text")
@@ -811,6 +894,18 @@ object NorthStar {
   }
 
   val annPqSql: String = LshOracleSql.pqTopK(k = 5, subs = 8, ksub = 4, dim = 64)
+
+  /** IVF-PQ composed index search — cell pruning × compressed ADC scan;
+    * see [[Similarity.ivfPqTopK]]. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfPqSql: String = LshOracleSql.ivfPqTopK(k = 5, cells = 16,
+    nprobe = 8, subs = 8, ksub = 4, dim = 64)
 
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
@@ -1017,6 +1112,7 @@ object NorthStar {
     "emb_quantize" -> embQuantize,
     "emb_pq_quantize" -> embPqQuantize,
     "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1038,6 +1134,7 @@ object NorthStar {
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
     "text_tfidf" -> textTfidf,
+    "text_perplexity" -> textPerplexity,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "emb_label_centroids" -> embLabelCentroids,
@@ -1055,6 +1152,7 @@ object NorthStar {
     "emb_quantize" -> embQuantizeSql,
     "emb_pq_quantize" -> embPqQuantizeSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
@@ -1076,6 +1174,7 @@ object NorthStar {
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
     "text_tfidf" -> textTfidfSql,
+    "text_perplexity" -> textPerplexitySql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "emb_label_centroids" -> embLabelCentroidsSql,

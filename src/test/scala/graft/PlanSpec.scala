@@ -314,6 +314,25 @@ class PlanSpec extends SparkSpec {
       s"expected only the window exchange, saw $hashShuffles:\n${plan.take(1200)}")
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"rank filter did not push a partial top-k:\n${plan.take(800)}")
+    graft.CacheScope.release(spark)
+  }
+
+  test("ann_ivfpq joins the cached code index to broadcast probe cells") {
+    // the composed index contract: the corpus side is the cached narrow
+    // (nbr_id, cell, pq_code) table, probes broadcast into the cell join,
+    // and the only exchange is the rank window's
+    val df = SparkEntry.queries("ann_ivfpq")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"corpus index not pinned to its own stage:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe cells did not broadcast into the cell join:\n${plan.take(800)}")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles === 1,
+      s"expected only the window exchange, saw $hashShuffles:\n${plan.take(1200)}")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank filter did not push a partial top-k:\n${plan.take(800)}")
+    graft.CacheScope.release(spark)
   }
 
   test("emb_pq_quantize encodes in one row-local projection (no shuffle ops)") {
