@@ -387,7 +387,70 @@ object Aggregates {
       |UNPIVOT (amount FOR measure IN (total_price, est_tax))
       |ORDER BY o_orderkey, measure""".stripMargin
 
+  /** Per-group least-squares trend (value vs event time) from exact decimal
+    * moment sums — the deterministic form of `regr_slope`/`regr_intercept`,
+    * whose built-ins fold doubles in partition order and so cannot
+    * hash-match across engines.
+    *
+    * x is epoch µs offset from 2024-01-01 (integer `div` — epoch ns exceeds
+    * 2^53, float division would drift), y is cents; the four moment sums
+    * (Σx, Σy, Σxy, Σx²) are exact decimals (x·y fits DECIMAL(33,0), x²
+    * DECIMAL(29,0)), so the aggregate is order-independent under any
+    * partitioning, and the closed-form slope/intercept arithmetic runs on
+    * the identical doubles both engines cast from those decimals. ONE
+    * map-side-combined hash aggregate — the same mergeable-moments shape a
+    * 1000-executor fit would use (partials combine losslessly). */
+  def aggLinearFit(s: SparkSession, dir: String): DataFrame = {
+    val xOffUs = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    // DECIMAL(19,0): wide enough that x*x (38 digits) stays exact in
+    // BOTH engines (DuckDB needs >18 to compute products in int128)
+    val x = (expr("ts div 1000") - lit(xOffUs)).cast("decimal(19,0)")
+    val y = (col("value").cast("decimal(18,2)") * lit(100).cast("decimal(3,0)"))
+      .cast("decimal(18,0)")
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val nd = col("n_events").cast("double")
+    val slopeUs = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n_events"),
+        (floor(slopeUs * lit(8.64e10) / lit(100.0) * 1e6 + 0.5) / 1e6)
+          .as("slope_per_day"),
+        (floor((col("sy") / nd - slopeUs * (col("sx") / nd)) / lit(100.0)
+          * 1e6 + 0.5) / 1e6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggLinearFitSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0)) AS x,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(3,0))
+      |        AS DECIMAL(18,0)) AS y
+      |    FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, n_events,
+      |  FLOOR((CAST(n_events AS DOUBLE) * sxy - sx * sy) /
+      |        (CAST(n_events AS DOUBLE) * sxx - sx * sx)
+      |        * 8.64e10 / 100.0 * 1e6 + 0.5) / 1e6 AS slope_per_day,
+      |  FLOOR((sy / CAST(n_events AS DOUBLE) -
+      |         (CAST(n_events AS DOUBLE) * sxy - sx * sy) /
+      |         (CAST(n_events AS DOUBLE) * sxx - sx * sx)
+      |         * (sx / CAST(n_events AS DOUBLE))) / 100.0 * 1e6 + 0.5) / 1e6
+      |    AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_linear_fit" -> aggLinearFit,
     "agg_mode" -> aggMode,
     "fn_unpivot" -> aggUnpivot,
     "agg_corr" -> aggCorr,
@@ -407,6 +470,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_linear_fit" -> aggLinearFitSql,
     "agg_mode" -> aggModeSql,
     "fn_unpivot" -> aggUnpivotSql,
     "agg_corr" -> aggCorrSql,

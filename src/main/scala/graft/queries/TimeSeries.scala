@@ -429,7 +429,53 @@ object TimeSeries {
       |FROM lagged ORDER BY user_id, ts_ns, event_id""".stripMargin
   }
 
+  /** Point updates → validity intervals (the temporal-table / SCD-2 read
+    * shape): each purchase event opens an interval [effective_from,
+    * effective_to) that the user's NEXT purchase closes; the newest
+    * interval stays open (NULL). This is how a time-store's per-address
+    * update log becomes an as-of-queryable snapshot table
+    * (`/root/reference/lib/TimeStore/Core.hs:139-156` — the per-address
+    * scan whose consumer reconstructs state between updates).
+    *
+    * Plan: ONE hash exchange on user_id feeding two sorts — the
+    * same-timestamp dedup (latest event_id wins, like `updateLatest`) is a
+    * lag() inequality over (ts, event_id desc) rather than a second
+    * finer-keyed window, so Spark reuses the exchange; lead() then closes
+    * each interval. Per-key history scans stay linear (running frames,
+    * never shrinking ones). */
+  def intervals(s: SparkSession, dir: String): DataFrame = {
+    val dw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id").desc)
+    val iw = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), nsTruncUs(col("ts")).as("ts_ns"),
+        col("value").cast("decimal(18,2)").as("v"), col("event_id"))
+      // first row of each ts group under (ts asc, event_id desc) = the
+      // highest event_id at that timestamp — the latest-wins winner
+      .withColumn("__prev_ts", lag(col("ts_ns"), 1).over(dw))
+      .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col("ts_ns"))
+      .select(col("user_id"), col("ts_ns").as("effective_from"),
+        lead(col("ts_ns"), 1).over(iw).as("effective_to"),
+        col("v").cast("double").as("value"))
+      .orderBy(col("user_id"), col("effective_from"))
+  }
+
+  val intervalsSql: String =
+    """WITH base AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, ts_ns AS effective_from,
+      |  lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS effective_to,
+      |  value
+      |FROM base WHERE rn = 1
+      |ORDER BY user_id, effective_from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_intervals"      -> intervals,
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_latest_per_key" -> latestPerKey,
@@ -442,6 +488,7 @@ object TimeSeries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_intervals"      -> intervalsSql,
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
     "ts_latest_per_key" -> latestPerKeySql,
