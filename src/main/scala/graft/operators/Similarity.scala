@@ -603,6 +603,35 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
   }
 
+  /** Two-stage retrieval funnel — approximate candidate generation (PQ-ADC
+    * over the compressed corpus, [[pqTopK]]) re-ranked by EXACT cosine over
+    * the candidates' full-precision vectors. This is the production serving
+    * shape: the cheap stage touches every vector but only 2-byte codes; the
+    * exact stage touches `probes × kCand` vectors — so the candidate set
+    * broadcasts into the corpus scan and the corpus itself never shuffles.
+    * Recall is the ADC stage's; precision of the final ranking is exact.
+    *
+    * Determinism: ADC ranking as [[pqTopK]] (r6 + id tie-break), final
+    * ranking the r6 cosine + id tie-break of [[lshTopK]]. */
+  def pqRerankTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, k: Int, kCand: Int, subs: Int = 8,
+                   ksub: Int = 4, dim: Int = 64): DataFrame = {
+    val cand = pqTopK(corpus, probes, idCol, vecCol, kCand, subs, ksub, dim)
+      .select(col("query_id"), col("nbr_id"))
+    val cv = corpus.select(col(idCol).as("__ci"), asDouble(col(vecCol)).as("cv"))
+    val pv = probes.select(col(idCol).as("__pi"), asDouble(col(vecCol)).as("pv"))
+    val scored = cv
+      .join(broadcast(cand), col("__ci") === col("nbr_id"))
+      .join(broadcast(pv), col("query_id") === col("__pi"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+  }
+
   /** Int8 scalar quantization audit — the compression step an ANN index
     * applies before storing vectors (4× smaller than float32), plus the
     * reconstruction-error report that decides whether the codebook is

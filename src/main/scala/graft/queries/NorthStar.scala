@@ -177,6 +177,49 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[Similarity.pqRerankTopK]] with probe set vec_id < 10: the
+    * [[pqTopK]] CTE chain truncated at `kCand` candidates, re-scored by
+    * the exact [[cosSql]] cosine and re-ranked. */
+  def pqRerank(k: Int, kCand: Int, subs: Int, ksub: Int, dim: Int): String = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val adc = (0 until subs).map { s =>
+      val whens = (0 until ksub)
+        .map(c => s"WHEN $c THEN d_${s}_$c").mkString(" ")
+      s"(CASE ((pq_code >> ${s * shift}) & ${ksub - 1}) $whens END)"
+    }.mkString("\n      + ")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id AS nbr_id,
+       |    CAST(${pqPackedExpr(subs, ksub)} AS BIGINT) AS pq_code
+       |  FROM d),
+       |pd AS (
+       |  SELECT vec_id AS query_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings WHERE vec_id < 10),
+       |adcs AS (
+       |  SELECT query_id, nbr_id,
+       |    FLOOR(($adc) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM codes CROSS JOIN pd
+       |  WHERE query_id != nbr_id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, nbr_id) AS rnk
+       |    FROM adcs) WHERE rnk <= $kCand),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |rescored AS (
+       |  SELECT query_id, nbr_id, $cosSql AS cos_sim
+       |  FROM cand JOIN v va ON va.vec_id = query_id JOIN v vb ON vb.vec_id = nbr_id)
+       |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+       |  SELECT query_id, nbr_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+       |  FROM rescored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[Similarity.ivfPqTopK]] with probe set vec_id < 10:
     * composes the ivfTopK cell CTEs (corpus rank-1 cell, probe top-nprobe
     * cells) with the pqTopK code/ADC CTEs — the cell join prunes, the
@@ -907,6 +950,18 @@ object NorthStar {
   val annIvfPqSql: String = LshOracleSql.ivfPqTopK(k = 5, cells = 16,
     nprobe = 8, subs = 8, ksub = 4, dim = 64)
 
+  /** Two-stage funnel: PQ-ADC candidates re-ranked by exact cosine; see
+    * [[Similarity.pqRerankTopK]]. */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, kCand = 20)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annRerankSql: String = LshOracleSql.pqRerank(k = 5, kCand = 20,
+    subs = 8, ksub = 4, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1006,6 +1061,54 @@ object NorthStar {
       |SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n_vecs,
       |  ROUND(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS centroid
       |FROM ex GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  /** Upper-triangle dimension-pair covariance of the embedding corpus —
+    * the d×d moment matrix PCA/whitening starts from (and the input to a
+    * trained OPQ rotation). The pair terms are generated ROW-LOCALLY by
+    * two chained posexplodes (no self-join: each corpus row streams its
+    * d(d+1)/2 products straight into the aggregate), so the only exchange
+    * is the final 2080-group hash aggregate and map-side combine shrinks
+    * every partition to ≤2080 partial rows — at 100 TB this is the
+    * per-partition Gram-partials pattern, with no corpus shuffle at all.
+    *
+    * Determinism: [[embDimStats]]' decimal moment pattern — DECIMAL(20,8)
+    * casts, exact order-independent sums, r6 on the derived doubles. */
+  def embCovariance(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    def dec8(c: Column): Column = c.cast("double").cast("decimal(20,8)")
+    val n = col("n").cast("double")
+    val m = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("d1", "x1r")))
+      .select(col("d1"), dec8(col("x1r")).as("x1"),
+        posexplode(col("embedding")).as(Seq("d2", "x2r")))
+      .filter(col("d1") <= col("d2"))
+      .select(col("d1"), col("d2"), col("x1"), dec8(col("x2r")).as("x2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x1") * col("x2")).as("s12"))
+    m.select(col("d1"), col("d2"), col("n"),
+        r6((col("s12").cast("double") -
+          col("s1").cast("double") * col("s2").cast("double") / n) / n)
+          .as("cov_pop"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val embCovarianceSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |e1 AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS i, e FROM v),
+      |p AS (SELECT vec_id, i, unnest(generate_series(i, len(e))) AS j, e FROM e1),
+      |m AS (
+      |  SELECT CAST(i - 1 AS INT) AS d1, CAST(j - 1 AS INT) AS d2,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(e[i] AS DECIMAL(20,8))) AS s1,
+      |    SUM(CAST(e[j] AS DECIMAL(20,8))) AS s2,
+      |    SUM(CAST(e[i] AS DECIMAL(20,8)) * CAST(e[j] AS DECIMAL(20,8))) AS s12
+      |  FROM p GROUP BY i, j)
+      |SELECT d1, d2, n,
+      |  FLOOR((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+      |    / n * 1e6 + 0.5) / 1e6 AS cov_pop
+      |FROM m ORDER BY d1, d2""".stripMargin
 
   /** Per-dimension embedding statistics (mean/variance/range) — the
     * codebook-health audit run before quantization or whitening: a
@@ -1113,6 +1216,7 @@ object NorthStar {
     "emb_pq_quantize" -> embPqQuantize,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
+    "ann_rerank" -> annRerank,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1139,6 +1243,7 @@ object NorthStar {
     "text_repetition" -> textRepetition,
     "emb_label_centroids" -> embLabelCentroids,
     "emb_dim_stats" -> embDimStats,
+    "emb_covariance" -> embCovariance,
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -1153,6 +1258,7 @@ object NorthStar {
     "emb_pq_quantize" -> embPqQuantizeSql,
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_rerank" -> annRerankSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
@@ -1179,5 +1285,6 @@ object NorthStar {
     "text_repetition" -> textRepetitionSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,
+    "emb_covariance" -> embCovarianceSql,
     "media_features" -> mediaFeaturesSql)
 }
