@@ -632,6 +632,78 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** Lloyd's k-means training of the IVF coarse quantizer — the missing
+    * piece between [[ivfTopK]]'s "trained centroids would broadcast the
+    * same way" and an actual trained index. Each iteration is the classic
+    * two-step at its minimal distributed cost:
+    *
+    *   - ASSIGN: row-local argmin of L2²(v, c) over k centroids, computed
+    *     as `dot(v,v) − 2·dot(v,c) + dot(c,c)` with the codegen'd
+    *     [[dot]] kernel and the centroids embedded as literals — no
+    *     shuffle, no join; ties break to the lowest cell.
+    *   - UPDATE: posexplode to (cell, d, x) into ONE hash aggregate of
+    *     exact DECIMAL(20,8) sums (order-independent partials that
+    *     map-side combine to ≤ k·dim rows per partition), mean rounded r6.
+    *
+    * Between iterations the k×dim model (≤ a few KB — MODEL state, not
+    * data) is collected to the driver and re-embedded as literals, exactly
+    * how a production trainer broadcasts the updated codebook each epoch;
+    * per iteration the corpus is scanned once. An empty cell keeps its
+    * previous centroid (n_members = 0). The final iteration's update stays
+    * in the returned plan; the DuckDB twin recomputes every iteration from
+    * the same literal init (`LshOracleSql.kmeansTrain`), so the gate
+    * hash-checks the whole training trajectory.
+    *
+    * Returns (cell, d, c_val, n_members) for all k·dim positions. */
+  def kmeansTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
+                  dim: Int): DataFrame = {
+    require(iters >= 1)
+    val spark = corpus.sparkSession
+    val v = corpus.select(asDouble(col(vecCol)).as("v"))
+    // driver-side self-dot with the same ascending fold as the codegen'd
+    // kernel (and DuckDB's list_dot_product) — bit-identical constants
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val scored = array((0 until k).map { c =>
+        val cl = array(cents(c).map(lit(_)).toSeq: _*)
+        struct(
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) +
+            lit(selfDot(cents(c)))).as("dist"),
+          lit(c).as("cell"))
+      }: _*)
+      v.select(col("v"), array_min(scored).getField("cell").as("cell"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("x").cast("decimal(20,8)")).as("sx"))
+        .select(col("cell"), col("d"), col("n_members"),
+          (floor(col("sx").cast("double") / col("n_members") * 1e6 + 0.5)
+            / 1e6).as("c_val"))
+    var cents = Array.tabulate(k, dim)((c, d) => centroidComponent(c, d))
+    for (_ <- 1 until iters) {
+      val next = cents.map(_.clone)
+      update(assign(cents)).collect().foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
+      }
+      cents = next
+    }
+    val fin = update(assign(cents))
+    import spark.implicits._
+    val spine = (for (c <- 0 until k; d <- 0 until dim)
+      yield (c, d, cents(c)(d))).toDF("cell", "d", "c_prev")
+    spine.join(fin, Seq("cell", "d"), "left")
+      .select(col("cell"), col("d"),
+        coalesce(col("c_val"), col("c_prev")).as("c_val"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .orderBy(col("cell"), col("d"))
+  }
+
   /** Int8 scalar quantization audit — the compression step an ANN index
     * applies before storing vectors (4× smaller than float32), plus the
     * reconstruction-error report that decides whether the codebook is

@@ -177,6 +177,59 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[Similarity.kmeansTrain]]: the same literal init centroids
+    * ([[centroidArray]]), each iteration an assign CTE (argmin of the
+    * dot-decomposed L2², ties → lowest cell) + an update CTE (exact
+    * decimal dimension sums, r6 mean), empty cells filled from the
+    * previous generation — so the gate hash-checks the whole training
+    * trajectory, collected driver-side literals included. */
+  def kmeansTrain(k: Int, iters: Int, dim: Int): String = {
+    // String-cast element literals: DuckDB parses bare numeric literals
+    // as DECIMAL (losing the last ulp of a 17-digit double — CAST
+    // (-0.09185728993818969 AS DOUBLE) ≠ CAST('-0.09185728993818969' AS
+    // DOUBLE)); the string cast round-trips exactly like Scala's
+    // Double.toString parse, so untouched empty-cell centroids hash-match.
+    def exactArr(c: Int): String =
+      (0 until dim)
+        .map(d => s"CAST('${Similarity.centroidComponent(c, d)}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val initVals = (0 until k)
+      .map(c => s"($c, ${exactArr(c)})").mkString(",\n    ")
+    def distExpr(carr: String) =
+      s"list_dot_product(e, e) - 2.0 * list_dot_product(e, $carr) + " +
+        s"list_dot_product($carr, $carr)"
+    val sb = new StringBuilder
+    sb.append("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),\n")
+    sb.append(s"c0raw AS (SELECT * FROM (VALUES\n    $initVals) t0(cell, carr)),\n")
+    sb.append(s"f0 AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (\n")
+    sb.append(s"  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM c0raw)),\n")
+    for (it <- 1 to iters) {
+      sb.append(s"c${it - 1} AS (SELECT cell, list(c ORDER BY d) AS carr " +
+        s"FROM f${it - 1} GROUP BY cell),\n")
+      sb.append(s"""a$it AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, cc.cell, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${distExpr("cc.carr")}, cc.cell) AS rn
+         |  FROM v CROSS JOIN c${it - 1} cc) WHERE rn = 1),
+         |ex$it AS (SELECT a.cell, unnest(generate_series(1, len(e))) AS i, e
+         |  FROM a$it a JOIN v USING (vec_id)),
+         |m$it AS (SELECT cell, CAST(i - 1 AS INT) AS d, COUNT(*) AS n,
+         |    FLOOR(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
+         |      * 1e6 + 0.5) / 1e6 AS c
+         |  FROM ex$it GROUP BY cell, i),
+         |""".stripMargin)
+      if (it < iters)
+        sb.append(s"f$it AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c " +
+          s"FROM f${it - 1} s LEFT JOIN m$it m ON m.cell = s.cell AND m.d = s.d),\n")
+    }
+    val last = sb.toString.stripSuffix(",\n").stripSuffix("\n").stripSuffix(",")
+    s"""$last
+       |SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c_val,
+       |  COALESCE(m.n, 0) AS n_members
+       |FROM f${iters - 1} s LEFT JOIN m$iters m
+       |  ON m.cell = s.cell AND m.d = s.d
+       |ORDER BY s.cell, s.d""".stripMargin
+  }
+
   /** Twin of [[Similarity.pqRerankTopK]] with probe set vec_id < 10: the
     * [[pqTopK]] CTE chain truncated at `kCand` candidates, re-scored by
     * the exact [[cosSql]] cosine and re-ranked. */
@@ -962,6 +1015,15 @@ object NorthStar {
   val annRerankSql: String = LshOracleSql.pqRerank(k = 5, kCand = 20,
     subs = 8, ksub = 4, dim = 64)
 
+  /** Lloyd's k-means training of the IVF coarse quantizer (2 iterations
+    * from the deterministic init); see [[Similarity.kmeansTrain]]. */
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansTrain(Tables.embeddings(s, dir), "embedding",
+      k = 8, iters = 2, dim = 64)
+
+  val embKmeansSql: String = LshOracleSql.kmeansTrain(k = 8, iters = 2,
+    dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1217,6 +1279,7 @@ object NorthStar {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_rerank" -> annRerank,
+    "emb_kmeans" -> embKmeans,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1259,6 +1322,7 @@ object NorthStar {
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
+    "emb_kmeans" -> embKmeansSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,

@@ -335,6 +335,22 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release(spark)
   }
 
+  test("emb_kmeans: row-local assignment, one aggregate exchange, broadcast spine") {
+    // the training contract: assignment is a pure projection (no join, no
+    // window over the corpus), so the returned final-iteration plan has
+    // exactly ONE hash exchange (the update aggregate's); the k*dim spine
+    // joins via broadcast
+    val df = SparkEntry.queries("emb_kmeans")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles === 1,
+      s"expected only the update-aggregate exchange, saw $hashShuffles:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"spine did not broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected sort-merge join in the training plan:\n${plan.take(800)}")
+  }
+
   test("emb_pq_quantize encodes in one row-local projection (no shuffle ops)") {
     // the PQ encoding is a pure projection over the corpus scan: any
     // Window / aggregate / join in the plan means the codebook assignment
