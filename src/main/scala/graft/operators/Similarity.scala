@@ -127,12 +127,18 @@ object Similarity {
     h.toDouble / Int.MaxValue
   }
 
+  /** Array of dot(vec, centroid_c) for each row of `cents` — each centroid
+    * a literal array, each dot a codegen'd primitive loop. */
+  private def cellScoreArrayOf(vec: Column,
+                               cents: Array[Array[Double]]): Column =
+    array(cents.indices.map { c =>
+      dot(vec, array(cents(c).map(lit(_)).toSeq: _*))
+    }: _*)
+
   /** Array of dot(vec, centroid_c) for c in [0, cells) — each centroid a
     * literal array, each dot a codegen'd primitive loop. */
   private def cellScoreArray(vec: Column, cells: Int, dim: Int): Column =
-    array((0 until cells).map { c =>
-      dot(vec, array((0 until dim).map(d => lit(centroidComponent(c, d))): _*))
-    }: _*)
+    cellScoreArrayOf(vec, Array.tabulate(cells, dim)(centroidComponent))
 
   /** IVF (inverted-file) ANN — the classic coarse-quantize-then-probe scale
     * path: every corpus vector is assigned to its best cell (rank-1 score,
@@ -152,7 +158,17 @@ object Similarity {
     * broadcast as literals. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64): DataFrame =
+    ivfTopKWith(corpus, probes, idCol, vecCol, k, nprobe,
+      Array.tabulate(cells, dim)(centroidComponent))
+
+  /** IVF search against an arbitrary centroid matrix (the trained-codebook
+    * path of [[ivfTopK]] — same row-local assignment, same probe fan-out,
+    * same exact-cosine re-rank). */
+  def ivfTopKWith(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobe: Int,
+                  cents: Array[Array[Double]]): DataFrame = {
+    val cells = cents.length
     val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
     val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
     // Corpus assignment is ROW-LOCAL (no explode, no window, no shuffle):
@@ -160,14 +176,14 @@ object Similarity {
     // (array_position returns the FIRST occurrence). The scores array is
     // referenced twice post-inlining — 2×cells codegen'd dots per row,
     // still linear and shuffle-free, which is what matters at 100 TB.
-    val corpusCells = c.withColumn("__sc", cellScoreArray(col("cv"), cells, dim))
+    val corpusCells = c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
       .withColumn("cell",
         (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
       .select(col("nbr_id"), col("cv"), col("cell"))
     // Probe top-nprobe cells: sort (−score, cell) structs ascending = score
     // desc / cell asc — identical tie semantics to the oracle twin's
     // ORDER BY score DESC, cell. Row-local; probes are the small side.
-    val probeCells = p.withColumn("__sc", cellScoreArray(col("pv"), cells, dim))
+    val probeCells = p.withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
       .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
         struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
       .select(col("query_id"), col("pv"),
@@ -702,6 +718,21 @@ object Similarity {
         coalesce(col("c_val"), col("c_prev")).as("c_val"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
       .orderBy(col("cell"), col("d"))
+  }
+
+  /** End-to-end trained IVF: [[kmeansTrain]] the codebook on the corpus,
+    * then [[ivfTopKWith]] it — train → index → search composed in-engine.
+    * The trained model is collected (k×dim doubles) and embedded as
+    * literals in the search expressions, exactly the broadcast-codebook
+    * deployment the untrained [[ivfTopK]] documents. */
+  def ivfTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, cells: Int, nprobe: Int,
+                     iters: Int, dim: Int): DataFrame = {
+    val cents = Array.ofDim[Double](cells, dim)
+    kmeansTrain(corpus, vecCol, cells, iters, dim).collect().foreach { r =>
+      cents(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
+    }
+    ivfTopKWith(corpus, probes, idCol, vecCol, k, nprobe, cents)
   }
 
   /** Int8 scalar quantization audit — the compression step an ANN index

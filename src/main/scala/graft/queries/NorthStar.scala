@@ -183,7 +183,12 @@ private object LshOracleSql {
     * decimal dimension sums, r6 mean), empty cells filled from the
     * previous generation — so the gate hash-checks the whole training
     * trajectory, collected driver-side literals included. */
-  def kmeansTrain(k: Int, iters: Int, dim: Int): String = {
+  /** The iteration CTE chain shared by [[kmeansTrain]] and
+    * [[ivfTrainedTopK]]: assumes a `v (vec_id, e DOUBLE[])` CTE is already
+    * in scope; defines f0 (init), then per iteration c/a/ex/m CTEs, ending
+    * (no trailing comma) at `m{iters}`. `f{iters-1}` carries the previous
+    * generation for empty-cell fills. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     // String-cast element literals: DuckDB parses bare numeric literals
     // as DECIMAL (losing the last ulp of a 17-digit double — CAST
     // (-0.09185728993818969 AS DOUBLE) ≠ CAST('-0.09185728993818969' AS
@@ -199,7 +204,6 @@ private object LshOracleSql {
       s"list_dot_product(e, e) - 2.0 * list_dot_product(e, $carr) + " +
         s"list_dot_product($carr, $carr)"
     val sb = new StringBuilder
-    sb.append("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),\n")
     sb.append(s"c0raw AS (SELECT * FROM (VALUES\n    $initVals) t0(cell, carr)),\n")
     sb.append(s"f0 AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (\n")
     sb.append(s"  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM c0raw)),\n")
@@ -221,14 +225,49 @@ private object LshOracleSql {
         sb.append(s"f$it AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c " +
           s"FROM f${it - 1} s LEFT JOIN m$it m ON m.cell = s.cell AND m.d = s.d),\n")
     }
-    val last = sb.toString.stripSuffix(",\n").stripSuffix("\n").stripSuffix(",")
-    s"""$last
+    sb.toString.stripSuffix(",\n").stripSuffix("\n").stripSuffix(",")
+  }
+
+  def kmeansTrain(k: Int, iters: Int, dim: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |${kmeansCtes(k, iters, dim)}
        |SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c_val,
        |  COALESCE(m.n, 0) AS n_members
        |FROM f${iters - 1} s LEFT JOIN m$iters m
        |  ON m.cell = s.cell AND m.d = s.d
        |ORDER BY s.cell, s.d""".stripMargin
-  }
+
+  /** Twin of [[Similarity.ivfTrainedTopK]] with probe set vec_id < 10: the
+    * [[kmeansCtes]] training chain feeding the [[ivfTopK]] search tail,
+    * with cell scores computed against the trained centroid lists. */
+  def ivfTrainedTopK(k: Int, cells: Int, nprobe: Int, iters: Int,
+                     dim: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |${kmeansCtes(cells, iters, dim)},
+       |tcf AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c
+       |  FROM f${iters - 1} s LEFT JOIN m$iters m
+       |  ON m.cell = s.cell AND m.d = s.d),
+       |tc AS (SELECT cell, list(c ORDER BY d) AS carr FROM tcf GROUP BY cell),
+       |sc AS (SELECT v.vec_id, t.cell, list_dot_product(e, t.carr) AS score
+       |  FROM v CROSS JOIN tc t),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+       |  FROM sc),
+       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM ranked WHERE rnk = 1),
+       |probe_cells AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked
+       |  WHERE rnk <= $nprobe AND vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, nbr_id, $cosSql AS cos_sim
+       |  FROM probe_cells JOIN corpus_cells USING (cell)
+       |  JOIN v va ON va.vec_id = query_id JOIN v vb ON vb.vec_id = nbr_id
+       |  WHERE query_id != nbr_id)
+       |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+       |  SELECT query_id, nbr_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Twin of [[Similarity.pqRerankTopK]] with probe set vec_id < 10: the
     * [[pqTopK]] CTE chain truncated at `kCand` candidates, re-scored by
@@ -1024,6 +1063,19 @@ object NorthStar {
   val embKmeansSql: String = LshOracleSql.kmeansTrain(k = 8, iters = 2,
     dim = 64)
 
+  /** Trained-codebook IVF search (train → index → search composed);
+    * see [[Similarity.ivfTrainedTopK]]. */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 8, nprobe = 2, iters = 2,
+        dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfTrainedSql: String = LshOracleSql.ivfTrainedTopK(k = 5,
+    cells = 8, nprobe = 2, iters = 2, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1280,6 +1332,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPq,
     "ann_rerank" -> annRerank,
     "emb_kmeans" -> embKmeans,
+    "ann_ivf_trained" -> annIvfTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1323,6 +1376,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
+    "ann_ivf_trained" -> annIvfTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
