@@ -282,7 +282,78 @@ object Pipeline {
       |  FROM final)
       |GROUP BY split, source ORDER BY split, source""".stripMargin
 
+  /** Per-source data card — the governance report a training corpus ships
+    * with: volume (docs, chars, tokens), language spread, quality keep
+    * rate, and exact-duplication exposure (docs sharing an md5 text hash,
+    * and the redundant share a dedup pass would drop).
+    *
+    * Shape: the quality features come from [[graft.operators.TextAnalysis
+    * .qualityFilter]]'s row-local projection; duplicate-group sizes are
+    * ONE window over the md5 hash (the dedup_exact key); the report is one
+    * hash aggregate per source. Three exchanges total, none over wide
+    * data — at 100 TB the hash window is the only corpus-sized shuffle,
+    * and it shuffles (id, hash, 3 small columns), not text. */
+  def pipelineDataCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q = graft.operators.TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep"), col("n_tokens"))
+    val wh = Window.partitionBy(col("h"))
+    val g = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("grp_n", count(lit(1)).over(wh))
+      .withColumn("grp_min", min(col("doc_id")).over(wh))
+    g.join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (floor(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) * 1e6 + 0.5) / 1e6).as("keep_rate"),
+        sum(when(col("grp_n") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"),
+        sum(when(col("grp_n") > 1 && col("doc_id") =!= col("grp_min"), 1L)
+          .otherwise(0L)).as("n_redundant"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineDataCardSql: String =
+    """WITH feat AS (
+      |  SELECT doc_id, LENGTH(text) AS qc,
+      |    len(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+      |    ROUND(CAST(list_sum(list_transform(regexp_extract_all(lower(text), '\w+'), x -> LENGTH(x))) AS DOUBLE) /
+      |      GREATEST(len(regexp_extract_all(lower(text), '\w+')), 1), 6) AS avg_token_len,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+      |    ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS digit_ratio
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CASE WHEN qc < 200 THEN 'too_short'
+      |          WHEN qc > 100000 THEN 'too_long'
+      |          WHEN n_tokens < 30 THEN 'too_few_tokens'
+      |          WHEN avg_token_len < 2.5 THEN 'tokens_too_short'
+      |          WHEN avg_token_len > 12.0 THEN 'tokens_too_long'
+      |          WHEN digit_ratio > 0.2 THEN 'too_many_digits'
+      |          WHEN punct_ratio > 0.1 THEN 'too_much_punctuation'
+      |          ELSE 'ok' END) = 'ok' AS keep
+      |  FROM feat),
+      |g AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS grp_min
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  FLOOR(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    * 1e6 + 0.5) / 1e6 AS keep_rate,
+      |  CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+      |  CAST(SUM(CASE WHEN grp_n > 1 AND doc_id != grp_min THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant
+      |FROM g JOIN q USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_data_card" -> pipelineDataCard,
     "sample_stratified" -> sampleStratified,
     "sample_reservoir" -> sampleReservoir,
     "split_train_test" -> splitTrainTest,
@@ -291,6 +362,7 @@ object Pipeline {
     "pipeline_clean_split" -> pipelineCleanSplit)
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_data_card" -> pipelineDataCardSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir" -> sampleReservoirSql,
     "split_train_test" -> splitTrainTestSql,
