@@ -43,6 +43,47 @@ object SortsSetsFns {
     """SELECT s_suppkey, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey""".stripMargin
 
+  /** Z-order (Morton) layout key over (customer, order day) — the
+    * space-filling-curve clustering a 100 TB lakehouse sorts/partitions by
+    * so that parquet min/max stats prune on BOTH dimensions: neighbors in
+    * (custkey, date) space are neighbors on the curve, so a range predicate
+    * on either column touches a contiguous small band of files. The key is
+    * pure row-local bit-interleaving (21 bits per dimension → 42-bit z in
+    * a BIGINT, headroom far past SF100 key ranges); the global sort is
+    * Spark's range-partitioned exchange — exactly `repartitionByRange` +
+    * per-file clustering in a real table write. */
+  def sortZorder(s: SparkSession, dir: String): DataFrame = {
+    val bits = 21
+    val x = col("o_custkey")
+    val y = datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+      .cast("long")
+    def interleave(c: org.apache.spark.sql.Column, offset: Int) =
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
+      }.reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        y.as("order_day"),
+        (interleave(x, 0) + interleave(y, 1)).as("zorder"))
+      .orderBy(col("zorder"), col("o_orderkey"))
+  }
+
+  val sortZorderSql: String = {
+    val bits = 21
+    def interleave(c: String, offset: Int) =
+      (0 until bits).map(i => s"((($c >> $i) & 1) << ${2 * i + offset})")
+        .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      AS BIGINT) AS order_day
+       |  FROM orders)
+       |SELECT o_orderkey, o_custkey, order_day,
+       |  ${interleave("o_custkey", 0)} +
+       |  ${interleave("order_day", 1)} AS zorder
+       |FROM b ORDER BY zorder, o_orderkey""".stripMargin
+  }
+
   // ---- set operations ----
 
   /** UNION (distinct): nations having customers ∪ nations having suppliers. */
@@ -455,6 +496,7 @@ object SortsSetsFns {
     "subq_exists" -> subqExists,
     "topk_orders" -> topkOrders,
     "sort_multi_key" -> sortMultiKey,
+    "sort_zorder" -> sortZorder,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -478,6 +520,7 @@ object SortsSetsFns {
     "subq_exists" -> subqExistsSql,
     "topk_orders" -> topkOrdersSql,
     "sort_multi_key" -> sortMultiKeySql,
+    "sort_zorder" -> sortZorderSql,
     "set_union" -> setUnionSql,
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,

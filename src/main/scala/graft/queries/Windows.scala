@@ -246,7 +246,90 @@ object Windows {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Ordered funnel conversion (view → click → purchase): for each user,
+    * the earliest view, the earliest click strictly AFTER that view, and
+    * the earliest purchase strictly after that click — the classic
+    * product-analytics funnel, expressed as three chained conditional-min
+    * window passes over ONE user partitioning (Spark plans a single
+    * exchange; each pass references the previous stage's timestamp), then
+    * a single global aggregate of distinct converted users. Timestamps
+    * compare at µs (integer `div`) so both engines order identically. */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tu"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tu"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tu") > col("t1"),
+          col("tu"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tu") > col("t2"),
+          col("tu"))).over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+  }
+
+  val funnelConversionSql: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tu END)
+      |  OVER (PARTITION BY user_id) AS t1 FROM b),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tu > t1 THEN tu END)
+      |  OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tu > t2 THEN tu END)
+      |  OVER (PARTITION BY user_id) AS t3 FROM w2)
+      |SELECT COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+      |  COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+      |  COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel
+      |FROM w3""".stripMargin
+
+  /** Weekly cohort retention: of the users active in ISO-week bucket w,
+    * how many are active again in w+1. Activity dedups to (user, week) in
+    * one exact aggregate; retention is a self-join shifted one week —
+    * both sides are the small deduped activity table, not raw events. */
+  def winRetention(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val nxt = a.select(col("user_id"), (col("wk") - 1).as("wk"))
+      .distinct()
+    a.join(nxt, Seq("user_id", "wk"), "left_semi")
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_retained"))
+      .join(a.groupBy(col("wk")).agg(count(lit(1)).as("n_active")), Seq("wk"),
+        "right")
+      .select(col("wk"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (floor(coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_active") * 1e6 + 0.5) / 1e6).as("retention_rate"))
+      .orderBy(col("wk"))
+  }
+
+  val winRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+      |  FROM events),
+      |r AS (
+      |  SELECT a.wk, COUNT(*) AS n_retained
+      |  FROM a WHERE EXISTS (
+      |    SELECT 1 FROM a n WHERE n.user_id = a.user_id AND n.wk = a.wk + 1)
+      |  GROUP BY a.wk)
+      |SELECT a.wk, COUNT(*) AS n_active,
+      |  COALESCE(MAX(r.n_retained), 0) AS n_retained,
+      |  FLOOR(COALESCE(MAX(r.n_retained), 0) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6
+      |    AS retention_rate
+      |FROM a LEFT JOIN r ON r.wk = a.wk
+      |GROUP BY a.wk ORDER BY a.wk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion" -> funnelConversion,
+    "win_retention" -> winRetention,
     "win_cume_dist" -> winCumeDist,
     "win_first_last" -> winFirstLast,
     "win_ntile" -> winNtile,
@@ -258,6 +341,8 @@ object Windows {
     "win_sessionize" -> winSessionize)
 
   def oracleSql: Map[String, String] = Map(
+    "funnel_conversion" -> funnelConversionSql,
+    "win_retention" -> winRetentionSql,
     "win_cume_dist" -> winCumeDistSql,
     "win_first_last" -> winFirstLastSql,
     "win_ntile" -> winNtileSql,
