@@ -12,6 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics.
   */
 object Tables {
+  import org.apache.spark.sql.functions.{col, lit, unix_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** Normalize `ts` to the engine's time contract — epoch NANOSECOND Long
+    * (the reference's Word64 ns `Time`, Core.hs:232-243) — regardless of the
+    * fixture's physical type. Driver fixtures have shipped `ts` both as
+    * `timestamp[ns]` (read as Long under `nanosAsLong`) and as
+    * `timestamp[us]` (read as TIMESTAMP/TIMESTAMP_NTZ); with the session
+    * timezone pinned to UTC the cast-to-timestamp is tz-exact and
+    * `unix_micros` recovers the stored integer, so both layouts yield the
+    * identical ns instants DuckDB's `epoch_ns(ts)` sees. No-op when `ts` is
+    * already a Long. */
+  def nsTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   /** Session settings every graft entry point needs. Safe to call repeatedly. */
   def tune(spark: SparkSession): SparkSession = {
     val c = spark.conf
@@ -37,7 +55,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = nsTs(load(s, d, "events"))
+
+  /** The events fixture EXACTLY as stored — the schema a file-stream source
+    * must declare (declaring the normalized Long `ts` against a timestamp
+    * file would corrupt the read); callers apply [[nsTs]] after the source. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "events")
 
   // documents/embeddings fixtures are single-row-group parquet files — an
   // unsplittable 1-task scan. The operators over them are expression-heavy

@@ -30,11 +30,12 @@ object Streaming {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-replay")
     val out = s"$tmp/out"
     val ckpt = s"$tmp/ckpt"
-    val batchSchema = Tables.events(s, dir).schema // also applies tune()
+    val batchSchema = Tables.eventsRaw(s, dir).schema // also applies tune()
     // the file stream source requires a DIRECTORY; select just the events
-    // fixture out of it by name
-    val src = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // fixture out of it by name. The declared schema must be the RAW file
+    // schema; nsTs then restores the engine's epoch-ns Long contract.
+    val src = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = StreamingIngest.windowedCounts(src, "ts", watermarkDelay = "1 hour")
       .writeStream
       .outputMode("append")
@@ -81,9 +82,9 @@ object Streaming {
   def streamDedupEvents(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     val out = s"$tmp/out"
-    val batchSchema = Tables.events(s, dir).schema
-    val src = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val batchSchema = Tables.eventsRaw(s, dir).schema
+    val src = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
       // µs-truncate the dedup key up front (integer ops) so the Spark-side
       // distinct-ns set IS the distinct-µs set the DuckDB twin sees —
       // semantic equality by construction, not fixture luck
@@ -127,9 +128,9 @@ object Streaming {
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
     val out = s"$tmp/out"
-    val batchSchema = Tables.events(s, dir).schema
-    val src = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val batchSchema = Tables.eventsRaw(s, dir).schema
+    val src = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withColumn("ts", expr("ts div 1000000") * 1000000L)
     val q = StreamingIngest.sessionCounts(src, "ts", gap = "30 minutes",
         watermarkDelay = "1 hour")
@@ -191,9 +192,9 @@ object Streaming {
   def streamAttribution(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-attr")
     val out = s"$tmp/out"
-    val batchSchema = Tables.events(s, dir).schema
-    def src() = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val batchSchema = Tables.eventsRaw(s, dir).schema
+    def src() = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = StreamingIngest.attributionJoin(
         src().filter(col("event_type") === "purchase"),
         src().filter(col("event_type") === "signup"),
