@@ -12,8 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics.
   */
 object Tables {
-  import org.apache.spark.sql.functions.{col, lit, unix_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, lit, timestamp_micros, unix_micros}
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
   /** Normalize `ts` to the engine's time contract — epoch NANOSECOND Long
     * (the reference's Word64 ns `Time`, Core.hs:232-243) — regardless of the
@@ -23,12 +23,45 @@ object Tables {
     * timezone pinned to UTC the cast-to-timestamp is tz-exact and
     * `unix_micros` recovers the stored integer, so both layouts yield the
     * identical ns instants DuckDB's `epoch_ns(ts)` sees. No-op when `ts` is
-    * already a Long. */
+    * already a Long; any other physical type is a fixture-contract break and
+    * fails fast rather than coercing (a string/double ts would silently cast
+    * to null instants).
+    *
+    * NOTE: the projection hides the physical column from Catalyst, so a
+    * time-range predicate applied AFTER nsTs cannot reach the parquet scan.
+    * Time-bounded reads must go through [[eventsInRange]], which filters the
+    * physical column first. */
   def nsTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df
-      case Some(_) =>
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        // unix_micros' exactness for NTZ inputs requires the session timezone
+        // pinned to UTC; enforce it here rather than relying on every caller
+        // having routed through load()/tune().
+        tune(df.sparkSession)
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; " +
+            "expected LONG (ns), TIMESTAMP or TIMESTAMP_NTZ")
+    }
+
+  /** A pushdown-safe time bound for the physical `ts` representation: the ns
+    * interval [startNs, endNs] translated to a predicate on the STORED column
+    * type, so Catalyst hands parquet a plain attribute comparison (row-group
+    * stats skipping + page pruning — the reference's bucket-pruned read,
+    * TimeStore.hs:139-156). Timestamp columns are µs precision, so the µs
+    * bounds (start rounded up, end rounded down) are exactly the ns bounds. */
+  private def physicalTsBound(tsType: DataType, startNs: Long, endNs: Long) =
+    tsType match {
+      case LongType => col("ts").between(startNs, endNs)
+      case t =>
+        val loUs = Math.floorDiv(startNs + 999L, 1000L)
+        val hiUs = Math.floorDiv(endNs, 1000L)
+        // timestamp_micros is foldable: constant-folds to a timestamp literal
+        // the parquet source accepts as a pushed filter.
+        col("ts").between(timestamp_micros(lit(loUs)).cast(t),
+          timestamp_micros(lit(hiUs)).cast(t))
     }
   /** Session settings every graft entry point needs. Safe to call repeatedly. */
   def tune(spark: SparkSession): SparkSession = {
@@ -56,6 +89,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = nsTs(load(s, d, "events"))
+
+  /** Events restricted to the inclusive ns interval [startNs, endNs], with
+    * the bound applied to the PHYSICAL `ts` column BEFORE the ns
+    * normalization — the only ordering under which the range predicate
+    * reaches the parquet scan (see [[nsTs]]'s note). At 100 TB this is the
+    * difference between a pruned time-slice read and a full-table scan. */
+  def eventsInRange(s: SparkSession, d: String,
+                    startNs: Long, endNs: Long): DataFrame = {
+    val raw = load(s, d, "events")
+    nsTs(raw.filter(physicalTsBound(raw.schema("ts").dataType, startNs, endNs)))
+  }
 
   /** The events fixture EXACTLY as stored — the schema a file-stream source
     * must declare (declaring the normalized Long `ts` against a timestamp

@@ -33,11 +33,10 @@ object TimeSeries {
     * first-wins dedup on (addr, time). */
   def rangeScan(s: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.rangeScan(
-        Tables.events(s, dir)
-          // redundant raw-column range: the µs truncation below blocks
-          // parquet pushdown, this equivalent predicate (bounds are µs
-          // multiples) reaches the scan for row-group skipping
-          .filter(col("ts").between(T0, T1 + 999))
+        // the range bound rides on the PHYSICAL ts column (eventsInRange)
+        // so the parquet scan prunes; the µs truncation below would
+        // otherwise hide it from pushdown
+        Tables.eventsInRange(s, dir, T0, T1 + 999)
           .select(
             col("user_id"), nsTruncUs(col("ts")).as("ts_ns"), col("event_type"),
             col("value").cast("decimal(18,2)").as("value"), col("event_id")),
