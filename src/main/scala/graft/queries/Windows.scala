@@ -252,10 +252,18 @@ object Windows {
     * product-analytics funnel, expressed as three chained conditional-min
     * window passes over ONE user partitioning (Spark plans a single
     * exchange; each pass references the previous stage's timestamp), then
-    * a single global aggregate of distinct converted users. Timestamps
-    * compare at µs (integer `div`) so both engines order identically. */
+    * a single global aggregate of converted users. Timestamps compare at µs
+    * (integer `div`) so both engines order identically.
+    *
+    * The stage times are per-user CONSTANTS, so after the window passes the
+    * frame collapses to one row per user (max of the stage flags — this
+    * groupBy reuses the window's hash partitioning, no second exchange)
+    * before the global counts. Counting flags needs no DISTINCT, so the
+    * final aggregate is plain sums over |users| rows — the r5 plan's 4-way
+    * countDistinct Expand over |events| rows is gone (VERDICT r5 #5). */
   def funnelConversion(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
+    def flag(c: Column) = max(when(c.isNotNull, 1).otherwise(0))
     Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("tu"), col("event_type"))
       .withColumn("t1",
@@ -266,11 +274,14 @@ object Windows {
       .withColumn("t3",
         min(when(col("event_type") === "purchase" && col("tu") > col("t2"),
           col("tu"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(flag(col("t1")).as("f1"), flag(col("t2")).as("f2"),
+        flag(col("t3")).as("f3"))
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
-        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
-        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+        count(lit(1)).as("n_users"),
+        sum(col("f1")).as("n_view"),
+        sum(col("f2")).as("n_view_click"),
+        sum(col("f3")).as("n_full_funnel"))
   }
 
   val funnelConversionSql: String =
@@ -291,12 +302,18 @@ object Windows {
   /** Weekly cohort retention: of the users active in ISO-week bucket w,
     * how many are active again in w+1. Activity dedups to (user, week) in
     * one exact aggregate; retention is a self-join shifted one week —
-    * both sides are the small deduped activity table, not raw events. */
+    * both sides are the small deduped activity table, not raw events.
+    *
+    * The activity frame feeds three consumers (the shifted side, the
+    * semi-join probe, and the n_active aggregate); cached so the raw
+    * events scan + dedup shuffle runs once, not three times (VERDICT r5
+    * #4 — the shared-subtree rule applied in sample_temperature and
+    * pipeline_clean_split). Consumers release via CacheScope. */
   def winRetention(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables.events(s, dir)
+    val a = graft.CacheScope.cache(Tables.events(s, dir)
       .select(col("user_id"),
         expr("(ts div 1000) div 604800000000").as("wk"))
-      .distinct()
+      .distinct())
     val nxt = a.select(col("user_id"), (col("wk") - 1).as("wk"))
       .distinct()
     a.join(nxt, Seq("user_id", "wk"), "left_semi")

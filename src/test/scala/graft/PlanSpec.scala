@@ -71,6 +71,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degraded")
   }
 
+  test("funnel_conversion collapses to one row per user before the global counts") {
+    val df = SparkEntry.queries("funnel_conversion")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // flag sums over the per-user frame, never countDistinct over raw
+    // events — an Expand there multiplies |events| ×4 into the final
+    // exchange (VERDICT r5 #5)
+    assert(!plan.contains("Expand"), "funnel re-grew a countDistinct Expand")
+    // per-user collapse reuses the window's user_id partitioning: exactly
+    // one exchange up to the (tiny) final global aggregate
+    val exchanges = "\\bExchange hashpartitioning\\b".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 hash exchange (window+groupBy co-partitioned), saw $exchanges:\n$plan")
+  }
+
+  test("win_retention scans events once (activity subtree cached)") {
+    val df = SparkEntry.queries("win_retention")(spark, sf("0.001"))
+    try {
+      df.count() // materialize so InMemoryRelation replaces repeated scans
+      val plan = df.queryExecution.executedPlan.toString
+      val eventScans = scans(df).count(_.metadata("Location").contains("events"))
+      assert(eventScans <= 1,
+        s"activity subtree recomputed: $eventScans events scans\n$plan")
+      assert(plan.contains("InMemoryTableScan") || eventScans == 1, plan.take(500))
+    } finally graft.CacheScope.release(spark)
+  }
+
   test("join_lateral decorrelates to a window group-limit (no per-row subquery)") {
     val df = SparkEntry.queries("join_lateral")(spark, sf("0.001"))
     val plan = df.queryExecution.executedPlan.toString
