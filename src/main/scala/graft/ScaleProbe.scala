@@ -231,6 +231,16 @@ object ScaleProbe {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5, cells = 16, nprobe = 4)
       }
+      // trained IVF at a production-shaped cell count: 256 cells × 64 dims
+      // is past CellLiteralBudget, so BOTH the k-means assign step and the
+      // search-time assignment run the broadcast-codebook JOIN path — the
+      // plan stays O(1) in k while a literal plan would carry 16k+ constants
+      // into codegen. Growth should be linear in n with a k constant.
+      time("ann_ivf_trained_k256", n) {
+        Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cells = 256, nprobe = 16,
+          iters = 2, dim = 64)
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)

@@ -135,6 +135,44 @@ object Similarity {
       dot(vec, array(cents(c).map(lit(_)).toSeq: _*))
     }: _*)
 
+  /** Literal budget for embedding a centroid matrix into the expression
+    * tree: up to this many k×dim terms the assignment stays a codegen'd
+    * literal projection (row-local, shuffle-free — the fastest shape, and
+    * the one the DuckDB twins can recompute exactly). Beyond it the plan
+    * itself becomes the bottleneck — expression-tree size grows O(k·dim),
+    * analysis/codegen blow past JIT method limits long before the
+    * production cell counts (k ≈ √n is 10⁴-10⁵ cells) — so assignment
+    * switches to the broadcast exploded-centroid JOIN, whose plan is O(1)
+    * in k (the codebook is DATA, not code). 8192 ≈ 128 cells × 64 dims
+    * stays comfortably under Janino's 64 KB method ceiling. */
+  private[graft] val CellLiteralBudget = 8192L
+
+  /** Ascending-index self-dot — the same fold order as the codegen'd [[dot]]
+    * kernel, so a driver-side constant is bit-identical to the in-plan one. */
+  private def selfDot(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** The centroid matrix as broadcast-side MODEL rows (cell, cent, cc) —
+    * one row per cell, the centroid as an array column, `cc` its self-dot.
+    * The large-k assignment cross-joins vectors against these rows and
+    * scores with the SAME codegen'd [[dot]] kernel the literal path runs on
+    * embedded constants: identical doubles, identical fold order — the two
+    * strategies are bit-identical, only the plan representation differs
+    * (k×dim literals vs one broadcast of k rows). n·k scored rows, each a
+    * dim-length primitive loop; the per-id argmax collapses map-side (the
+    * cross-join emits each row's k candidates consecutively in-partition),
+    * so the exchange carries ~n rows. A codebook past driver memory would
+    * live as a parquet table and broadcast identically. */
+  private[graft] def centroidRows(spark: org.apache.spark.sql.SparkSession,
+                                  cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.indices.map(c => (c, cents(c).toSeq, selfDot(cents(c))))
+      .toDF("cell", "cent", "cc")
+  }
+
   /** Array of dot(vec, centroid_c) for c in [0, cells) — each centroid a
     * literal array, each dot a codegen'd primitive loop. */
   private def cellScoreArray(vec: Column, cells: Int, dim: Int): Column =
@@ -163,32 +201,67 @@ object Similarity {
       Array.tabulate(cells, dim)(centroidComponent))
 
   /** IVF search against an arbitrary centroid matrix (the trained-codebook
-    * path of [[ivfTopK]] — same row-local assignment, same probe fan-out,
-    * same exact-cosine re-rank). */
+    * path of [[ivfTopK]] — same probe fan-out, same exact-cosine re-rank).
+    *
+    * Assignment strategy is sized by [[CellLiteralBudget]]: at demo/small k
+    * the centroids embed as codegen'd literals (row-local, twin-exact);
+    * past the budget both sides route through the broadcast-codebook
+    * cross join ([[centroidRows]]), whose plan size is constant in k —
+    * the production shape at k ≈ √n cell counts, where a literal
+    * expression tree would explode analysis and JIT compilation. Both
+    * strategies run the same [[dot]] kernel on the same doubles, so their
+    * results are bit-identical (spec-checked). */
   def ivfTopKWith(corpus: DataFrame, probes: DataFrame, idCol: String,
                   vecCol: String, k: Int, nprobe: Int,
-                  cents: Array[Array[Double]]): DataFrame = {
+                  cents: Array[Array[Double]],
+                  literalBudget: Long = CellLiteralBudget): DataFrame = {
     val cells = cents.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
     val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
-    // Corpus assignment is ROW-LOCAL (no explode, no window, no shuffle):
-    // cell = index of the max score, ties to the lowest cell
-    // (array_position returns the FIRST occurrence). The scores array is
-    // referenced twice post-inlining — 2×cells codegen'd dots per row,
-    // still linear and shuffle-free, which is what matters at 100 TB.
-    val corpusCells = c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
-      .withColumn("cell",
-        (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
-      .select(col("nbr_id"), col("cv"), col("cell"))
-    // Probe top-nprobe cells: sort (−score, cell) structs ascending = score
-    // desc / cell asc — identical tie semantics to the oracle twin's
-    // ORDER BY score DESC, cell. Row-local; probes are the small side.
-    val probeCells = p.withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
-      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
-        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
-      .select(col("query_id"), col("pv"),
-        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
-      .select(col("query_id"), col("pv"), col("__top.cell").as("cell"))
+    val (corpusCells, probeCells) = if (cells.toLong * dim <= literalBudget) {
+      // Corpus assignment is ROW-LOCAL (no explode, no window, no shuffle):
+      // cell = index of the max score, ties to the lowest cell
+      // (array_position returns the FIRST occurrence). The scores array is
+      // referenced twice post-inlining — 2×cells codegen'd dots per row,
+      // still linear and shuffle-free, which is what matters at 100 TB.
+      val cc = c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
+        .withColumn("cell",
+          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+        .select(col("nbr_id"), col("cv"), col("cell"))
+      // Probe top-nprobe cells: sort (−score, cell) structs ascending = score
+      // desc / cell asc — identical tie semantics to the oracle twin's
+      // ORDER BY score DESC, cell. Row-local; probes are the small side.
+      val pc = p.withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
+        .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
+          struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
+        .select(col("query_id"), col("pv"),
+          explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
+        .select(col("query_id"), col("pv"), col("__top.cell").as("cell"))
+      (cc, pc)
+    } else {
+      val centRows = centroidRows(corpus.sparkSession, cents)
+      // argmax dot per corpus row, ties to the lowest cell (max_by on
+      // (score, -cell) structs); grouping on (nbr_id, cv) keeps the vector
+      // through the aggregate — no re-join, and the partial agg collapses
+      // each row's k candidates before the exchange
+      val cc = c.crossJoin(broadcast(centRows))
+        .select(col("nbr_id"), col("cv"), col("cell"),
+          dot(col("cv"), col("cent")).as("score"))
+        .groupBy(col("nbr_id"), col("cv"))
+        .agg(max_by(col("cell"),
+          struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+        .select(col("nbr_id"), col("cv"), col("cell"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cell"))
+      val pc = p.crossJoin(broadcast(centRows))
+        .select(col("query_id"), col("pv"), col("cell"),
+          dot(col("pv"), col("cent")).as("score"))
+        .withColumn("__r", row_number().over(wv))
+        .filter(col("__r") <= nprobe)
+        .select(col("query_id"), col("pv"), col("cell"))
+      (cc, pc)
+    }
     val scored = corpusCells.join(probeCells, Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
@@ -672,18 +745,40 @@ object Similarity {
     *
     * Returns (cell, d, c_val, n_members) for all k·dim positions. */
   def kmeansTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
-                  dim: Int): DataFrame = {
+                  dim: Int,
+                  literalBudget: Long = CellLiteralBudget): DataFrame = {
     require(iters >= 1)
     val spark = corpus.sparkSession
     val v = corpus.select(asDouble(col(vecCol)).as("v"))
-    // driver-side self-dot with the same ascending fold as the codegen'd
-    // kernel (and DuckDB's list_dot_product) — bit-identical constants
-    def selfDot(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      s
+    // Large-k training (k·dim past the literal budget) assigns through the
+    // broadcast-codebook join instead of k×dim literal terms — same
+    // crossover as [[ivfTopKWith]]. The corpus is cached WITH a pinned row
+    // id once, outside the iteration loop: monotonically_increasing_id is
+    // only stable across the multiple plans that reference it because the
+    // cache materializes it exactly once (and each iteration then reads
+    // from memory rather than re-scanning source).
+    val joinPath = k.toLong * dim > literalBudget
+    lazy val vid = {
+      val f = graft.CacheScope.cache(
+        v.withColumn("__vid", monotonically_increasing_id()))
+      f.count() // materialize eagerly: two consumers per iteration
+      f
     }
-    def assign(cents: Array[Array[Double]]): DataFrame = {
+    def assign(cents: Array[Array[Double]]): DataFrame = if (joinPath) {
+      // broadcast-codebook cross join: the L2² identity evaluated with the
+      // SAME dot kernel + driver-side self-dot as the literal path (cc
+      // rides in the model row), so assignments are bit-identical; argmin
+      // ties to the lowest cell. Grouping on (__vid, v) keeps the vector
+      // through the aggregate while preserving duplicate multiplicity.
+      val centRows = centroidRows(spark, cents)
+      vid.crossJoin(broadcast(centRows))
+        .select(col("__vid"), col("v"), col("cell"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cent")) +
+            col("cc")).as("dist"))
+        .groupBy(col("__vid"), col("v"))
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+        .select(col("v"), col("cell"))
+    } else {
       val scored = array((0 until k).map { c =>
         val cl = array(cents(c).map(lit(_)).toSeq: _*)
         struct(

@@ -62,6 +62,33 @@ class NorthStarSpec extends SparkSpec {
     assert(recall > scanFraction + 0.1, s"recall $recall vs scan $scanFraction")
   }
 
+  test("ivf join-path assignment reproduces the literal path on one codebook") {
+    // same 16×64 codebook through both strategies: the broadcast
+    // exploded-centroid join (forced via literalBudget = 0 — the large-k
+    // production shape) must return the identical top-k result set as the
+    // codegen'd literal projection
+    val probes = emb.filter(col("vec_id") < 10)
+    val cents = Array.tabulate(16, 64)(Similarity.centroidComponent)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaLiterals = rows(Similarity.ivfTopKWith(
+      emb, probes, "vec_id", "embedding", 5, 4, cents))
+    val viaJoin = rows(Similarity.ivfTopKWith(
+      emb, probes, "vec_id", "embedding", 5, 4, cents, literalBudget = 0))
+    assert(viaJoin === viaLiterals)
+  }
+
+  test("kmeans join-path training matches the literal path") {
+    def model(budget: Long) = try {
+      Similarity.kmeansTrain(emb, "embedding", 8, 2, 64,
+          literalBudget = budget).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    } finally CacheScope.release(spark)
+    assert(model(0L).toSeq === model(Similarity.CellLiteralBudget).toSeq)
+  }
+
   test("winnow fingerprints are deterministic and self-consistent") {
     def sketch(): Map[Long, Set[String]] =
       TextAnalysis.winnow(docs, "doc_id", "text").collect()

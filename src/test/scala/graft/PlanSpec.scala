@@ -71,6 +71,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degraded")
   }
 
+  test("large-k ivf switches to the broadcast-codebook join (plan size O(1) in k)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // 256 cells × 64 dims = 16384 terms — past CellLiteralBudget, so the
+    // centroid matrix must ride as broadcast DATA, not expression literals:
+    // a literal plan here would carry ~16k constants into analysis/codegen
+    // and hit JIT method-size ceilings at production cell counts
+    val emb = Tables.embeddings(spark, sf("0.001"))
+    val probes = emb.filter(col("vec_id") < 5)
+    val cents = Array.tabulate(256, 64)(Similarity.centroidComponent)
+    val df = Similarity.ivfTopKWith(emb, probes, "vec_id", "embedding",
+      5, 8, cents)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.length < 100000, s"plan ballooned to ${plan.length} chars")
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+  }
+
   test("funnel_conversion collapses to one row per user before the global counts") {
     val df = SparkEntry.queries("funnel_conversion")(spark, sf("0.001"))
     val plan = df.queryExecution.executedPlan.toString
