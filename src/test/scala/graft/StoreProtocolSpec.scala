@@ -126,15 +126,18 @@ class StoreProtocolSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
   }
 
-  test("lease hammer: 50 writers + 50 readers over a store counter (StoreTests.hs:128-157)") {
+  test("lease hammer: 100 writers + 100 readers over a store counter (StoreTests.hs:128-157)") {
     val n = freshNs()
     TimeStore.register(spark, n, 4, 4)
-    // the reference contract-tests 100 exclusive writers + 100 shared
-    // readers over a counter; this ports that shape at the scale this box
-    // schedules (50+50 threads, 100 exclusive sections)
-    val writers = 50
-    val readerCount = 50
-    val perWriter = 2
+    // the reference contract-tests 100 exclusive writers (one increment
+    // each) + 100 shared readers over a counter; this ports that contract
+    // at full scale. The readers are lock-free BY DESIGN here (generation
+    // snapshots replace the reference's shared lock), so their half of the
+    // contract is observational: every read is whole, monotonic, and never
+    // overshoots.
+    val writers = 100
+    val readerCount = 100
+    val perWriter = 1
     val total = writers.toLong * perWriter
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
