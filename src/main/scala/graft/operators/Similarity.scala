@@ -746,7 +746,8 @@ object Similarity {
     * Returns (cell, d, c_val, n_members) for all k·dim positions. */
   def kmeansTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
                   dim: Int,
-                  literalBudget: Long = CellLiteralBudget): DataFrame = {
+                  literalBudget: Long = CellLiteralBudget,
+                  init: (Int, Int) => Double = centroidComponent): DataFrame = {
     require(iters >= 1)
     val spark = corpus.sparkSession
     val v = corpus.select(asDouble(col(vecCol)).as("v"))
@@ -796,7 +797,7 @@ object Similarity {
         .select(col("cell"), col("d"), col("n_members"),
           (floor(col("sx").cast("double") / col("n_members") * 1e6 + 0.5)
             / 1e6).as("c_val"))
-    var cents = Array.tabulate(k, dim)((c, d) => centroidComponent(c, d))
+    var cents = Array.tabulate(k, dim)((c, d) => init(c, d))
     for (_ <- 1 until iters) {
       val next = cents.map(_.clone)
       update(assign(cents)).collect().foreach { r =>
@@ -828,6 +829,89 @@ object Similarity {
       cents(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
     }
     ivfTopKWith(corpus, probes, idCol, vecCol, k, nprobe, cents)
+  }
+
+  /** Per-subspace k-means PQ codebook training: subspace s's codebook is
+    * [[kmeansTrain]] run on the corpus's s-th subvector slice, initialized
+    * from the untrained [[pqComponent]] literals (so iters=0 would be the
+    * untrained codebook). Returns books(s)(c)(d).
+    *
+    * Composition mirror of [[ivfTrainedTopK]]: each subspace trains
+    * independently; at production scale the subs trainings would fuse into
+    * one pass (explode by subspace, one grouped update), but the model
+    * state is identical — subs × ksub × dim/subs doubles, collected and
+    * broadcast per epoch. */
+  def pqTrainBooks(corpus: DataFrame, vecCol: String, subs: Int, ksub: Int,
+                   iters: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val ds = dim / subs
+    Array.tabulate(subs) { s =>
+      val sub = corpus.select(slice(col(vecCol), s * ds + 1, ds).as("subv"))
+      val book = Array.tabulate(ksub, ds)((c, d) => pqComponent(s, c, d))
+      kmeansTrain(sub, "subv", ksub, iters, ds,
+          init = (c, d) => pqComponent(s, c, d)).collect()
+        .foreach { r =>
+          book(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
+            r.getAs[Double]("c_val")
+        }
+      book
+    }
+  }
+
+  /** PQ-ADC top-k with a TRAINED codebook — [[pqTrainBooks]] feeding the
+    * [[pqTopK]] serving shape: train → encode → ADC-scan composed
+    * in-engine, the full production PQ lifecycle.
+    *
+    * Subspace distances use the dot-product identity
+    * `dot(x,x) − 2·dot(x,c) + cc` (the [[kmeansTrain]] assign form, with
+    * the codebook self-dots precomputed driver-side) rather than
+    * [[pqCodes]]'s per-component (x−c)² fold — the identity is the form a
+    * DuckDB twin can recompute bit-identically when the centroids are
+    * SQL-computed data instead of authoring-time literals. Encode stays a
+    * row-local projection; codes are cached narrow exactly like
+    * [[pqTopK]]. */
+  def pqTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
+                    iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val ds = dim / subs
+    val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
+    def subv(vc: Column, s: Int): Column =
+      transform(slice(vc, s * ds + 1, ds), _.cast("double"))
+    def dist(vc: Column, s: Int, c: Int): Column = {
+      val xs = subv(vc, s)
+      val cl = array(books(s)(c).map(lit(_)).toSeq: _*)
+      dot(xs, xs) - lit(2.0) * dot(xs, cl) + lit(selfDot(books(s)(c)))
+    }
+    // argmin over ksub candidates, ties to the lowest code (same fold
+    // shape as pqCodes)
+    def codeS(vc: Column, s: Int): Column = {
+      val dists = (0 until ksub).map(c => dist(vc, s, c))
+      (0 until ksub - 1).foldRight(lit(ksub - 1): Column) { (c, rest) =>
+        when((c + 1 until ksub).map(j => dists(c) <= dists(j)).reduce(_ && _),
+          lit(c)).otherwise(rest)
+      }
+    }
+    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
+    val packed = (0 until subs)
+      .map(s => codeS(col("cv"), s).cast("long") * weights(s)).reduce(_ + _)
+    val codes = graft.CacheScope.cache(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+        .select(col("nbr_id"), packed.as("pq_code")))
+    codes.count()
+    val dtab = array((for (s <- 0 until subs; c <- 0 until ksub)
+      yield dist(col("pv"), s, c)): _*)
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pv"))
+      .select(col("query_id"), dtab.as("dtab"))
+    val adc = adcSum(subs, ksub)
+    val scored = codes.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
   }
 
   /** Int8 scalar quantization audit — the compression step an ANN index

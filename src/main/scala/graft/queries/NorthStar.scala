@@ -188,7 +188,11 @@ private object LshOracleSql {
     * in scope; defines f0 (init), then per iteration c/a/ex/m CTEs, ending
     * (no trailing comma) at `m{iters}`. `f{iters-1}` carries the previous
     * generation for empty-cell fills. */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+                         prefix: String = "", vName: String = "v",
+                         init: (Int, Int) => Double =
+                           Similarity.centroidComponent): String = {
+    def nm(name: String) = s"$prefix$name"
     // String-cast element literals: DuckDB parses bare numeric literals
     // as DECIMAL (losing the last ulp of a 17-digit double — CAST
     // (-0.09185728993818969 AS DOUBLE) ≠ CAST('-0.09185728993818969' AS
@@ -196,7 +200,7 @@ private object LshOracleSql {
     // Double.toString parse, so untouched empty-cell centroids hash-match.
     def exactArr(c: Int): String =
       (0 until dim)
-        .map(d => s"CAST('${Similarity.centroidComponent(c, d)}' AS DOUBLE)")
+        .map(d => s"CAST('${init(c, d)}' AS DOUBLE)")
         .mkString("[", ", ", "]")
     val initVals = (0 until k)
       .map(c => s"($c, ${exactArr(c)})").mkString(",\n    ")
@@ -204,26 +208,26 @@ private object LshOracleSql {
       s"list_dot_product(e, e) - 2.0 * list_dot_product(e, $carr) + " +
         s"list_dot_product($carr, $carr)"
     val sb = new StringBuilder
-    sb.append(s"c0raw AS (SELECT * FROM (VALUES\n    $initVals) t0(cell, carr)),\n")
-    sb.append(s"f0 AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (\n")
-    sb.append(s"  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM c0raw)),\n")
+    sb.append(s"${nm("c0raw")} AS (SELECT * FROM (VALUES\n    $initVals) t0(cell, carr)),\n")
+    sb.append(s"${nm("f0")} AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (\n")
+    sb.append(s"  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM ${nm("c0raw")})),\n")
     for (it <- 1 to iters) {
-      sb.append(s"c${it - 1} AS (SELECT cell, list(c ORDER BY d) AS carr " +
-        s"FROM f${it - 1} GROUP BY cell),\n")
-      sb.append(s"""a$it AS (SELECT vec_id, cell FROM (
+      sb.append(s"${nm(s"c${it - 1}")} AS (SELECT cell, list(c ORDER BY d) AS carr " +
+        s"FROM ${nm(s"f${it - 1}")} GROUP BY cell),\n")
+      sb.append(s"""${nm(s"a$it")} AS (SELECT vec_id, cell FROM (
          |  SELECT v.vec_id, cc.cell, row_number() OVER (PARTITION BY v.vec_id
          |    ORDER BY ${distExpr("cc.carr")}, cc.cell) AS rn
-         |  FROM v CROSS JOIN c${it - 1} cc) WHERE rn = 1),
-         |ex$it AS (SELECT a.cell, unnest(generate_series(1, len(e))) AS i, e
-         |  FROM a$it a JOIN v USING (vec_id)),
-         |m$it AS (SELECT cell, CAST(i - 1 AS INT) AS d, COUNT(*) AS n,
+         |  FROM $vName v CROSS JOIN ${nm(s"c${it - 1}")} cc) WHERE rn = 1),
+         |${nm(s"ex$it")} AS (SELECT a.cell, unnest(generate_series(1, len(e))) AS i, e
+         |  FROM ${nm(s"a$it")} a JOIN $vName USING (vec_id)),
+         |${nm(s"m$it")} AS (SELECT cell, CAST(i - 1 AS INT) AS d, COUNT(*) AS n,
          |    FLOOR(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
          |      * 1e6 + 0.5) / 1e6 AS c
-         |  FROM ex$it GROUP BY cell, i),
+         |  FROM ${nm(s"ex$it")} GROUP BY cell, i),
          |""".stripMargin)
       if (it < iters)
-        sb.append(s"f$it AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c " +
-          s"FROM f${it - 1} s LEFT JOIN m$it m ON m.cell = s.cell AND m.d = s.d),\n")
+        sb.append(s"${nm(s"f$it")} AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c " +
+          s"FROM ${nm(s"f${it - 1}")} s LEFT JOIN ${nm(s"m$it")} m ON m.cell = s.cell AND m.d = s.d),\n")
     }
     sb.toString.stripSuffix(",\n").stripSuffix("\n").stripSuffix(",")
   }
@@ -268,6 +272,67 @@ private object LshOracleSql {
        |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[Similarity.pqTrainedTopK]] with probe set vec_id < 10: one
+    * [[kmeansCtes]] chain per subspace (over the sliced subvectors, init =
+    * the pqComponent literals), trained codebooks regrouped to lists, then
+    * codes via argmin of the dot-identity distance (the exact form the
+    * Spark side evaluates — `(dot(x,x) − 2·dot(x,c)) + cc`, left-assoc),
+    * and the ADC sum assembled by joining each subspace's probe-distance
+    * row on the bit-sliced code — an explicit left-assoc d0+d1+…+d7, never
+    * an unordered SUM (8 doubles summed in engine-chosen order could flip
+    * the r6 rounding). */
+  def pqTrainedTopK(k: Int, subs: Int, ksub: Int, iters: Int,
+                    dim: Int): String = {
+    val ds = dim / subs
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
+    val subCtes = (0 until subs).map { s =>
+      val p = s"s${s}_"
+      s"""v$s AS (SELECT vec_id, e[${s * ds + 1}:${(s + 1) * ds}] AS e FROM v),
+         |${kmeansCtes(ksub, iters, ds, prefix = p, vName = s"v$s",
+             init = (c, d) => Similarity.pqComponent(s, c, d))},
+         |${p}tc AS (SELECT s.cell, list(COALESCE(m.c, s.c) ORDER BY s.d) AS carr
+         |  FROM ${p}f${iters - 1} s LEFT JOIN ${p}m$iters m
+         |  ON m.cell = s.cell AND m.d = s.d GROUP BY s.cell),
+         |${p}cd AS (SELECT w.vec_id, t.cell AS ck,
+         |  list_dot_product(w.e, w.e) - 2.0 * list_dot_product(w.e, t.carr)
+         |    + list_dot_product(t.carr, t.carr) AS dist
+         |  FROM v$s w CROSS JOIN ${p}tc t),
+         |${p}code AS (SELECT vec_id, ck AS c FROM (
+         |  SELECT vec_id, ck, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, ck) AS rn FROM ${p}cd) WHERE rn = 1),
+         |${p}pd AS (SELECT vec_id AS query_id, ck, dist FROM ${p}cd
+         |  WHERE vec_id < 10)""".stripMargin
+    }.mkString(",\n")
+    val codeExpr = (0 until subs)
+      .map(s => s"CAST(c$s.c AS BIGINT) * ${weights(s)}").mkString(" + ")
+    val codeJoins = (0 until subs).map { s =>
+      if (s == 0) s"FROM s0_code c0"
+      else s"JOIN s${s}_code c$s USING (vec_id)"
+    }.mkString("\n  ")
+    val adcExpr = (0 until subs).map(s => s"q$s.dist").mkString(" + ")
+    val adcJoins = (0 until subs).map { s =>
+      val cond = s"q$s.ck = CAST((c.pq_code >> ${s * shift}) & ${ksub - 1} AS INT)"
+      if (s == 0) s"JOIN s0_pd q0 ON $cond"
+      else s"JOIN s${s}_pd q$s ON q$s.query_id = q0.query_id AND $cond"
+    }.mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |$subCtes,
+       |codes AS (SELECT c0.vec_id, $codeExpr AS pq_code
+       |  $codeJoins),
+       |scored AS (
+       |  SELECT q0.query_id, c.vec_id AS nbr_id,
+       |    FLOOR(($adcExpr) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM codes c
+       |  $adcJoins
+       |  WHERE q0.query_id != c.vec_id)
+       |SELECT query_id, rnk, nbr_id, adc_dist FROM (
+       |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Twin of [[Similarity.pqRerankTopK]] with probe set vec_id < 10: the
     * [[pqTopK]] CTE chain truncated at `kCand` candidates, re-scored by
@@ -1076,6 +1141,19 @@ object NorthStar {
   val annIvfTrainedSql: String = LshOracleSql.ivfTrainedTopK(k = 5,
     cells = 8, nprobe = 2, iters = 2, dim = 64)
 
+  /** Trained-PQ ADC search (per-subspace k-means codebooks → encode →
+    * ADC scan composed); see [[Similarity.pqTrainedTopK]]. */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, subs = 8, ksub = 4, iters = 2,
+        dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqTrainedSql: String = LshOracleSql.pqTrainedTopK(k = 5,
+    subs = 8, ksub = 4, iters = 2, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1333,6 +1411,7 @@ object NorthStar {
     "ann_rerank" -> annRerank,
     "emb_kmeans" -> embKmeans,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_pq_trained" -> annPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1377,6 +1456,7 @@ object NorthStar {
     "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
+    "ann_pq_trained" -> annPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
