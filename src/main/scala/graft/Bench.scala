@@ -63,7 +63,12 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // optional first arg: regex over query names — a targeted dev loop for
+    // re-measuring one family in isolation (the driver passes no args and
+    // always measures the full inventory)
+    val keep = args.lift(0).map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => keep.forall(_.findFirstIn(n).isDefined))
     // warmup pass: JIT, codegen cache, FS metadata
     names.foreach { name =>
       try exec(SparkEntry.queries(name)(spark, sfDir))

@@ -869,22 +869,23 @@ object Similarity {
     * SQL-computed data instead of authoring-time literals. Encode stays a
     * row-local projection; codes are cached narrow exactly like
     * [[pqTopK]]. */
-  def pqTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-                    vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
-                    iters: Int = 2, dim: Int = 64): DataFrame = {
-    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
-    val ds = dim / subs
-    val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
-    def subv(vc: Column, s: Int): Column =
-      transform(slice(vc, s * ds + 1, ds), _.cast("double"))
-    def dist(vc: Column, s: Int, c: Int): Column = {
-      val xs = subv(vc, s)
-      val cl = array(books(s)(c).map(lit(_)).toSeq: _*)
-      dot(xs, xs) - lit(2.0) * dot(xs, cl) + lit(selfDot(books(s)(c)))
-    }
-    // argmin over ksub candidates, ties to the lowest code (same fold
-    // shape as pqCodes)
-    def codeS(vc: Column, s: Int): Column = {
+  /** Trained-codebook subspace distance: the dot-product identity
+    * `dot(x,x) − 2·dot(x,c) + cc` over the s-th subvector slice — the form
+    * a SQL twin recomputes bit-identically when centroids are computed
+    * data (see [[pqTrainedTopK]]). */
+  private def trainedSubDist(books: Array[Array[Array[Double]]], ds: Int)
+                            (vc: Column, s: Int, c: Int): Column = {
+    val xs = transform(slice(vc, s * ds + 1, ds), _.cast("double"))
+    val cl = array(books(s)(c).map(lit(_)).toSeq: _*)
+    dot(xs, xs) - lit(2.0) * dot(xs, cl) + lit(selfDot(books(s)(c)))
+  }
+
+  /** Packed mixed-radix code word from trained codebooks — argmin per
+    * subspace, ties to the lowest code (same fold shape as [[pqCodes]]). */
+  private def trainedPacked(books: Array[Array[Array[Double]]], ds: Int,
+                            subs: Int, ksub: Int)(vc: Column): Column = {
+    val dist = trainedSubDist(books, ds) _
+    def codeS(s: Int): Column = {
       val dists = (0 until ksub).map(c => dist(vc, s, c))
       (0 until ksub - 1).foldRight(lit(ksub - 1): Column) { (c, rest) =>
         when((c + 1 until ksub).map(j => dists(c) <= dists(j)).reduce(_ && _),
@@ -892,18 +893,80 @@ object Similarity {
       }
     }
     val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
-    val packed = (0 until subs)
-      .map(s => codeS(col("cv"), s).cast("long") * weights(s)).reduce(_ + _)
+    (0 until subs).map(s => codeS(s).cast("long") * weights(s)).reduce(_ + _)
+  }
+
+  /** Probe-side ADC table from trained codebooks (subs×ksub distances). */
+  private def trainedDtab(books: Array[Array[Array[Double]]], ds: Int,
+                          subs: Int, ksub: Int)(vc: Column): Column =
+    array((for (s <- 0 until subs; c <- 0 until ksub)
+      yield trainedSubDist(books, ds)(vc, s, c)): _*)
+
+  def pqTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
+                    iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val ds = dim / subs
+    val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
+    val packed = trainedPacked(books, ds, subs, ksub)(col("cv"))
     val codes = graft.CacheScope.cache(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
         .select(col("nbr_id"), packed.as("pq_code")))
     codes.count()
-    val dtab = array((for (s <- 0 until subs; c <- 0 until ksub)
-      yield dist(col("pv"), s, c)): _*)
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pv"))
-      .select(col("query_id"), dtab.as("dtab"))
+      .select(col("query_id"),
+        trainedDtab(books, ds, subs, ksub)(col("pv")).as("dtab"))
     val adc = adcSum(subs, ksub)
     val scored = codes.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+  }
+
+  /** Fully-trained IVF-PQ — the complete trained production index:
+    * [[kmeansTrain]]'s coarse codebook prunes cells, [[pqTrainBooks]]'
+    * per-subspace fine codebooks compress the scan, composed exactly like
+    * [[ivfPqTopK]] (corpus index = (cell, 2-byte code) in one cached
+    * row-local pass; probes expand to top-nprobe cells carrying their
+    * trained ADC tables; the cell join scans ~nprobe/cells of the codes).
+    * Both codebooks are collected model state re-embedded as literals at
+    * demo scale; past [[CellLiteralBudget]] the coarse assignment would
+    * ride [[centroidRows]] like [[ivfTopKWith]]. */
+  def ivfPqTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, cells: Int = 8,
+                       nprobe: Int = 2, subs: Int = 8, ksub: Int = 4,
+                       iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val ds = dim / subs
+    val cents = Array.ofDim[Double](cells, dim)
+    kmeansTrain(corpus, vecCol, cells, iters, dim).collect().foreach { r =>
+      cents(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
+    }
+    val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
+    val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
+    val corpusIdx = graft.CacheScope.cache(
+      c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
+        .withColumn("cell",
+          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+        .select(col("nbr_id"), col("cell"),
+          trainedPacked(books, ds, subs, ksub)(col("cv")).as("pq_code")))
+    corpusIdx.count()
+    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
+    val probeCells = p
+      .withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
+      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
+        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
+      .withColumn("dtab", trainedDtab(books, ds, subs, ksub)(col("pv")))
+      .select(col("query_id"), col("dtab"),
+        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
+      .select(col("query_id"), col("dtab"), col("__top.cell").as("cell"))
+    val adc = adcSum(subs, ksub)
+    val scored = corpusIdx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))

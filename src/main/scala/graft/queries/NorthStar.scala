@@ -282,12 +282,15 @@ private object LshOracleSql {
     * row on the bit-sliced code — an explicit left-assoc d0+d1+…+d7, never
     * an unordered SUM (8 doubles summed in engine-chosen order could flip
     * the r6 rounding). */
-  def pqTrainedTopK(k: Int, subs: Int, ksub: Int, iters: Int,
-                    dim: Int): String = {
-    val ds = dim / subs
-    val shift = Integer.numberOfTrailingZeros(ksub)
-    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
-    val subCtes = (0 until subs).map { s =>
+  /** Per-subspace trained-codebook CTEs shared by [[pqTrainedTopK]] and
+    * [[ivfPqTrainedTopK]]: for each subspace s — the subvector slice view
+    * `v{s}`, its [[kmeansCtes]] training chain, the trained codebook list
+    * `s{s}_tc`, all (vec, candidate) distances `s{s}_cd` (dot-identity,
+    * same assoc as the Spark side), the argmin code `s{s}_code`, and the
+    * probe distance rows `s{s}_pd`. */
+  private def pqSubspaceCtes(subs: Int, ksub: Int, iters: Int,
+                             ds: Int): String =
+    (0 until subs).map { s =>
       val p = s"s${s}_"
       s"""v$s AS (SELECT vec_id, e[${s * ds + 1}:${(s + 1) * ds}] AS e FROM v),
          |${kmeansCtes(ksub, iters, ds, prefix = p, vName = s"v$s",
@@ -305,34 +308,89 @@ private object LshOracleSql {
          |${p}pd AS (SELECT vec_id AS query_id, ck, dist FROM ${p}cd
          |  WHERE vec_id < 10)""".stripMargin
     }.mkString(",\n")
+
+  /** The `codes` CTE body (mixed-radix pack of the per-subspace argmins). */
+  private def pqCodesCte(subs: Int, ksub: Int): String = {
+    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
     val codeExpr = (0 until subs)
       .map(s => s"CAST(c$s.c AS BIGINT) * ${weights(s)}").mkString(" + ")
     val codeJoins = (0 until subs).map { s =>
       if (s == 0) s"FROM s0_code c0"
       else s"JOIN s${s}_code c$s USING (vec_id)"
     }.mkString("\n  ")
-    val adcExpr = (0 until subs).map(s => s"q$s.dist").mkString(" + ")
-    val adcJoins = (0 until subs).map { s =>
+    s"codes AS (SELECT c0.vec_id, $codeExpr AS pq_code\n  $codeJoins)"
+  }
+
+  /** Left-assoc explicit ADC sum `q0.dist + … + q{subs-1}.dist` — never an
+    * unordered SUM (engine-chosen order could flip the r6 rounding). */
+  private def pqAdcExpr(subs: Int): String =
+    (0 until subs).map(s => s"q$s.dist").mkString(" + ")
+
+  /** Joins picking each subspace's probe-distance row by the bit-sliced
+    * code; `anchor` is the column every q{s}.query_id equates to ("" makes
+    * q0 the anchor, the plain-PQ case). */
+  private def pqAdcJoins(subs: Int, ksub: Int, anchor: String): String = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    (0 until subs).map { s =>
       val cond = s"q$s.ck = CAST((c.pq_code >> ${s * shift}) & ${ksub - 1} AS INT)"
-      if (s == 0) s"JOIN s0_pd q0 ON $cond"
-      else s"JOIN s${s}_pd q$s ON q$s.query_id = q0.query_id AND $cond"
+      val qid =
+        if (s == 0 && anchor.isEmpty) "" else
+          s"q$s.query_id = ${if (anchor.isEmpty) "q0.query_id" else anchor} AND "
+      s"JOIN s${s}_pd q$s ON $qid$cond"
     }.mkString("\n  ")
+  }
+
+  def pqTrainedTopK(k: Int, subs: Int, ksub: Int, iters: Int,
+                    dim: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       |$subCtes,
-       |codes AS (SELECT c0.vec_id, $codeExpr AS pq_code
-       |  $codeJoins),
+       |${pqSubspaceCtes(subs, ksub, iters, dim / subs)},
+       |${pqCodesCte(subs, ksub)},
        |scored AS (
        |  SELECT q0.query_id, c.vec_id AS nbr_id,
-       |    FLOOR(($adcExpr) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |    FLOOR((${pqAdcExpr(subs)}) * 1e6 + 0.5) / 1e6 AS adc_dist
        |  FROM codes c
-       |  $adcJoins
+       |  ${pqAdcJoins(subs, ksub, anchor = "")}
        |  WHERE q0.query_id != c.vec_id)
        |SELECT query_id, rnk, nbr_id, adc_dist FROM (
        |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Twin of [[Similarity.ivfPqTrainedTopK]] with probe set vec_id < 10:
+    * the coarse [[kmeansCtes]] chain ranks cells (corpus rank-1, probe
+    * top-nprobe) exactly like [[ivfTrainedTopK]], the [[pqSubspaceCtes]]
+    * chains encode, and the ADC joins anchor on the probe-cell pairs. */
+  def ivfPqTrainedTopK(k: Int, cells: Int, nprobe: Int, subs: Int,
+                       ksub: Int, iters: Int, dim: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |${kmeansCtes(cells, iters, dim)},
+       |tcf AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c
+       |  FROM f${iters - 1} s LEFT JOIN m$iters m
+       |  ON m.cell = s.cell AND m.d = s.d),
+       |tc AS (SELECT cell, list(c ORDER BY d) AS carr FROM tcf GROUP BY cell),
+       |csc AS (SELECT v.vec_id, t.cell, list_dot_product(e, t.carr) AS score
+       |  FROM v CROSS JOIN tc t),
+       |cranked AS (SELECT vec_id, cell, row_number() OVER (
+       |  PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk FROM csc),
+       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM cranked WHERE rnk = 1),
+       |probe_cells AS (SELECT vec_id AS query_id, cell FROM cranked
+       |  WHERE rnk <= $nprobe AND vec_id < 10),
+       |${pqSubspaceCtes(subs, ksub, iters, dim / subs)},
+       |${pqCodesCte(subs, ksub)},
+       |scored AS (
+       |  SELECT pc.query_id, c.vec_id AS nbr_id,
+       |    FLOOR((${pqAdcExpr(subs)}) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM codes c
+       |  JOIN corpus_cells cc ON cc.nbr_id = c.vec_id
+       |  JOIN probe_cells pc ON pc.cell = cc.cell
+       |  ${pqAdcJoins(subs, ksub, anchor = "pc.query_id")}
+       |  WHERE pc.query_id != c.vec_id)
+       |SELECT query_id, rnk, nbr_id, adc_dist FROM (
+       |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Twin of [[Similarity.pqRerankTopK]] with probe set vec_id < 10: the
     * [[pqTopK]] CTE chain truncated at `kCand` candidates, re-scored by
@@ -1154,6 +1212,19 @@ object NorthStar {
   val annPqTrainedSql: String = LshOracleSql.pqTrainedTopK(k = 5,
     subs = 8, ksub = 4, iters = 2, dim = 64)
 
+  /** Fully-trained IVF-PQ (trained coarse pruning × trained compressed
+    * scan); see [[Similarity.ivfPqTrainedTopK]]. */
+  def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 8, nprobe = 2, subs = 8,
+        ksub = 4, iters = 2, dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annIvfPqTrainedSql: String = LshOracleSql.ivfPqTrainedTopK(k = 5,
+    cells = 8, nprobe = 2, subs = 8, ksub = 4, iters = 2, dim = 64)
+
   /** Benchmark decontamination: training docs (source != src0) sharing
     * verbatim 5-gram spans with the held-out slice (source = src0). */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -1412,6 +1483,7 @@ object NorthStar {
     "emb_kmeans" -> embKmeans,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq_trained" -> annPqTrained,
+    "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1457,6 +1529,7 @@ object NorthStar {
     "emb_kmeans" -> embKmeansSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
+    "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> JaccardSql,
