@@ -230,15 +230,59 @@ object Streaming {
       | AND epoch_us(p.ts) <= epoch_us(si.ts) + 3600000000
       |ORDER BY user_id, purchase_ts_ns, signup_ts_ns""".stripMargin
 
+  /** Stream-static broadcast enrichment driven through a streaming
+    * execution — events stream through a per-micro-batch broadcast join
+    * against the static customer dim ([[StreamingIngest.enrichStream]])
+    * into an append sink; the read-back audits the enriched stream per
+    * nation. A row-level inner join has no watermark withholding (each
+    * match emits exactly once), so the emitted set is exactly the batch
+    * join — what the twin computes. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    val out = s"$tmp/out"
+    val batchSchema = Tables.eventsRaw(s, dir).schema
+    val src = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val q = StreamingIngest.enrichStream(src, dim, Seq("user_id"))
+      .select(col("user_id"), col("value"), col("c_nationkey"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema("user_id BIGINT, value DOUBLE, c_nationkey INT")
+      .parquet(out)
+      .groupBy(col("c_nationkey").as("nation_key"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("nation_key"))
+  }
+
+  /** Twin: the batch dim join and per-nation audit over the same rows. */
+  val streamEnrichSql: String =
+    """SELECT c.c_nationkey AS nation_key, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
-    "stream_attribution" -> streamAttribution)
+    "stream_attribution" -> streamAttribution,
+    "stream_enrich" -> streamEnrich)
 
   def oracleSql: Map[String, String] = Map(
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_attribution" -> streamAttributionSql)
+    "stream_attribution" -> streamAttributionSql,
+    "stream_enrich" -> streamEnrichSql)
 }

@@ -200,6 +200,19 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-static broadcast enrichment — the dimension join every
+    * streaming pipeline runs (attach account/user attributes to each
+    * event): the static side is a batch DataFrame joined into every
+    * micro-batch as a broadcast hash join. No state, no watermark — a
+    * row-level inner join emits each match exactly once in append mode,
+    * and the static relation is re-resolved per batch (so a dim refresh
+    * between batches is picked up). At 100 TB the static side is the
+    * broadcastable dim; a dim too big to broadcast joins bucketed
+    * instead. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   joinKeys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinKeys)
+
   /** Event-time windowed aggregation with a watermark — the streaming form
     * of `Aggregates.aggEventsTumbling`; late events beyond the watermark are
     * dropped by Spark (whereas the store path above accepts them — both
