@@ -38,6 +38,62 @@ private object LshOracleSql {
     """ROUND(list_dot_product(va.e, vb.e) /
       |    (SQRT(list_dot_product(va.e, va.e)) * SQRT(list_dot_product(vb.e, vb.e))), 6)""".stripMargin
 
+  /** Deterministic power-iteration start vector, 6dp decimals (seed row 97
+    * of the centroid hash family — distinct from every IVF cell in use).
+    * Exposed as exact BigDecimals so the Spark literals and the SQL
+    * literals are the same values by construction. */
+  def pcaInit(d: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(
+      math.floor(Similarity.centroidComponent(97, d) * 1e6 + 0.5) / 1e6)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** Twin of [[NorthStar.embPcaPower]]: the [[embCovarianceSql]] moment
+    * CTEs widened to the full symmetric matrix with DECIMAL(12,6) entries,
+    * then `iters` unrolled power steps — each a decimal-exact
+    * matrix-vector product (order-independent SUM), an r6 re-quantized w,
+    * a norm from the exact decimal square sum, and a 6dp-normalized next
+    * vector. Every step is bit-deterministic in both engines, so the hash
+    * gate pins the whole trajectory (converged or not). */
+  def pcaPower(iters: Int, dim: Int): String = {
+    require(iters >= 1)
+    val v0 = (0 until dim)
+      .map(d => s"($d, CAST('${pcaInit(d).toPlainString}' AS DECIMAL(12,6)))")
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(s"pv0 AS (SELECT * FROM (VALUES\n    $v0) t(d, val)),\n")
+    for (t <- 1 to iters) {
+      sb.append(s"""w$t AS (SELECT cov.i,
+         |    CAST(FLOOR(CAST(SUM(cov.c6 * pv.val) AS DOUBLE) * 1e6 + 0.5)
+         |      / 1e6 AS DECIMAL(12,6)) AS w6
+         |  FROM cov JOIN pv${t - 1} pv ON pv.d = cov.j GROUP BY cov.i),
+         |n$t AS (SELECT sqrt(CAST(SUM(w6 * w6) AS DOUBLE)) AS nrm FROM w$t),
+         |""".stripMargin)
+      if (t < iters)
+        sb.append(s"pv$t AS (SELECT i AS d, CAST(FLOOR(CAST(w6 AS DOUBLE) / nrm " +
+          s"* 1e6 + 0.5) / 1e6 AS DECIMAL(12,6)) AS val FROM w$t, n$t),\n")
+    }
+    val steps = sb.toString.stripSuffix(",\n").stripSuffix("\n").stripSuffix(",")
+    s"""WITH vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |e1 AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS i, e FROM vec),
+       |pp AS (SELECT vec_id, i, unnest(generate_series(i, len(e))) AS j, e FROM e1),
+       |mm AS (
+       |  SELECT CAST(i - 1 AS INT) AS d1, CAST(j - 1 AS INT) AS d2,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(e[i] AS DECIMAL(20,8))) AS s1,
+       |    SUM(CAST(e[j] AS DECIMAL(20,8))) AS s2,
+       |    SUM(CAST(e[i] AS DECIMAL(20,8)) * CAST(e[j] AS DECIMAL(20,8))) AS s12
+       |  FROM pp GROUP BY i, j),
+       |cu AS (SELECT d1 AS i, d2 AS j,
+       |  CAST(FLOOR((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+       |    / n * 1e6 + 0.5) / 1e6 AS DECIMAL(12,6)) AS c6 FROM mm),
+       |cov AS (SELECT * FROM cu UNION ALL SELECT j, i, c6 FROM cu WHERE i != j),
+       |$steps
+       |SELECT i AS d,
+       |  FLOOR(CAST(w6 AS DOUBLE) / nrm * 1e6 + 0.5) / 1e6 AS loading,
+       |  FLOOR(nrm * 1e6 + 0.5) / 1e6 AS lambda
+       |FROM w$iters, n$iters ORDER BY d""".stripMargin
+  }
+
   /** Twin of [[Similarity.lshBandedPairs]] — including the hot-bucket cap
     * (`cb` excludes band buckets larger than `maxBucket`, exactly like
     * [[graft.operators.Dedup.capHotBuckets]]; deterministic, so the twin
@@ -1373,6 +1429,74 @@ object NorthStar {
       |    / n * 1e6 + 0.5) / 1e6 AS cov_pop
       |FROM m ORDER BY d1, d2""".stripMargin
 
+  /** Top principal component by POWER ITERATION over the covariance frame
+    * — the dimensionality-reduction/whitening step of an embedding
+    * pipeline, composed from [[embCovariance]] exactly like the trained-ANN
+    * family composes [[Similarity.kmeansTrain]]: the heavy work (the d²
+    * moment matrix from n·d² corpus terms) is one distributed pass; each
+    * power step is then a matrix-vector product over the (cached) d²-row
+    * covariance frame with the current vector broadcast as model state —
+    * the shape that still works when d² rows outgrow the driver. The final
+    * step stays in the returned plan.
+    *
+    * Determinism (both engines bit-identical, converged or not): covariance
+    * entries re-quantize to DECIMAL(12,6); each product sum is exact
+    * decimal (order-independent); w re-quantizes r6 before the norm square
+    * sum (so that sum is exact decimal too); only sqrt/divide run in
+    * doubles — on identical inputs. The hash gate pins the entire
+    * trajectory. */
+  def embPcaPower(s: SparkSession, dir: String,
+                  iters: Int = 3, dim: Int = 64): DataFrame = {
+    import s.implicits._
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val covQ = embCovariance(s, dir)
+    val cov = graft.CacheScope.cache(
+      covQ.select(col("d1").as("i"), col("d2").as("j"),
+          col("cov_pop").cast("decimal(12,6)").as("c6"))
+        .union(covQ.filter(col("d1") =!= col("d2"))
+          .select(col("d2").as("i"), col("d1").as("j"),
+            col("cov_pop").cast("decimal(12,6)").as("c6"))))
+    cov.count()
+    def wFrame(v: IndexedSeq[java.math.BigDecimal]): DataFrame = {
+      val vdf = v.zipWithIndex.map { case (bd, j) => (j, BigDecimal(bd)) }
+        .toDF("j", "val")
+        .select(col("j"), col("val").cast("decimal(12,6)").as("val"))
+      cov.join(broadcast(vdf), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c6") * col("val")).as("ws"))
+        .select(col("i"),
+          r6(col("ws").cast("double")).cast("decimal(12,6)").as("w6"))
+    }
+    var v: IndexedSeq[java.math.BigDecimal] =
+      (0 until dim).map(LshOracleSql.pcaInit)
+    for (_ <- 1 until iters) {
+      val w6 = new Array[java.math.BigDecimal](dim)
+      wFrame(v).collect().foreach { r =>
+        w6(r.getAs[Int]("i")) = r.getAs[java.math.BigDecimal]("w6")
+      }
+      // exact decimal square sum, then double sqrt/divide — the same op
+      // order the twin runs in SQL
+      val n2 = w6.map(b => b.multiply(b))
+        .reduce(_.add(_)).doubleValue()
+      val nrm = math.sqrt(n2)
+      v = w6.toIndexedSeq.map { b =>
+        new java.math.BigDecimal(
+          math.floor(b.doubleValue() / nrm * 1e6 + 0.5) / 1e6)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+    }
+    val fin = wFrame(v)
+    val nrm = fin.agg(
+      sqrt(sum(col("w6") * col("w6")).cast("double")).as("nrm"))
+    fin.crossJoin(broadcast(nrm))
+      .select(col("i").as("d"),
+        r6(col("w6").cast("double") / col("nrm")).as("loading"),
+        r6(col("nrm")).as("lambda"))
+      .orderBy(col("d"))
+  }
+
+  val embPcaPowerSql: String = LshOracleSql.pcaPower(iters = 3, dim = 64)
+
   /** Per-dimension embedding statistics (mean/variance/range) — the
     * codebook-health audit run before quantization or whitening: a
     * near-zero-variance dimension is dead weight, a huge-range one
@@ -1511,6 +1635,7 @@ object NorthStar {
     "emb_label_centroids" -> embLabelCentroids,
     "emb_dim_stats" -> embDimStats,
     "emb_covariance" -> embCovariance,
+    "emb_pca_power" -> ((s, d) => embPcaPower(s, d)),
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
@@ -1557,5 +1682,6 @@ object NorthStar {
     "emb_label_centroids" -> embLabelCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,
     "emb_covariance" -> embCovarianceSql,
+    "emb_pca_power" -> embPcaPowerSql,
     "media_features" -> mediaFeaturesSql)
 }
