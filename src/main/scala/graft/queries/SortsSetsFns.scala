@@ -84,6 +84,49 @@ object SortsSetsFns {
        |FROM b ORDER BY zorder, o_orderkey""".stripMargin
   }
 
+  /** Bucketed co-located join — the recurring-join layout lever at
+    * cluster scale: both fact tables are written ONCE bucketed + sorted by
+    * the join key (`bucketBy`/`sortBy`, external parquet under a temp
+    * path), and every subsequent join on that key plans a SortMergeJoin
+    * with ZERO exchange — each task zips bucket i of both sides straight
+    * off parquet. At 100 TB this converts the daily orders×lineitem
+    * shuffle (the dominant recurring cost) into a pure scan; the
+    * `repartition(buckets, key)` before each write uses the same Murmur3
+    * hash as the bucket spec, so every bucket lands in exactly ONE file
+    * and the bucket-sort survives for the merge (multiple files per
+    * bucket would force a per-task re-sort). PlanSpec asserts the
+    * exchange-free join subtree; the declared rollup makes the gate check
+    * the join itself. */
+  def layoutBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    def bucketize(df: DataFrame, name: String, key: String): Unit =
+      df.repartition(8, col(key))
+        .write.mode("overwrite")
+        .option("path", s"$tmp/$name")
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(name)
+    bucketize(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "g_orders_bkt", "o_orderkey")
+    bucketize(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "g_lineitem_bkt", "l_orderkey")
+    s.table("g_orders_bkt").hint("merge")
+      .join(s.table("g_lineitem_bkt").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val layoutBucketedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- set operations ----
 
   /** UNION (distinct): nations having customers ∪ nations having suppliers. */
@@ -497,6 +540,7 @@ object SortsSetsFns {
     "topk_orders" -> topkOrders,
     "sort_multi_key" -> sortMultiKey,
     "sort_zorder" -> sortZorder,
+    "layout_bucketed_join" -> layoutBucketedJoin,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -521,6 +565,7 @@ object SortsSetsFns {
     "topk_orders" -> topkOrdersSql,
     "sort_multi_key" -> sortMultiKeySql,
     "sort_zorder" -> sortZorderSql,
+    "layout_bucketed_join" -> layoutBucketedJoinSql,
     "set_union" -> setUnionSql,
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,

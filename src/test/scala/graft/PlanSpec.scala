@@ -71,6 +71,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degraded")
   }
 
+  test("layout_bucketed_join joins co-located buckets with no exchange below the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("layout_bucketed_join")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan
+    val stripped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smjs = stripped.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a bucketed SortMergeJoin:\n$stripped")
+    // both sides read pre-bucketed, pre-sorted parquet: the join subtree
+    // must contain NO shuffle — that elimination is the entire point of
+    // the layout at 100 TB
+    val shuffles = smjs.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"bucketed join still shuffles:\n${smjs.head}")
+  }
+
   test("large-k ivf switches to the broadcast-codebook join (plan size O(1) in k)") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
