@@ -242,15 +242,19 @@ object Similarity {
     } else {
       val centRows = centroidRows(corpus.sparkSession, cents)
       // argmax dot per corpus row, ties to the lowest cell (max_by on
-      // (score, -cell) structs); grouping on (nbr_id, cv) keeps the vector
-      // through the aggregate — no re-join, and the partial agg collapses
-      // each row's k candidates before the exchange
-      val cc = c.crossJoin(broadcast(centRows))
-        .select(col("nbr_id"), col("cv"), col("cell"),
+      // (score, -cell) structs). The scored stream and the aggregate are
+      // NARROW — (id, cell, score) only; the 64-double vector re-attaches
+      // from a second corpus scan via the id join afterwards. Carrying the
+      // vector through the n·k cross-join rows and the aggregate's group
+      // key was a measured 5× cliff at n=160k (SCALE.md round-6: payload
+      // width in the hot stream beats the extra scan long before 100 TB).
+      val assigned = c.crossJoin(broadcast(centRows))
+        .select(col("nbr_id"), col("cell"),
           dot(col("cv"), col("cent")).as("score"))
-        .groupBy(col("nbr_id"), col("cv"))
+        .groupBy(col("nbr_id"))
         .agg(max_by(col("cell"),
           struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+      val cc = c.join(assigned, Seq("nbr_id"))
         .select(col("nbr_id"), col("cv"), col("cell"))
       val wv = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cell"))
@@ -769,16 +773,18 @@ object Similarity {
       // broadcast-codebook cross join: the L2² identity evaluated with the
       // SAME dot kernel + driver-side self-dot as the literal path (cc
       // rides in the model row), so assignments are bit-identical; argmin
-      // ties to the lowest cell. Grouping on (__vid, v) keeps the vector
-      // through the aggregate while preserving duplicate multiplicity.
+      // ties to the lowest cell. The scored stream and aggregate stay
+      // NARROW (__vid, cell, dist); the vector re-attaches from the CACHED
+      // id'd frame — same payload-width law as the search-side assignment,
+      // and the id key preserves duplicate multiplicity.
       val centRows = centroidRows(spark, cents)
-      vid.crossJoin(broadcast(centRows))
-        .select(col("__vid"), col("v"), col("cell"),
+      val best = vid.crossJoin(broadcast(centRows))
+        .select(col("__vid"), col("cell"),
           (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cent")) +
             col("cc")).as("dist"))
-        .groupBy(col("__vid"), col("v"))
+        .groupBy(col("__vid"))
         .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-        .select(col("v"), col("cell"))
+      vid.join(best, Seq("__vid")).select(col("v"), col("cell"))
     } else {
       val scored = array((0 until k).map { c =>
         val cl = array(cents(c).map(lit(_)).toSeq: _*)
