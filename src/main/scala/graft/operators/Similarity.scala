@@ -210,7 +210,11 @@ object Similarity {
     * the production shape at k ≈ √n cell counts, where a literal
     * expression tree would explode analysis and JIT compilation. Both
     * strategies run the same [[dot]] kernel on the same doubles, so their
-    * results are bit-identical (spec-checked). */
+    * results are bit-identical (spec-checked); corpus rows keep row-local
+    * assignment under duplicate ids in both (the join path groups on a
+    * pinned row id). Duplicate PROBE ids pool into one ranked result per
+    * query_id — the final rank window's semantics across this whole
+    * top-k family. */
   def ivfTopKWith(corpus: DataFrame, probes: DataFrame, idCol: String,
                   vecCol: String, k: Int, nprobe: Int,
                   cents: Array[Array[Double]],
@@ -243,18 +247,26 @@ object Similarity {
       val centRows = centroidRows(corpus.sparkSession, cents)
       // argmax dot per corpus row, ties to the lowest cell (max_by on
       // (score, -cell) structs). The scored stream and the aggregate are
-      // NARROW — (id, cell, score) only; the 64-double vector re-attaches
-      // from a second corpus scan via the id join afterwards. Carrying the
+      // NARROW — (row id, cell, score) only; the 64-double vector
+      // re-attaches from the cached frame via the id join. Carrying the
       // vector through the n·k cross-join rows and the aggregate's group
       // key was a measured 5× cliff at n=160k (SCALE.md round-6: payload
-      // width in the hot stream beats the extra scan long before 100 TB).
-      val assigned = c.crossJoin(broadcast(centRows))
-        .select(col("nbr_id"), col("cell"),
+      // width in the hot stream beats the re-join long before 100 TB).
+      // The grouping key is a PINNED per-row id, not idCol — grouping on a
+      // non-unique idCol would pool duplicate ids' scores into one argmax
+      // and silently diverge from the literal path's row-local semantics
+      // (the trainer's __vid guard, applied to search). The cache pins the
+      // ids AND feeds both consumers from one materialization.
+      val crid = graft.CacheScope.cache(
+        c.withColumn("__rid", monotonically_increasing_id()))
+      crid.count()
+      val assigned = crid.crossJoin(broadcast(centRows))
+        .select(col("__rid"), col("cell"),
           dot(col("cv"), col("cent")).as("score"))
-        .groupBy(col("nbr_id"))
+        .groupBy(col("__rid"))
         .agg(max_by(col("cell"),
           struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
-      val cc = c.join(assigned, Seq("nbr_id"))
+      val cc = crid.join(assigned, Seq("__rid"))
         .select(col("nbr_id"), col("cv"), col("cell"))
       val wv = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cell"))
@@ -602,6 +614,17 @@ object Similarity {
     array((for (s <- 0 until subs; c <- 0 until ksub) yield dist(s, c)): _*)
   }
 
+  /** Shared ADC serving tail: per-probe rank by (adc_dist, nbr_id), keep
+    * top-k — ONE definition of the family's rank/tie contract, used by
+    * every ADC search variant (plain, IVF-composed, trained). */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+  }
+
   /** Σ_s dtab[s·ksub + code_s] — code_s bit-sliced from the packed word. */
   private def adcSum(subs: Int, ksub: Int): Column = {
     val shift = Integer.numberOfTrailingZeros(ksub)
@@ -632,11 +655,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+    adcTopK(scored, k)
   }
 
   /** IVF-PQ top-k — the composed billion-vector index architecture
@@ -689,11 +708,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+    adcTopK(scored, k)
   }
 
   /** Two-stage retrieval funnel — approximate candidate generation (PQ-ADC
@@ -863,18 +878,6 @@ object Similarity {
     }
   }
 
-  /** PQ-ADC top-k with a TRAINED codebook — [[pqTrainBooks]] feeding the
-    * [[pqTopK]] serving shape: train → encode → ADC-scan composed
-    * in-engine, the full production PQ lifecycle.
-    *
-    * Subspace distances use the dot-product identity
-    * `dot(x,x) − 2·dot(x,c) + cc` (the [[kmeansTrain]] assign form, with
-    * the codebook self-dots precomputed driver-side) rather than
-    * [[pqCodes]]'s per-component (x−c)² fold — the identity is the form a
-    * DuckDB twin can recompute bit-identically when the centroids are
-    * SQL-computed data instead of authoring-time literals. Encode stays a
-    * row-local projection; codes are cached narrow exactly like
-    * [[pqTopK]]. */
   /** Trained-codebook subspace distance: the dot-product identity
     * `dot(x,x) − 2·dot(x,c) + cc` over the s-th subvector slice — the form
     * a SQL twin recomputes bit-identically when centroids are computed
@@ -908,6 +911,18 @@ object Similarity {
     array((for (s <- 0 until subs; c <- 0 until ksub)
       yield trainedSubDist(books, ds)(vc, s, c)): _*)
 
+  /** PQ-ADC top-k with a TRAINED codebook — [[pqTrainBooks]] feeding the
+    * [[pqTopK]] serving shape: train → encode → ADC-scan composed
+    * in-engine, the full production PQ lifecycle.
+    *
+    * Subspace distances use the dot-product identity
+    * `dot(x,x) − 2·dot(x,c) + cc` (the [[kmeansTrain]] assign form, with
+    * the codebook self-dots precomputed driver-side) rather than
+    * [[pqCodes]]'s per-component (x−c)² fold — the identity is the form a
+    * DuckDB twin can recompute bit-identically when the centroids are
+    * SQL-computed data instead of authoring-time literals. Encode stays a
+    * row-local projection; codes are cached narrow exactly like
+    * [[pqTopK]]. */
   def pqTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, k: Int, subs: Int = 8, ksub: Int = 4,
                     iters: Int = 2, dim: Int = 64): DataFrame = {
@@ -927,11 +942,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+    adcTopK(scored, k)
   }
 
   /** Fully-trained IVF-PQ — the complete trained production index:
@@ -976,11 +987,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nbr_id"), col("adc_dist"))
+    adcTopK(scored, k)
   }
 
   /** Int8 scalar quantization audit — the compression step an ANN index

@@ -329,15 +329,6 @@ private object LshOracleSql {
        |  FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
-  /** Twin of [[Similarity.pqTrainedTopK]] with probe set vec_id < 10: one
-    * [[kmeansCtes]] chain per subspace (over the sliced subvectors, init =
-    * the pqComponent literals), trained codebooks regrouped to lists, then
-    * codes via argmin of the dot-identity distance (the exact form the
-    * Spark side evaluates — `(dot(x,x) − 2·dot(x,c)) + cc`, left-assoc),
-    * and the ADC sum assembled by joining each subspace's probe-distance
-    * row on the bit-sliced code — an explicit left-assoc d0+d1+…+d7, never
-    * an unordered SUM (8 doubles summed in engine-chosen order could flip
-    * the r6 rounding). */
   /** Per-subspace trained-codebook CTEs shared by [[pqTrainedTopK]] and
     * [[ivfPqTrainedTopK]]: for each subspace s — the subvector slice view
     * `v{s}`, its [[kmeansCtes]] training chain, the trained codebook list
@@ -396,6 +387,15 @@ private object LshOracleSql {
     }.mkString("\n  ")
   }
 
+  /** Twin of [[Similarity.pqTrainedTopK]] with probe set vec_id < 10: one
+    * [[kmeansCtes]] chain per subspace (over the sliced subvectors, init =
+    * the pqComponent literals), trained codebooks regrouped to lists, then
+    * codes via argmin of the dot-identity distance (the exact form the
+    * Spark side evaluates — `(dot(x,x) − 2·dot(x,c)) + cc`, left-assoc),
+    * and the ADC sum assembled by joining each subspace's probe-distance
+    * row on the bit-sliced code — an explicit left-assoc d0+d1+…+d7, never
+    * an unordered SUM (8 doubles summed in engine-chosen order could flip
+    * the r6 rounding). */
   def pqTrainedTopK(k: Int, subs: Int, ksub: Int, iters: Int,
                     dim: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),

@@ -127,7 +127,9 @@ class PlanSpec extends SparkSpec {
       val eventScans = scans(df).count(_.metadata("Location").contains("events"))
       assert(eventScans <= 1,
         s"activity subtree recomputed: $eventScans events scans\n$plan")
-      assert(plan.contains("InMemoryTableScan") || eventScans == 1, plan.take(500))
+      // the shared subtree must actually be served from the cache — a
+      // single merged re-scan would also pass the count above
+      assert(plan.contains("InMemoryTableScan"), plan.take(500))
     } finally graft.CacheScope.release(spark)
   }
 
