@@ -11,8 +11,9 @@ import graft.core.Point
   * resolve to the highest sequence number per key.
   *
   * Mapping (SURVEY §2, O25-O29): storage goes to a shadow namespace (the
-  * reference suffixes `_INTERNAL`; namespaces themselves may not contain
-  * '_', so the shadow name cannot collide — we use a sibling directory).
+  * reference suffixes `_INTERNAL`, collision-proof via its no-'_' rule;
+  * here the '-INTERNAL' suffix is reserved by namespace validation so the
+  * shadow cannot alias a user namespace).
   * Addresses are forced odd (bit 0 set ⇒ extended, `Mutable.hs:95`); the
   * fixed 128-bucket layout (`mutableBuckets`, `StoreHelpers.hs:151-154`)
   * comes from registering the shadow namespace with 128 buckets. `lookup`
@@ -21,7 +22,11 @@ import graft.core.Point
   *
   * Like the reference (`Mutable.hs:90-103` has no lock around its
   * read-modify-write), concurrent inserts to the same key may race; the
-  * winner is the highest sequence number.
+  * winner is the highest sequence number. The store's writer lease briefly
+  * serializes the underlying appends, so a contending insert RETRIES the
+  * write (bounded) instead of surfacing the fence to callers — without the
+  * retry, routine contention would throw where this contract promises
+  * last-writer-wins.
   */
 object MutableKV {
 
@@ -53,9 +58,22 @@ object MutableKV {
       case None                  => (1L, value)
     }
     import spark.implicits._
-    TimeStore.writePoints(spark, s,
-      spark.createDataset(Seq(Point(addr, seq, merged.length.toLong, merged))),
-      rolloverBytes = Long.MaxValue)  // fixed layout: the mutable view never rolls
+    // bounded retry on lease contention: the merge result is NOT recomputed
+    // — stale-read-then-write is exactly the reference's documented race,
+    // resolved by the highest sequence number
+    var attempts = 50
+    var done = false
+    while (!done) {
+      try {
+        TimeStore.writePoints(spark, s,
+          spark.createDataset(Seq(Point(addr, seq, merged.length.toLong, merged))),
+          rolloverBytes = Long.MaxValue) // fixed layout: the mutable view never rolls
+        done = true
+      } catch {
+        case e: IllegalStateException if attempts > 0 =>
+          attempts -= 1; Thread.sleep(20)
+      }
+    }
     merged
   }
 

@@ -52,10 +52,17 @@ object TimeStore {
     def metaDir: String = s"$dir/meta"
   }
 
-  /** Validate a namespace name (`Core.hs:226-230`): non-empty, no '_'. */
+  /** Validate a namespace name (`Core.hs:226-230`): non-empty, no '_', and
+    * not ending in the mutable-view shadow suffix — the reference's no-'_'
+    * rule is what made its `_INTERNAL` shadow collision-proof, so the
+    * '-INTERNAL' shadow needs the equivalent guard here (a user namespace
+    * 'foo-INTERNAL' would otherwise alias the mutable shadow of 'foo' and
+    * interleave time-series points with seq-numbered records). */
   def namespace(root: String, ns: String): Namespace = {
     require(ns.nonEmpty && !ns.contains('_'),
       s"invalid namespace '$ns': must be non-empty and not contain '_'")
+    require(!ns.endsWith("-INTERNAL"),
+      s"invalid namespace '$ns': the '-INTERNAL' suffix is reserved for mutable-view shadows")
     Namespace(root, ns)
   }
 
@@ -64,10 +71,29 @@ object TimeStore {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic metadata publish: write a sibling temp file, then rename over
+    * the destination. Readers are lock-free BY DESIGN, so an in-place
+    * `create(overwrite)` — which truncates first — would expose a window
+    * where a concurrent `fetchIndex`/`fetchLatest` reads an empty or torn
+    * file and either throws or silently sees a shorter index (skipping the
+    * newest epoch's partitions). Rename is atomic on HDFS-like stores and
+    * POSIX. */
   private def writeSmall(spark: SparkSession, path: String, body: String): Unit = {
     val f = fs(spark, path)
-    val out = f.create(new Path(path), true)
+    val p = new Path(path)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, p)) {
+      // a store whose rename won't clobber: delete + rename — the brief
+      // absence window reads as not-yet-written (None), never as torn data
+      f.delete(p, false)
+      if (!f.rename(tmp, p)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"atomic publish failed for $path")
+      }
+    }
   }
 
   private def readSmall(spark: SparkSession, path: String): Option[String] = {
@@ -218,10 +244,17 @@ object TimeStore {
     // observe the gap and abort spuriously — the safe direction).
     val acquired = (tryCreate() || (breakStale() && tryCreate())) &&
       ownsLease() && { Thread.sleep(10); ownsLease() }
-    if (!acquired)
+    if (!acquired) {
+      // If the lease on disk carries OUR uuid, the create succeeded and an
+      // ownership probe failed spuriously (transient read error / breaker
+      // gap) — clean it up, or the namespace stays self-locked for the
+      // full stale horizon with no live owner.
+      try { if (ownsLease()) f.delete(p, false) }
+      catch { case _: java.io.IOException => () }
       throw new IllegalStateException(
         s"namespace '${n.ns}' already has an active writer (lease $p); " +
           s"concurrent writers are not supported — stale leases break after ${LeaseTimeoutMs / 1000}s")
+    }
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(LeaseTimeoutMs / 4)
@@ -304,8 +337,13 @@ object TimeStore {
       val eMax = maxU(e0, unflip(metrics.getOrElse("extended", null)))
       writeLatest(spark, n, sMax, eMax)
 
-      maybeRollover(spark, n, "simple", sIdx, sMax, rolloverBytes, target)
-      maybeRollover(spark, n, "extended", eIdx, eMax, rolloverBytes, target)
+      // rollover probes only the kinds this batch actually wrote — sizes
+      // are unchanged otherwise, and the probe is a per-bucket listing on
+      // the hot path of every micro-batch
+      if (metrics.getOrElse("simple", null) != null)
+        maybeRollover(spark, n, "simple", sIdx, sMax, rolloverBytes, target)
+      if (metrics.getOrElse("extended", null) != null)
+        maybeRollover(spark, n, "extended", eIdx, eMax, rolloverBytes, target)
     }
 
   /** Add routing columns: epoch by strict-floor index lookup on time
@@ -347,8 +385,12 @@ object TimeStore {
     val f = fs(spark, pointsPath)
     val epochDir = new Path(s"$pointsPath/kind=$kind/epoch=$epoch")
     if (!f.exists(epochDir)) return
+    // bucket dirs hold plain files (no nesting), so one listStatus per
+    // bucket replaces getContentSummary's recursive walk — the summary RPC
+    // is namenode-heavy on HDFS and this probe sits on the per-batch hot
+    // path of a streaming ingest
     val maxBucketBytes = f.listStatus(epochDir).map { st =>
-      if (st.isDirectory) f.getContentSummary(st.getPath).getLength else 0L
+      if (st.isDirectory) f.listStatus(st.getPath).map(_.getLen).sum else 0L
     }.foldLeft(0L)(math.max)
     if (maxBucketBytes > threshold && java.lang.Long.compareUnsigned(latest, epoch) > 0) {
       // Double-check against a concurrent rollover (StoreHelpers.hs:213-219):
@@ -384,15 +426,23 @@ object TimeStore {
     readKind(spark, n, "extended", start, end, addrs)
       .select("address", "time", "payload", "value")
 
-  /** Empty result with the store schema — a registered namespace that has
-    * never been written has no parquet directory yet (the reference's
-    * missing-object ⇒ empty-bytes behavior, `Memory.hs:72-76`). */
-  private def emptyPoints(spark: SparkSession): DataFrame = {
+  /** The routed on-disk schema: the point columns plus the partition
+    * columns. Declared explicitly on every scan so a registered namespace
+    * whose first append is still in flight (or crashed mid-job, leaving
+    * only `_temporary`) reads as EMPTY instead of failing schema inference
+    * — the reference's missing-object ⇒ empty-bytes behavior
+    * (`Memory.hs:72-76`). */
+  private def storeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = Point.schema
+    Point.schema
       .add("kind", StringType).add("epoch", LongType).add("bucket", IntegerType)
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  /** Empty result with the store schema — a registered namespace that has
+    * never been written has no parquet directory yet. */
+  private def emptyPoints(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
 
   // ---- generation-numbered points directories ---------------------------
   //
@@ -437,19 +487,35 @@ object TimeStore {
     f.exists(new Path(p, "_SUCCESS"))
 
   /** Superseded generations old enough to retire: complete generations
-    * below `live` whose immediate complete SUPERSEDER committed its
-    * `_SUCCESS` more than [[LeaseTimeoutMs]] ago. Any reader still scanning
-    * such a generation resolved it before that commit, i.e. has been
-    * running longer than the lease horizon — outside the reader guarantee
-    * (the reference draws the same line with its 120 s lock watchdog). */
-  private def retireable(f: FileSystem, gens: Seq[(Long, Path)],
+    * below `live` whose supersession is older than [[LeaseTimeoutMs]]. Any
+    * reader still scanning such a generation resolved it before that, i.e.
+    * has been running longer than the lease horizon — outside the reader
+    * guarantee (the reference draws the same line with its 120 s lock
+    * watchdog).
+    *
+    * The supersession clock is a `_SUPERSEDED_AT` marker written ONCE into
+    * the superseded generation when a writer first observes it superseded
+    * (writers only — always under the lease). It must NOT be the
+    * superseder's `_SUCCESS` mtime: every micro-batch append to the live
+    * generation re-commits that marker, so a hot stream would refresh the
+    * clock forever and the superseded full copy would never retire
+    * (permanent ~2× storage). First-observation time is ≥ the true
+    * supersession time, so the marker only ever retains longer — safe for
+    * readers. */
+  private def retireable(spark: SparkSession, f: FileSystem,
+                         gens: Seq[(Long, Path)],
                          live: Long): Seq[(Long, Path)] = {
     val complete = gens.filter(g => isComplete(f, g._2))
-    complete.filter(_._1 < live).filter { case (g, _) =>
-      complete.find(_._1 > g).exists { case (_, sup) =>
-        val committed =
-          f.getFileStatus(new Path(sup, "_SUCCESS")).getModificationTime
-        System.currentTimeMillis() - committed > LeaseTimeoutMs
+    complete.filter(_._1 < live).filter { case (g, p) =>
+      complete.exists(_._1 > g) && {
+        val marker = s"$p/_SUPERSEDED_AT"
+        readSmall(spark, marker).map(_.trim.toLong) match {
+          case None =>
+            writeSmall(spark, marker, System.currentTimeMillis().toString)
+            false
+          case Some(at) =>
+            System.currentTimeMillis() - at > LeaseTimeoutMs
+        }
       }
     }
   }
@@ -468,17 +534,22 @@ object TimeStore {
   private def readKind(spark: SparkSession, n: Namespace, kind: String,
                        start: Long, end: Long, addrs: Seq[Long]): DataFrame = {
     val idx = mustFetchIndex(spark, n, kind)
+    // targetObjs over an empty address list is the empty object set — the
+    // reference reads nothing rather than scanning every bucket
+    // (StoreHelpers.hs:86-104); mirror that contract explicitly instead of
+    // burying it in a false predicate
+    if (addrs.isEmpty) return emptyPoints(spark)
     val liveOpt = livePointsPath(spark, n)
     if (liveOpt.isEmpty) return emptyPoints(spark)
     val entries = idx.rangeEntries(start, end)
     val epochs = entries.map(_._1)
     // targetObjs: image of placeBucket over the address list, per epoch.
-    val bucketPred = if (addrs.isEmpty) lit(true) else entries.map {
+    val bucketPred = entries.map {
       case (e, bc) =>
         val bs = addrs.map(a => EpochIndex.placeBucket(bc, a)).distinct
         col("epoch") === lit(e) && col("bucket").isin(bs: _*)
     }.reduce(_ || _)
-    val addrPred = if (addrs.isEmpty) lit(false) else col("address").isin(addrs: _*)
+    val addrPred = col("address").isin(addrs: _*)
     // The unsigned (sign-flip) comparisons don't push to parquet; add an
     // equivalent signed predicate that does. Unsigned [start, end] maps to:
     //   both bounds "positive":   time in [start, end] signed
@@ -488,7 +559,7 @@ object TimeStore {
       if (start >= 0 && end >= 0) col("time").between(start, end)
       else if (start >= 0) col("time") >= start || col("time") < 0
       else col("time").between(start, end)
-    val df = spark.read.parquet(liveOpt.get)
+    val df = spark.read.schema(storeSchema).parquet(liveOpt.get)
       .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
       .filter(addrPred && signedRange &&
         PointFunctions.unsignedGte(col("time"), lit(start)) &&
@@ -542,7 +613,7 @@ object TimeStore {
         // than the lease horizon — curGen and any recently-superseded
         // predecessor stay for readers that resolved them pre-swap (two
         // fast back-to-back compactions must not strand an in-flight scan)
-        retireable(f, gens, curGen + 1).foreach(g => f.delete(g._2, true))
+        retireable(spark, f, gens, curGen + 1).foreach(g => f.delete(g._2, true))
     }
   }
 
@@ -558,7 +629,7 @@ object TimeStore {
     val gens = generations(spark, n)
     gens.filter(g => isComplete(f, g._2)).lastOption.foreach {
       case (live, _) =>
-        (gens.filter { case (g, _) => g > live } ++ retireable(f, gens, live))
+        (gens.filter { case (g, _) => g > live } ++ retireable(spark, f, gens, live))
           .foreach(g => f.delete(g._2, true))
     }
   }

@@ -42,12 +42,35 @@ object StreamingIngest {
       }
       .start()
 
+  /** Unsigned lexicographic byte comparison (null first) — the streaming
+    * mirror of Spark's BinaryType ordering, for pinning tie winners. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+    if (a eq b) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else {
+      var i = 0
+      var r = 0
+      val n = math.min(a.length, b.length)
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+    }
+
   /** Stateful latest-per-key over a point stream — the reference's
     * latest-value materialization (`latestUniques` / the latest files) as
     * live streaming state via `mapGroupsWithState`: per address, the state
-    * is the newest point seen (unsigned time comparison, ties keep the
-    * incumbent — first-wins like the reference's dedup); each micro-batch
+    * is the newest point seen (unsigned time comparison); each micro-batch
     * emits the refreshed value per touched key.
+    *
+    * Equal-time ties pin to the smallest unsigned (payload, value) — the
+    * SAME winner as the batch read path's first-wins dedup and
+    * `latestPerAddress`, so streaming state and a batch read can never
+    * disagree. Iterator arrival order (shuffle-dependent, replay-variant)
+    * must never decide (the determinism rule every other stateful op here
+    * follows).
     *
     * State size is one point per address — bounded by key cardinality, the
     * same footprint the reference's mutable view carries. */
@@ -57,7 +80,14 @@ object StreamingIngest {
       .mapGroupsWithState[Point, Point](GroupStateTimeout.NoTimeout) {
         (_: Long, in: Iterator[Point], state: GroupState[Point]) =>
           val newest = (state.getOption.iterator ++ in).reduceLeft { (a, b) =>
-            if (java.lang.Long.compareUnsigned(b.time, a.time) > 0) b else a
+            val ct = java.lang.Long.compareUnsigned(b.time, a.time)
+            if (ct > 0) b
+            else if (ct < 0) a
+            else {
+              val cp = java.lang.Long.compareUnsigned(b.payload, a.payload)
+              if (cp < 0 || (cp == 0 && cmpBytes(b.value, a.value) < 0)) b
+              else a
+            }
           }
           state.update(newest)
           newest
@@ -129,9 +159,10 @@ object StreamingIngest {
       .drop("event_time")
   }
 
-  /** Input/state/output records for [[anomalyStream]]. */
+  /** Input/state/output records for [[anomalyStream]]. State is Welford
+    * form: running mean and centered second moment M2 = Σ(v−mean)². */
   case class KeyedValue(key: Long, ts: Long, value: Double)
-  case class Moments(n: Long, sum: Double, sumSq: Double)
+  case class Moments(n: Long, mean: Double, m2: Double)
   case class Outlier(key: Long, ts: Long, value: Double, z: Double)
 
   /** ONLINE z-score anomaly detection — the streaming sibling of the batch
@@ -139,10 +170,14 @@ object StreamingIngest {
     * each event is scored against the statistics of everything seen BEFORE
     * it (prefix moments), not a global pass, so alerts fire in-stream and
     * a later regime change can't retroactively excuse an early spike.
-    * State per key is three numbers (n, Σv, Σv²) — O(1), unbounded-stream
-    * safe without a watermark; within a micro-batch events process in
-    * (ts, value) order so replays are deterministic. Emits only outliers
-    * (flatMapGroupsWithState, Append). */
+    * State per key is three numbers via WELFORD's update (n, mean, M2) —
+    * O(1), unbounded-stream safe without a watermark, and numerically
+    * stable: the raw-moment form `(Σv² − (Σv)²/n)/n` cancels
+    * catastrophically for large-magnitude values (|v| ~ 1e9 with unit
+    * variance leaves NO correct bits in the double subtraction), silently
+    * disabling or corrupting detection for that key. Within a micro-batch
+    * events process in (ts, value) order so replays are deterministic.
+    * Emits only outliers (flatMapGroupsWithState, Append). */
   def anomalyStream(events: Dataset[KeyedValue],
                     threshold: Double = 2.5): Dataset[Outlier] = {
     import events.sparkSession.implicits._
@@ -154,14 +189,16 @@ object StreamingIngest {
           val flagged = Seq.newBuilder[Outlier]
           in.toSeq.sortBy(e => (e.ts, e.value)).foreach { e =>
             if (m.n >= 2) {
-              val mean = m.sum / m.n
-              val varPop = (m.sumSq - m.sum * m.sum / m.n) / m.n
+              val varPop = m.m2 / m.n
               if (varPop > 0) {
-                val z = (e.value - mean) / math.sqrt(varPop)
+                val z = (e.value - m.mean) / math.sqrt(varPop)
                 if (math.abs(z) > threshold) flagged += Outlier(key, e.ts, e.value, z)
               }
             }
-            m = Moments(m.n + 1, m.sum + e.value, m.sumSq + e.value * e.value)
+            val n1 = m.n + 1
+            val d = e.value - m.mean
+            val mean1 = m.mean + d / n1
+            m = Moments(n1, mean1, m.m2 + d * (e.value - mean1))
           }
           state.update(m)
           flagged.result().iterator

@@ -244,10 +244,17 @@ class StoreProtocolSpec extends SparkSpec {
     val f = new Path(n.dir).getFileSystem(conf)
     assert(f.exists(new Path(n.pointsDir)),
       "recently superseded generation must be retained")
-    // age both supersessions past the lease horizon -> g0 and g1 retire
+    // age both supersessions past the lease horizon -> g0 and g1 retire.
+    // The clock is the one-shot _SUPERSEDED_AT marker, NOT the superseder's
+    // _SUCCESS mtime: streaming appends re-commit _SUCCESS every batch,
+    // which would refresh an mtime clock forever and never retire anything.
     val old = System.currentTimeMillis() - TimeStore.LeaseTimeoutMs - 5000
-    for (g <- Seq("points-g1", "points-g2"))
-      f.setTimes(new Path(s"${n.dir}/$g/_SUCCESS"), old, old)
+    for (g <- Seq("points", "points-g1")) {
+      // through the Hadoop FS: earlier marker writes left a .crc sidecar a
+      // raw java.nio overwrite would invalidate
+      val out = f.create(new Path(s"${n.dir}/$g/_SUPERSEDED_AT"), true)
+      try out.write(old.toString.getBytes) finally out.close()
+    }
     TimeStore.recoverStranded(spark, n)
     assert(!f.exists(new Path(n.pointsDir)), "aged generation 0 retired")
     assert(!f.exists(new Path(s"${n.dir}/points-g1")), "aged generation 1 retired")
