@@ -121,8 +121,9 @@ class DeterminismSpec extends SparkSpec {
     val n = TimeStore.namespace(root, "M")
     MutableKV.insert(spark, n, 4L, "small-seq".getBytes)
     // inject a record at seq = 2^64-1 directly into the shadow namespace:
-    // unsigned order must prefer it over seq 1
-    val shadow = TimeStore.namespace(root, "M-INTERNAL")
+    // unsigned order must prefer it over seq 1. Built via copy — the
+    // '-INTERNAL' suffix is reserved, so namespace() rightly rejects it
+    val shadow = n.copy(ns = s"${n.ns}-INTERNAL")
     val big = "unsigned-max-seq".getBytes
     TimeStore.writePoints(spark, shadow, spark.createDataset(Seq(
       Point(5L, -1L, big.length.toLong, big)))(
