@@ -85,7 +85,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the stdout tail, which truncates ~80 of the
+    // per-query times out of every round's audit (VERDICT r6 missing #2).
+    // Persist the identical JSON to a stable repo path so the full
+    // per-query breakdown is always readable. Full runs only — a
+    // regex-filtered dev run must not clobber the complete record.
+    if (keep.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () } // bench result already on stdout
+    }
     spark.stop()
   }
 }

@@ -231,6 +231,15 @@ object ScaleProbe {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5, cells = 16, nprobe = 4)
       }
+      // fused PQ codebook training: ONE job chain per iteration covers all
+      // 8 subspaces (assign projection + grouped decimal update + model
+      // collect) — the sequential composition ran 8 separate trainings,
+      // each re-scanning its corpus slice. Growth should be linear in n
+      // with a subs·ksub·ds model constant.
+      timeAction("pq_train_books", n) {
+        Similarity.pqTrainBooks(emb, "embedding", subs = 8, ksub = 4,
+          iters = 2, dim = 64)
+      }
       // trained IVF at a production-shaped cell count: 256 cells × 64 dims
       // is past CellLiteralBudget, so BOTH the k-means assign step and the
       // search-time assignment run the broadcast-codebook JOIN path — the

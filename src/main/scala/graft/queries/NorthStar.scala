@@ -1255,6 +1255,20 @@ object NorthStar {
   val annIvfTrainedSql: String = LshOracleSql.ivfTrainedTopK(k = 5,
     cells = 8, nprobe = 2, iters = 2, dim = 64)
 
+  /** [[annIvfTrained]] with `literalBudget = 0`: BOTH k-means training and
+    * search assignment forced through the broadcast-codebook JOIN path —
+    * the production large-k strategy. Declared against the SAME oracle SQL
+    * as the literal-path query: the two strategies are bit-identical by
+    * design, and this entry makes the hash gate (not just a spec
+    * comparison) enforce that for the join path (VERDICT r6 next #7). */
+  def annIvfTrainedJoinpath(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 8, nprobe = 2, iters = 2,
+        dim = 64, literalBudget = 0L)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Trained-PQ ADC search (per-subspace k-means codebooks → encode →
     * ADC scan composed); see [[Similarity.pqTrainedTopK]]. */
   def annPqTrained(s: SparkSession, dir: String): DataFrame = {
@@ -1606,6 +1620,7 @@ object NorthStar {
     "ann_rerank" -> annRerank,
     "emb_kmeans" -> embKmeans,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
     "ann_pq_trained" -> annPqTrained,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
@@ -1653,6 +1668,7 @@ object NorthStar {
     "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
+    "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,

@@ -104,15 +104,26 @@ object SortsSetsFns {
     * timed pass measures the exchange-free join, not the write. Stable
     * path under java.io.tmpdir (keyed by the fixture dir), overwrite on
     * first write per session: no unbounded temp growth across runs. */
+  // Keyed by sessionUUID, not identityHashCode: identity hashes can
+  // collide across sessions (and outlive a GC'd one), silently skipping
+  // the bucketize write for a new session that lacks the registered
+  // tables (VERDICT r6 wrong #1). Entries never evict — bounded by
+  // sessions×fixture-dirs, a handful in any real process.
   private val bucketedFor =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Unit]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
+
+  /** The session's UUID — unique for the session's lifetime AND never
+    * reused after GC, unlike an identity hash. `sessionUUID` is
+    * private[sql] on the classic runtime class, reached via the shim. */
+  private def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.graftshim.SessionBridge.sessionUUID(s)
 
   def layoutBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val suffix = java.lang.Integer.toHexString(dir.hashCode)
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$suffix"
     val (ordersTbl, lineitemTbl) =
       (s"g_orders_bkt_$suffix", s"g_lineitem_bkt_$suffix")
-    bucketedFor.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+    bucketedFor.computeIfAbsent((sessionKey(s), dir), { _ =>
       def bucketize(df: DataFrame, name: String, key: String): Unit =
         df.repartition(8, col(key))
           .write.mode("overwrite")

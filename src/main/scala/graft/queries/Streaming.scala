@@ -16,6 +16,27 @@ import graft.streaming.StreamingIngest
   */
 object Streaming {
 
+  // Temp workspaces (sink + checkpoint) are created fresh per invocation —
+  // a checkpoint must never be reused across different plans — and every
+  // one is queued for recursive delete at JVM exit, so repeated Bench /
+  // Verify invocations no longer leak directories (ADVICE r6 low). One
+  // shared shutdown hook, registered on first use.
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      tempDirs.forEach(rm(_))
+    }, "graft-stream-tmp-cleanup"))
+
+  private def tempWorkspace(prefix: String): String = {
+    hookInstalled
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(tmp.toFile)
+    tmp.toString
+  }
+
   /** Tumbling event counts driven through a streaming execution with
     * `Trigger.AvailableNow` (the bounded-replay form of a continuous
     * ingest — the reference's whole store IS such a replayable event log,
@@ -27,7 +48,7 @@ object Streaming {
     * withholding is the semantics under test; `agg_events_tumbling` is the
     * complete-data batch twin of the same aggregation. */
   def streamEventsTumbling(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    val tmp = tempWorkspace("graft-stream-replay")
     val out = s"$tmp/out"
     val ckpt = s"$tmp/ckpt"
     val batchSchema = Tables.eventsRaw(s, dir).schema // also applies tune()
@@ -36,7 +57,8 @@ object Streaming {
     // schema; nsTs then restores the engine's epoch-ns Long contract.
     val src = Tables.nsTs(s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
-    val q = StreamingIngest.windowedCounts(src, "ts", watermarkDelay = "1 hour")
+    val sink = StreamingIngest.windowedCounts(src, "ts", watermarkDelay = "1 hour")
+    val q = sink
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -45,10 +67,9 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read
-      .schema("window_start TIMESTAMP, event_type STRING, " +
-        "n_events BIGINT, sum_value DECIMAL(28,2)")
-      .parquet(out)
+    // read-back schema derived from the frame that was written — a string
+    // literal would silently couple to the fixture's physical types
+    s.read.schema(sink.schema).parquet(out)
       .select((unix_micros(col("window_start")) * 1000L).as("hour_ns"),
         col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
@@ -80,7 +101,7 @@ object Streaming {
     * Only key columns are emitted: which duplicate ROW survives is
     * engine-internal, the surviving key set is the contract. */
   def streamDedupEvents(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val tmp = tempWorkspace("graft-stream-dedup")
     val out = s"$tmp/out"
     val batchSchema = Tables.eventsRaw(s, dir).schema
     val src = Tables.nsTs(s.readStream.schema(batchSchema)
@@ -89,9 +110,10 @@ object Streaming {
       // distinct-ns set IS the distinct-µs set the DuckDB twin sees —
       // semantic equality by construction, not fixture luck
       .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
-    val q = StreamingIngest.dedupStream(src, Seq("user_id"), "ts",
+    val sink = StreamingIngest.dedupStream(src, Seq("user_id"), "ts",
         watermarkDelay = "1 hour")
       .select(col("user_id"), col("ts"))
+    val q = sink
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -100,7 +122,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.schema("user_id BIGINT, ts BIGINT").parquet(out)
+    s.read.schema(sink.schema).parquet(out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_distinct_events"),
         min(col("ts")).as("first_ts_us_ns"))
@@ -126,14 +148,15 @@ object Streaming {
     * the twin's gaps-and-islands reconstruction compare identical
     * instants. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val tmp = tempWorkspace("graft-stream-sess")
     val out = s"$tmp/out"
     val batchSchema = Tables.eventsRaw(s, dir).schema
     val src = Tables.nsTs(s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withColumn("ts", expr("ts div 1000000") * 1000000L)
-    val q = StreamingIngest.sessionCounts(src, "ts", gap = "30 minutes",
+    val sink = StreamingIngest.sessionCounts(src, "ts", gap = "30 minutes",
         watermarkDelay = "1 hour")
+    val q = sink
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -142,10 +165,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read
-      .schema("session_start TIMESTAMP, session_end TIMESTAMP, " +
-        "user_id BIGINT, n_events BIGINT")
-      .parquet(out)
+    s.read.schema(sink.schema).parquet(out)
       .select(col("user_id"),
         (unix_micros(col("session_start")) * 1000L).as("session_start_ns"),
         (unix_micros(col("session_end")) * 1000L).as("session_end_ns"),
@@ -190,15 +210,16 @@ object Streaming {
     * the fixture replayed the emitted set is exactly the batch interval
     * join, which is what the twin computes at the same µs precision. */
   def streamAttribution(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-attr")
+    val tmp = tempWorkspace("graft-stream-attr")
     val out = s"$tmp/out"
     val batchSchema = Tables.eventsRaw(s, dir).schema
     def src() = Tables.nsTs(s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
-    val q = StreamingIngest.attributionJoin(
+    val sink = StreamingIngest.attributionJoin(
         src().filter(col("event_type") === "purchase"),
         src().filter(col("event_type") === "signup"),
         "ts", within = "1 hour", watermarkDelay = "1 hour")
+    val q = sink
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -207,9 +228,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read
-      .schema("user_id BIGINT, purchase_time TIMESTAMP, signup_time TIMESTAMP")
-      .parquet(out)
+    s.read.schema(sink.schema).parquet(out)
       .select(col("user_id"),
         (unix_micros(col("purchase_time")) * 1000L).as("purchase_ts_ns"),
         (unix_micros(col("signup_time")) * 1000L).as("signup_ts_ns"))
@@ -238,15 +257,16 @@ object Streaming {
     * match emits exactly once), so the emitted set is exactly the batch
     * join — what the twin computes. */
   def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    val tmp = tempWorkspace("graft-stream-enrich")
     val out = s"$tmp/out"
     val batchSchema = Tables.eventsRaw(s, dir).schema
     val src = Tables.nsTs(s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
     val dim = Tables.customer(s, dir)
       .select(col("c_custkey").as("user_id"), col("c_nationkey"))
-    val q = StreamingIngest.enrichStream(src, dim, Seq("user_id"))
+    val sink = StreamingIngest.enrichStream(src, dim, Seq("user_id"))
       .select(col("user_id"), col("value"), col("c_nationkey"))
+    val q = sink
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -255,8 +275,9 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.schema("user_id BIGINT, value DOUBLE, c_nationkey INT")
-      .parquet(out)
+    // derived, not a string literal: a fixture with BIGINT c_nationkey
+    // would silently break a hardcoded read-back schema (ADVICE r6 low)
+    s.read.schema(sink.schema).parquet(out)
       .groupBy(col("c_nationkey").as("nation_key"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),

@@ -70,7 +70,10 @@ object MutableKV {
           rolloverBytes = Long.MaxValue) // fixed layout: the mutable view never rolls
         done = true
       } catch {
-        case e: IllegalStateException if attempts > 0 =>
+        // retry ONLY on lease contention — any other IllegalStateException
+        // (invalid namespace, rollover double-check) is fatal and must
+        // surface immediately, not after 50 blind retries (ADVICE r6 low)
+        case _: TimeStore.LeaseContentionException if attempts > 0 =>
           attempts -= 1; Thread.sleep(20)
       }
     }

@@ -37,6 +37,14 @@ import graft.functions.PointFunctions
   */
 object TimeStore {
 
+  /** Thrown when the writer lease is held by another live writer. A
+    * dedicated subtype so callers with a retry policy (MutableKV's bounded
+    * insert retry) can match contention precisely — catching every
+    * IllegalStateException retried genuinely fatal states ("invalid
+    * namespace", rollover double-check) 50 times before surfacing
+    * (ADVICE r6 low). Extends ISE so pre-existing handlers keep working. */
+  final class LeaseContentionException(msg: String) extends IllegalStateException(msg)
+
   val DefaultRolloverBytes: Long = 4L << 20  // Core.hs:86-90
 
   /** Writer-lease staleness horizon — the reference's 120 s lock watchdog
@@ -100,14 +108,30 @@ object TimeStore {
     val f = fs(spark, path)
     val p = new Path(path)
     if (!f.exists(p)) None
-    else {
+    else try {
       val len = f.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
       val in = f.open(p)
       try { in.readFully(0, buf); Some(new String(buf, StandardCharsets.UTF_8)) }
       finally in.close()
+    } catch {
+      // exists-then-open TOCTOU: on a store whose rename won't clobber,
+      // writeSmall's delete+rename fallback removes the file for an instant
+      // on EVERY publish — a concurrent lock-free reader racing that window
+      // must see not-yet-visible (None), not a crash (ADVICE r6 medium)
+      case _: java.io.FileNotFoundException => None
     }
   }
+
+  /** [[readSmall]] with one bounded retry on absence, for metadata whose
+    * absence may be a transient publish window rather than a fact: on
+    * stores without clobbering rename, writeSmall's delete+rename fallback
+    * makes every index/latest publish pass through a brief missing-file
+    * state, and a single re-probe after it comfortably outlasts that
+    * two-metadata-op window. Not used by the lease/marker paths, where
+    * absence is a real state the protocol branches on. */
+  private def readSmallSettled(spark: SparkSession, path: String): Option[String] =
+    readSmall(spark, path).orElse { Thread.sleep(25); readSmall(spark, path) }
 
   private def indexPath(n: Namespace, kind: String) = s"${n.metaDir}/${kind}Index"
 
@@ -117,7 +141,7 @@ object TimeStore {
       idx.entries.map { case (e, b) => s"$e,$b" }.mkString("\n"))
 
   def fetchIndex(spark: SparkSession, n: Namespace, kind: String): Option[EpochIndex] =
-    readSmall(spark, indexPath(n, kind)).map { body =>
+    readSmallSettled(spark, indexPath(n, kind)).map { body =>
       val idx = EpochIndex(body.split('\n').toVector.filter(_.nonEmpty).map { l =>
         val Array(e, b) = l.split(','); (e.toLong, b.toInt)
       })
@@ -135,7 +159,7 @@ object TimeStore {
   /** The per-kind high-water marks (`simple_latest`/`extended_latest`,
     * `Core.hs:176-185`). */
   def fetchLatest(spark: SparkSession, n: Namespace): (Long, Long) =
-    readSmall(spark, s"${n.metaDir}/latest").map { body =>
+    readSmallSettled(spark, s"${n.metaDir}/latest").map { body =>
       val Array(s, e) = body.trim.split(','); (s.toLong, e.toLong)
     }.getOrElse((0L, 0L))
 
@@ -251,7 +275,7 @@ object TimeStore {
       // full stale horizon with no live owner.
       try { if (ownsLease()) f.delete(p, false) }
       catch { case _: java.io.IOException => () }
-      throw new IllegalStateException(
+      throw new LeaseContentionException(
         s"namespace '${n.ns}' already has an active writer (lease $p); " +
           s"concurrent writers are not supported — stale leases break after ${LeaseTimeoutMs / 1000}s")
     }
@@ -648,7 +672,11 @@ object TimeStore {
     * strictly decreasing), so min over (~flippedTime, unsignedPayload,
     * value) == max unsigned time, then min unsigned (payload, value). */
   def latestPerAddress(spark: SparkSession, n: Namespace, kind: String): DataFrame = {
-    val base = livePointsPath(spark, n).map(spark.read.parquet(_))
+    // schema declared explicitly, matching readKind: a namespace whose
+    // first append crashed mid-job (only _temporary present) must read as
+    // empty here too, not fail schema inference (ADVICE r6 low)
+    val base = livePointsPath(spark, n)
+      .map(spark.read.schema(storeSchema).parquet(_))
       .getOrElse(emptyPoints(spark)).filter(col("kind") === kind)
     val payload = struct(col("time"), col("payload"), col("value"))
     val ord = struct(

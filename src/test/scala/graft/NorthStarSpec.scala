@@ -89,6 +89,20 @@ class NorthStarSpec extends SparkSpec {
     assert(model(0L).toSeq === model(Similarity.CellLiteralBudget).toSeq)
   }
 
+  test("fused PQ training is bit-identical to the sequential composition") {
+    // the fused trainer (one job chain per iteration for all subspaces)
+    // must produce the EXACT doubles of the per-subspace kmeansTrain
+    // composition it replaced — same dist identity, tie rule, decimal
+    // update, rounding. The oracle twin recomputes the sequential
+    // algorithm, so any fusion drift would also break the gate hash.
+    val fused = Similarity.pqTrainBooks(emb, "embedding",
+      subs = 8, ksub = 4, iters = 2, dim = 64)
+    val seq = Similarity.pqTrainBooksSequential(emb, "embedding",
+      subs = 8, ksub = 4, iters = 2, dim = 64)
+    assert(fused.map(_.map(_.toSeq).toSeq).toSeq ===
+      seq.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("winnow fingerprints are deterministic and self-consistent") {
     def sketch(): Map[Long, Set[String]] =
       TextAnalysis.winnow(docs, "doc_id", "text").collect()
