@@ -240,6 +240,13 @@ object ScaleProbe {
         Similarity.pqTrainBooks(emb, "embedding", subs = 8, ksub = 4,
           iters = 2, dim = 64)
       }
+      // the replaced composition, kept measurable for the comparison: 8
+      // sequential trainings (16 job chains vs the fused 2), each
+      // re-scanning its slice of the corpus
+      timeAction("pq_train_books_seq", n) {
+        Similarity.pqTrainBooksSequential(emb, "embedding", subs = 8,
+          ksub = 4, iters = 2, dim = 64)
+      }
       // trained IVF at a production-shaped cell count: 256 cells × 64 dims
       // is past CellLiteralBudget, so BOTH the k-means assign step and the
       // search-time assignment run the broadcast-codebook JOIN path — the

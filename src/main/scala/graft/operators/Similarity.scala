@@ -898,6 +898,15 @@ object Similarity {
     val books = Array.tabulate(subs, ksub, ds)((c0, c1, c2) => pqComponent(c0, c1, c2))
     val v = corpus.select(asDouble(col(vecCol)).as("v"))
     def iterate(): Array[org.apache.spark.sql.Row] = {
+      // Stage split measured at 320k (SCALE.md round 7): the heavy
+      // per-subspace argmins live in a codegen'd PROJECT; the generator
+      // only REPACKAGES the precomputed cells + slices into (s, cell,
+      // subv) structs, and the second explode replicates scalars. The
+      // same pipeline with the argmin embedded IN the generator ran 15×
+      // slower (generator expressions evaluate outside whole-stage
+      // codegen), and carrying a codes array past a 64-way posexplode of
+      // the full vector paid ~4× in replication — 1.4 s vs 23 s vs 5.5 s
+      // for identical results.
       def cellEx(s: Int): Column = {
         val sv = slice(col("v"), s * ds + 1, ds)
         val scored = array((0 until ksub).map { c =>
@@ -909,13 +918,13 @@ object Similarity {
         }: _*)
         array_min(scored).getField("cell")
       }
-      v.select(col("v"), array((0 until subs).map(cellEx): _*).as("codes"))
-        .select(col("codes"), posexplode(col("v")).as(Seq("i", "x")))
-        .select(
-          (col("i") / lit(ds)).cast("int").as("s"),
-          element_at(col("codes"), (col("i") / lit(ds)).cast("int") + 1).as("cell"),
-          pmod(col("i"), lit(ds)).as("d"),
-          col("x"))
+      val assigned = v.select(
+        (0 until subs).map(s => cellEx(s).as(s"c$s")) :+ col("v"): _*)
+      assigned.select(explode(array((0 until subs).map(s =>
+          struct(lit(s).as("s"), col(s"c$s").as("cell"),
+            slice(col("v"), s * ds + 1, ds).as("subv"))): _*)).as("sc"))
+        .select(col("sc.s").as("s"), col("sc.cell").as("cell"),
+          posexplode(col("sc.subv")).as(Seq("d", "x")))
         .groupBy(col("s"), col("cell"), col("d"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("x").cast("decimal(20,8)")).as("sx"))
