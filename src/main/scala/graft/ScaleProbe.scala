@@ -352,6 +352,45 @@ object ScaleProbe {
           }
         } finally only = saved
       }
+      // Compaction path: a streaming ingest appends one file per bucket
+      // PER MICRO-BATCH, so the read side degrades on file count — the
+      // failure mode the reference never faces (RADOS appends in place)
+      // and compact() exists to undo. Measured as a cycle: 32 micro-batch
+      // appends -> fragmented pruned read -> compact -> same read again.
+      if (only.exists("store_compact".contains(_))) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-compact-$n").toString
+        val ns = TimeStore.namespace(root, "FRAG")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val batches = 32
+        def batch(b: Int) = spark.range(rows)
+          .filter(pmod(col("id"), lit(batches.toLong)) === b)
+          .select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved = only
+        only = Nil
+        try {
+          timeAction(s"store_write_${batches}batches", n) {
+            (0 until batches).foreach(b =>
+              TimeStore.writePoints(spark, ns, batch(b)))
+          }
+          def read() = TimeStore.readSimple(spark, ns, 0L, rows * 250L,
+            Seq(2L, 40L, 100L, 500L))
+          time("store_read_fragmented", n)(read())
+          timeAction("store_compact", n) {
+            TimeStore.compact(spark, ns)
+          }
+          time("store_read_compacted", n)(read())
+        } finally only = saved
+      }
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(
           facts.hint("shuffle_merge"), dim, "key", "row_id", 16))

@@ -28,7 +28,10 @@ class StoreProtocolSpec extends SparkSpec {
     val n = freshNs()
     TimeStore.register(spark, n, 4, 4)
     TimeStore.withWriterLease(spark, n) {
-      val ex = intercept[IllegalStateException] {
+      // the DEDICATED contention subtype, not a bare ISE: retry policies
+      // (MutableKV's bounded insert retry) match on it, so a fatal state
+      // masquerading as contention would be retried 50 times (ADVICE r6)
+      val ex = intercept[TimeStore.LeaseContentionException] {
         TimeStore.writePoints(spark, n, pts((2L, 10L, 1L)))
       }
       assert(ex.getMessage.contains("active writer"))
@@ -36,6 +39,30 @@ class StoreProtocolSpec extends SparkSpec {
     // lease released -> the same write now succeeds
     TimeStore.writePoints(spark, n, pts((2L, 10L, 1L)))
     assert(TimeStore.readSimple(spark, n, 0L, 100L, Seq(2L)).count() === 1)
+  }
+
+  test("metadata reads ride out a non-clobbering publish window") {
+    // On stores whose rename won't clobber (HDFS contract), writeSmall's
+    // delete+rename fallback makes EVERY index/latest publish pass through
+    // a brief missing-file state. A lock-free reader racing that window
+    // must resolve the index once the publish lands (one settled re-probe)
+    // instead of throwing 'invalid namespace' (ADVICE r6 medium). The test
+    // simulates the window directly: delete the index, restore it ~10 ms
+    // later from another thread, and fetch concurrently.
+    val n = freshNs()
+    TimeStore.register(spark, n, 4, 4)
+    val idx = new java.io.File(s"${n.metaDir}/simpleIndex")
+    val bytes = java.nio.file.Files.readAllBytes(idx.toPath)
+    assert(idx.delete())
+    val restorer = new Thread(() => {
+      Thread.sleep(10)
+      java.nio.file.Files.write(idx.toPath, bytes)
+    })
+    restorer.start()
+    val got = TimeStore.fetchIndex(spark, n, "simple")
+    restorer.join()
+    assert(got.isDefined, "settled re-probe should ride out the publish window")
+    assert(got.get.entries === Vector((0L, 4)))
   }
 
   test("a stale lease (older than the 120s watchdog) is broken, not fatal") {
