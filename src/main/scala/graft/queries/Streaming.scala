@@ -30,7 +30,7 @@ object Streaming {
       tempDirs.forEach(rm(_))
     }, "graft-stream-tmp-cleanup"))
 
-  private def tempWorkspace(prefix: String): String = {
+  private[queries] def tempWorkspace(prefix: String): String = {
     hookInstalled
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
     tempDirs.add(tmp.toFile)

@@ -29,6 +29,57 @@ object TimeSeries {
   private def nsTruncUs(c: org.apache.spark.sql.Column) =
     c - pmod(c, lit(1000L))
 
+  /** The FULL store protocol under the DuckDB hash gate — every other ts_*
+    * query scans the fixture parquet directly, so the write path (route →
+    * one shuffle on (kind, epoch, bucket) → partitioned append → latest
+    * watermark) and the store read path (index range lookup → targetObjs
+    * bucket pruning → pinned first-wins dedup → unsigned sort) were only
+    * golden-spec'd, never checked against an independent engine. This
+    * query ingests the whole events fixture through
+    * [[graft.sources.TimeStore.writePoints]] into a fresh namespace
+    * (address = user_id·2 ⇒ simple kind; time = µs-truncated ts so both
+    * engines see identical instants; payload = event_id), then serves the
+    * result via [[graft.sources.TimeStore.readSimple]] over the Addrs
+    * window — the twin recomputes the scan contract (range filter,
+    * address set, smallest-payload dedup winner, (time, address) order)
+    * from the raw table. Duplicate (address, time) pairs resolve to the
+    * smallest unsigned payload on the store side and MIN(event_id) in the
+    * twin — the same pinned winner.
+    *
+    * The temp namespace is fresh per invocation (registered under a
+    * shutdown-cleaned workspace), so Verify and both Bench passes each
+    * pay the real write — the measured cost IS the protocol, exactly like
+    * the stream_* family's real streaming executions. */
+  def storeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-roundtrip")
+    val n = TimeStore.namespace(root, "ROUNDTRIP")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+  }
+
+  val storeRoundtripSql: String =
+    s"""SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+       |FROM (
+       |  SELECT user_id, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |) WHERE rn = 1
+       |ORDER BY ts_ns, user_id""".stripMargin
+
   /** O5/O11: inclusive time-range + address-set scan, sorted (time, addr),
     * first-wins dedup on (addr, time). */
   def rangeScan(s: SparkSession, dir: String): DataFrame =
@@ -477,6 +528,7 @@ object TimeSeries {
     "ts_intervals"      -> intervals,
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
+    "ts_store_roundtrip" -> storeRoundtrip,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
@@ -490,6 +542,7 @@ object TimeSeries {
     "ts_intervals"      -> intervalsSql,
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
+    "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,
