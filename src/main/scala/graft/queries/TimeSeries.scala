@@ -80,6 +80,79 @@ object TimeSeries {
        |) WHERE rn = 1
        |ORDER BY ts_ns, user_id""".stripMargin
 
+  /** O8 `latestUniques` over an ACTUAL store ([[storeRoundtrip]]'s write
+    * path feeding [[graft.sources.TimeStore.latestPerAddress]]) — the
+    * store's latest-value materialization (the min_by over sign-flipped
+    * unsigned structs) hash-checked against the twin's window
+    * reconstruction: per address the winner is max unsigned time, ties to
+    * the smallest unsigned (payload, value). */
+  def storeLatest(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-latest")
+    val n = TimeStore.namespace(root, "LATEST")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    TimeStore.latestPerAddress(s, n, "simple")
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val storeLatestSql: String =
+    """SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id) rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** O6/O12 `readExtended` under the gate: the variable-length BINARY blob
+    * path (`props` stored as the extended value — the reference's
+    * extended-bucket blob store, subsumed by Parquet BINARY). Odd
+    * addresses route to kind=extended; the read-back decodes the blob and
+    * the twin compares the STRING itself, so a byte-level corruption
+    * anywhere in encode → shuffle → parquet → decode breaks the hash. */
+  def storeExtended(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-ext")
+    val n = TimeStore.namespace(root, "EXT")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2 + 1).as("address"), // odd = extended
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        encode(col("props"), "UTF-8").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    TimeStore.readExtended(s, n, T0, T1, Addrs.map(_ * 2 + 1))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"),
+        decode(col("value"), "UTF-8").as("props"))
+  }
+
+  val storeExtendedSql: String =
+    s"""SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, props
+       |FROM (
+       |  SELECT user_id, ts, event_id, props,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |) WHERE rn = 1
+       |ORDER BY ts_ns, user_id""".stripMargin
+
   /** O5/O11: inclusive time-range + address-set scan, sorted (time, addr),
     * first-wins dedup on (addr, time). */
   def rangeScan(s: SparkSession, dir: String): DataFrame =
@@ -529,6 +602,8 @@ object TimeSeries {
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
+    "ts_store_latest"   -> storeLatest,
+    "ts_store_extended" -> storeExtended,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
@@ -543,6 +618,8 @@ object TimeSeries {
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
+    "ts_store_latest"   -> storeLatestSql,
+    "ts_store_extended" -> storeExtendedSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,
