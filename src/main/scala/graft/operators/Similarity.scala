@@ -299,6 +299,78 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings with a coarse quantizer and comparing pairs
+    * ONLY within a cluster — never corpus×corpus. A row is a semantic
+    * duplicate iff some LOWER-id row in the same cell has cosine ≥
+    * `threshold` (keep-first greedy — the deterministic pinning of the
+    * paper's keep-one-per-ε-ball; the paper itself picks an arbitrary
+    * survivor).
+    *
+    * Scale shape: assignment is the same row-local literal-codebook argmax
+    * as [[ivfTopKWith]]'s literal path (trained centroids ride the same
+    * broadcast-join form past [[CellLiteralBudget]]); the pairwise stage
+    * keys the self-join on the cell, so its cost is Σ cell² — bounded by
+    * choosing the cell count k ≈ n / target-cell-size as the paper does
+    * (11k cells at 1.3B docs), with the same deterministic hot-cell cap as
+    * every band join here as the backstop for a degenerate quantizer:
+    * over-`maxCell` cells skip pairing (their rows stay, marked kept) and
+    * the DuckDB twin mirrors the cap, so the gate stays a full-pipeline
+    * hash check even when it fires. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, cells: Int = 16, dim: Int = 64,
+                    maxCell: Int = Dedup.DefaultMaxBucket): DataFrame =
+    semanticDedupWith(corpus, idCol, vecCol, threshold,
+      Array.tabulate(cells, dim)(centroidComponent), maxCell)
+
+  /** [[semanticDedup]] against an arbitrary (e.g. trained) centroid
+    * matrix. Assignment strategy is sized by [[CellLiteralBudget]] exactly
+    * like [[ivfTopKWith]]: literal-codebook codegen projection at small k,
+    * broadcast-codebook cross join (narrow (rid, cell, score) stream,
+    * plan O(1) in k) past it — the production shape at the paper's
+    * k ≈ n / target-cell-size cell counts. */
+  def semanticDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, cents: Array[Array[Double]],
+                        maxCell: Int = Dedup.DefaultMaxBucket,
+                        literalBudget: Long = CellLiteralBudget): DataFrame = {
+    val cells = cents.length
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val assigned0 =
+      if (cells.toLong * dim <= literalBudget)
+        v.withColumn("__sc", cellScoreArrayOf(col("v"), cents))
+          .withColumn("cell",
+            (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+          .select(col("vec_id"), col("cell"), col("v"))
+      else {
+        val crid = graft.CacheScope.cache(
+          v.withColumn("__rid", monotonically_increasing_id()))
+        crid.count()
+        val a = crid.crossJoin(broadcast(centroidRows(corpus.sparkSession, cents)))
+          .select(col("__rid"), col("cell"), dot(col("v"), col("cent")).as("score"))
+          .groupBy(col("__rid"))
+          .agg(max_by(col("cell"),
+            struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+        crid.join(a, Seq("__rid"))
+          .select(col("vec_id"), col("cell"), col("v"))
+      }
+    val assigned = graft.CacheScope.cache(assigned0)
+    assigned.count() // one materialization feeds pairing twice + the output
+    val sized = assigned.withColumn("__cn",
+      count(lit(1)).over(Window.partitionBy(col("cell"))))
+    val inPlay = sized.filter(col("__cn") <= maxCell)
+    val dup = inPlay.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(inPlay.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv")),
+        "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("av"), col("bv")), 6) >= threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned.join(dup.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold, or the
     * global top-n pairs when the corpus has no high-sim pairs.
     *

@@ -300,6 +300,55 @@ object TextAnalysis {
           .as("bin"))
   }
 
+  /** Repeated-passage removal — the CCNet / RefinedWeb "line dedup" pass
+    * that strips boilerplate (headers, nav bars, license blurbs) repeated
+    * across documents, adapted to fixed `window`-token segments because the
+    * fixture documents are single-line. Each document splits into
+    * consecutive `window`-token segments; a segment occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate; the document is rebuilt
+    * with those segments removed (segments keep their original order).
+    *
+    * Scale shape (the part that must hold at 100 TB): segmentation is
+    * row-local `transform`/`slice` — the corpus text itself is never
+    * shuffled. The census shuffles (segment, doc) pairs once into a
+    * two-phase distinct count with map-side combine. The boilerplate set
+    * is the census output above threshold — tiny relative to the corpus —
+    * and BROADCASTs to the drop-list join, which therefore touches only
+    * contaminated segment instances. The rebuild joins the small per-doc
+    * drop-list back and filters the row-local segment array by index, so
+    * the only full-corpus exchanges are the narrow census pairs. */
+  def segDedup(df: DataFrame, idCol: String, textCol: String,
+               window: Int = 10, minDocs: Int = 2): DataFrame = {
+    // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    // empty-token case explicitly
+    val segsArr = when(size(col("__ts")) === 0,
+        array().cast("array<string>"))
+      .otherwise(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(__ts) / ${window}.0) as int) - 1),
+           |  i -> concat_ws(' ', slice(__ts, i * $window + 1, $window)))"""
+          .stripMargin))
+    val base = df
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+      .select(col("doc_id"), segsArr.as("segs"))
+    val seg = base.select(col("doc_id"),
+      posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    val boilerplate = seg.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    val drops = seg.join(broadcast(boilerplate), "seg")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("dropped"))
+    base.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        coalesce(size(col("dropped")), lit(0)).cast("long").as("n_dropped"),
+        concat_ws(" ", filter(col("segs"), (_, i) =>
+          !coalesce(array_contains(col("dropped"), i), lit(false))))
+          .as("clean_text"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and the DuckDB oracle twin.
     * Deliberately restricted to syntax Java regex and RE2 agree on: no
     * lookaround, no backreferences ('\b' word boundaries are fine in

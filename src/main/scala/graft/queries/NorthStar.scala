@@ -149,6 +149,36 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[Similarity.semanticDedup]]: the same literal centroids,
+    * rank-1 cell assignment, hot-cell cap, and cell-scoped keep-first
+    * pairing — the gate hash-checks the whole SemDeDup pipeline. */
+  def semanticDedup(threshold: Double, cells: Int, dim: Int,
+                    maxCell: Int): String = {
+    val scoreRows = (0 until cells).map { c =>
+      s"SELECT vec_id, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sc AS (
+       |$scoreRows),
+       |ranked AS (
+       |  SELECT vec_id, e, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+       |  FROM sc),
+       |a AS (SELECT vec_id, e, cell FROM ranked WHERE rnk = 1),
+       |sized AS (
+       |  SELECT vec_id, e, cell, COUNT(*) OVER (PARTITION BY cell) AS cn
+       |  FROM a),
+       |dup AS (
+       |  SELECT DISTINCT vb.vec_id AS vec_id
+       |  FROM sized va JOIN sized vb
+       |    ON va.cell = vb.cell AND va.vec_id < vb.vec_id
+       |    AND va.cn <= $maxCell AND vb.cn <= $maxCell
+       |  WHERE $cosSql >= $threshold)
+       |SELECT a.vec_id, a.cell, (dup.vec_id IS NOT NULL) AS is_dup
+       |FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
   private def pqDistCols(subs: Int, ksub: Int, dim: Int): String = {
@@ -795,6 +825,22 @@ object NorthStar {
     LshOracleSql.bandedPairs(threshold = 0.4, planes = 32, bands = 4, dim = 64,
       maxBucket = graft.operators.Dedup.DefaultMaxBucket)
 
+  /** SemDeDup — semantic dedup via cluster-scoped pairwise comparison
+    * (the published recipe for embedding-level dedup at corpus scale:
+    * k-means cells bound the quadratic term; here the deterministic
+    * literal quantizer so the twin recomputes the WHOLE pipeline —
+    * assignment, cap, pairing, keep-first survivorship). Complements
+    * [[dedupEmbedding]]'s LSH-band path: same goal, the other published
+    * candidate-generation strategy. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  val dedupSemanticSql: String =
+    LshOracleSql.semanticDedup(threshold = 0.4, cells = 16, dim = 64,
+      maxCell = graft.operators.Dedup.DefaultMaxBucket)
+
   // ---- similarity search ----
 
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -1344,6 +1390,37 @@ object NorthStar {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY doc_id""".stripMargin
 
+  /** Repeated-passage scrub (CCNet-style line dedup over 10-token
+    * segments): segments occurring in ≥2 distinct documents are removed
+    * and every document is rebuilt; the twin re-derives the census, the
+    * drop set, and the byte-exact rebuilt text — so the gate checks the
+    * whole scrub, not just the counts. */
+  def textSegDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.segDedup(Tables.documents(s, dir), "doc_id", "text",
+        window = 10, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  val textSegDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(i AS INT) - 1 AS seg_idx,
+      |    array_to_string(ts[(i-1)*10+1 : (i-1)*10+10], ' ') AS seg
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(1, CAST(ceil(len(ts)/10.0) AS BIGINT))) AS i
+      |        FROM toks)),
+      |bp AS (
+      |  SELECT seg FROM segs GROUP BY seg
+      |  HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT s.doc_id,
+      |  COUNT(*) AS n_segs,
+      |  COUNT(bp.seg) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN bp.seg IS NULL THEN s.seg END,
+      |    ' ' ORDER BY s.seg_idx), '') AS clean_text
+      |FROM segs s LEFT JOIN bp ON bp.seg = s.seg
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** Centroid-distance outliers — the per-label embedding-space quality
     * filter (>2σ distance to own centroid ⇒ mislabeled / OOD candidate). */
   def embOutliers(s: SparkSession, dir: String): DataFrame =
@@ -1610,6 +1687,7 @@ object NorthStar {
     "text_pii" -> textPii,
     "text_contamination" -> textContamination,
     "text_pack_bins" -> textPackBins,
+    "text_seg_dedup" -> textSegDedup,
     "media_frame_sample" -> mediaFrameSample,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_stats" -> dedupClusterStats,
@@ -1632,6 +1710,7 @@ object NorthStar {
     "dedup_cross" -> dedupCross,
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1658,6 +1737,7 @@ object NorthStar {
     "text_pii" -> textPiiSql,
     "text_contamination" -> textContaminationSql,
     "text_pack_bins" -> textPackBinsSql,
+    "text_seg_dedup" -> textSegDedupSql,
     "media_frame_sample" -> mediaFrameSampleSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
@@ -1680,6 +1760,7 @@ object NorthStar {
     "dedup_cross" -> dedupCrossSql,
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -368,6 +368,70 @@ class NorthStarSpec extends SparkSpec {
     assert(got(9L) === ((3L, 0L)))
   }
 
+  test("segDedup removes cross-doc repeated segments and rebuilds docs") {
+    import spark.implicits._
+    val seg = "a b c d e f g h i j" // one full 10-token segment
+    val df = Seq(
+      (1L, seg + " k l m"),
+      (2L, seg + " x y z"),
+      (3L, "p q r s t u v w aa bb cc"), // no cross-doc segment
+      (4L, seg))                        // ONLY the boilerplate segment
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .segDedup(df, "doc_id", "text", window = 10, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, "k l m")))
+    assert(got(2L) === ((2L, 1L, "x y z")))
+    assert(got(3L) === ((2L, 0L, "p q r s t u v w aa bb cc")))
+    assert(got(4L) === ((1L, 1L, ""))) // fully-boilerplate doc → empty
+  }
+
+  test("semanticDedup matches an in-memory keep-first recomputation") {
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(rows.nonEmpty)
+    val cents = Array.tabulate(16, 64)(Similarity.centroidComponent)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val assign = rows.map { case (id, v) =>
+      val scores = cents.map(c => dot(v, c))
+      (id, scores.indexOf(scores.max), v)
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expectDup = (for {
+      (i, ci, vi) <- assign; (j, cj, vj) <- assign
+      if ci == cj && i < j && cos6(vi, vj) >= 0.4
+    } yield j).toSet
+    val got = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet === rows.map(_._1).toSet)
+    val gotAssign = got.map(t => t._1 -> t._2).toMap
+    assign.foreach { case (id, c, _) => assert(gotAssign(id) === c) }
+    assert(got.filter(_._3).map(_._1).toSet === expectDup)
+    graft.CacheScope.release(spark)
+  }
+
+  test("semanticDedup literal and join assignment paths agree bit-identically") {
+    val cents = Array.tabulate(16, 64)(Similarity.centroidComponent)
+    def run(budget: Long) = Similarity
+      .semanticDedupWith(emb, "vec_id", "embedding", 0.4, cents,
+        literalBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val lit = run(Long.MaxValue)
+    val join = run(0L)
+    assert(lit === join)
+    graft.CacheScope.release(spark)
+  }
+
   test("pqCodes matches an independent in-memory encoder on fixture vectors") {
     val subs = 8; val ksub = 4; val dim = 64; val ds = dim / subs
     val sample = emb.filter(col("vec_id") < 8)
