@@ -257,6 +257,24 @@ object ScaleProbe {
           "vec_id", "embedding", k = 5, cells = 256, nprobe = 16,
           iters = 2, dim = 64)
       }
+      // repeated-passage scrub: census is a narrow (segment, doc) pair
+      // shuffle (planted near-dups repeat all 12 segments of every 20th
+      // doc), the boilerplate set broadcasts, the rebuild is row-local —
+      // growth should be linear in corpus tokens
+      time("text_seg_dedup", n) {
+        TextAnalysis.segDedup(docs, "doc_id", "text")
+      }
+      // SemDeDup at the paper's sizing law: cells ≈ n / 500 keeps the
+      // cell-scoped quadratic term bounded (~500²/2 pair-dots per cell);
+      // past CellLiteralBudget/dim cells the assignment rides the
+      // broadcast-codebook join path, so this measures the production
+      // shape — n·k narrow assignment stream + bounded pairing
+      val sdCells = math.max(16, (n / 500).toInt)
+      time(s"dedup_semantic_k$sdCells", n) {
+        Similarity.semanticDedupWith(emb, "vec_id", "embedding",
+          threshold = 0.4,
+          Array.tabulate(sdCells, 64)(Similarity.centroidComponent))
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)

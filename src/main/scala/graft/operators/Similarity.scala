@@ -354,16 +354,25 @@ object Similarity {
         crid.join(a, Seq("__rid"))
           .select(col("vec_id"), col("cell"), col("v"))
       }
-    val assigned = graft.CacheScope.cache(assigned0)
+    // norms materialize WITH the cache: the pair stage then runs ONE dot
+    // per pair instead of three (dot(a,b)/(na·nb) — the same values and
+    // fold order as recomputing the norms per pair, so the DuckDB twin is
+    // unchanged; measured 83 s → see SCALE.md at 320k/640 cells before
+    // this and the pair-side narrowing)
+    val assigned = graft.CacheScope.cache(
+      assigned0.select(col("vec_id"), col("cell"), col("v"),
+        norm(col("v")).as("n")))
     assigned.count() // one materialization feeds pairing twice + the output
     val sized = assigned.withColumn("__cn",
       count(lit(1)).over(Window.partitionBy(col("cell"))))
     val inPlay = sized.filter(col("__cn") <= maxCell)
-    val dup = inPlay.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
-      .join(inPlay.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv")),
-        "cell")
+    val dup = inPlay.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("n").as("an"))
+      .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("n").as("bn")), "cell")
       .filter(col("a_id") < col("b_id"))
-      .filter(round(cosine(col("av"), col("bv")), 6) >= threshold)
+      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+        >= threshold)
       .select(col("b_id").as("vec_id"))
       .distinct()
     assigned.join(dup.withColumn("__d", lit(true)), Seq("vec_id"), "left")

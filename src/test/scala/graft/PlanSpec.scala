@@ -60,6 +60,24 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding degraded to an all-pairs nested loop")
   }
 
+  test("text_seg_dedup broadcasts the boilerplate set (no corpus-wide SMJ on segments)") {
+    val df = SparkEntry.queries("text_seg_dedup")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the census output above threshold is the small side — the drop-list
+    // join must broadcast it, not sort-merge the exploded segment stream
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "segment match degraded to a nested loop")
+  }
+
+  test("dedup_semantic pairs within cells only (no all-pairs nested loop)") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "cell-scoped pairing degraded to corpus×corpus")
+    graft.CacheScope.release(spark)
+  }
+
   test("ann_ivf assigns cells row-locally (only the final top-k windows)") {
     // the corpus→cell assignment must be a projection (array_position over
     // literal-centroid dots), NOT an explode + window — a window there
