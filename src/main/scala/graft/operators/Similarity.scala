@@ -944,6 +944,25 @@ object Similarity {
       literalBudget = literalBudget)
   }
 
+  /** The TRAINED SemDeDup composition the paper actually runs: k-means the
+    * quantizer on the corpus ([[kmeansTrain]]), then cluster-scoped
+    * keep-first dedup against the trained codebook
+    * ([[semanticDedupWith]] — collected k×dim model state, broadcast-join
+    * assignment past the literal budget). */
+  def semanticDedupTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, cells: Int, iters: Int,
+                           dim: Int,
+                           maxCell: Int = Dedup.DefaultMaxBucket,
+                           literalBudget: Long = CellLiteralBudget): DataFrame = {
+    val cents = Array.ofDim[Double](cells, dim)
+    kmeansTrain(corpus, vecCol, cells, iters, dim,
+        literalBudget = literalBudget).collect().foreach { r =>
+      cents(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
+    }
+    semanticDedupWith(corpus, idCol, vecCol, threshold, cents, maxCell,
+      literalBudget)
+  }
+
   /** Per-subspace k-means PQ codebook training, FUSED: all `subs`
     * codebooks train together in ONE job chain per iteration (the
     * production shape — the earlier per-subspace composition ran subs

@@ -152,15 +152,11 @@ private object LshOracleSql {
   /** Twin of [[Similarity.semanticDedup]]: the same literal centroids,
     * rank-1 cell assignment, hot-cell cap, and cell-scoped keep-first
     * pairing — the gate hash-checks the whole SemDeDup pipeline. */
-  def semanticDedup(threshold: Double, cells: Int, dim: Int,
-                    maxCell: Int): String = {
-    val scoreRows = (0 until cells).map { c =>
-      s"SELECT vec_id, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
-    }.mkString("\nUNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       |sc AS (
-       |$scoreRows),
-       |ranked AS (
+  /** Shared SemDeDup tail: expects CTEs `v` (vec_id, e) and `sc`
+    * (vec_id, e, cell, score) — rank-1 max-dot assignment, hot-cell cap,
+    * cell-scoped keep-first pairing. */
+  private def semanticTail(threshold: Double, maxCell: Int): String =
+    s"""ranked AS (
        |  SELECT vec_id, e, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
        |  FROM sc),
@@ -177,7 +173,33 @@ private object LshOracleSql {
        |SELECT a.vec_id, a.cell, (dup.vec_id IS NOT NULL) AS is_dup
        |FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
+
+  def semanticDedup(threshold: Double, cells: Int, dim: Int,
+                    maxCell: Int): String = {
+    val scoreRows = (0 until cells).map { c =>
+      s"SELECT vec_id, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sc AS (
+       |$scoreRows),
+       |${semanticTail(threshold, maxCell)}""".stripMargin
   }
+
+  /** Twin of the TRAINED SemDeDup composition: the [[kmeansCtes]] training
+    * chain produces the codebook, assignment is max-dot against the trained
+    * centroid lists (same as [[ivfTrainedTopK]]'s search-time rule), then
+    * the shared [[semanticTail]]. */
+  def semanticDedupTrained(threshold: Double, cells: Int, iters: Int,
+                           dim: Int, maxCell: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |${kmeansCtes(cells, iters, dim)},
+       |tcf AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c
+       |  FROM f${iters - 1} s LEFT JOIN m$iters m
+       |  ON m.cell = s.cell AND m.d = s.d),
+       |tc AS (SELECT cell, list(c ORDER BY d) AS carr FROM tcf GROUP BY cell),
+       |sc AS (SELECT v.vec_id, e, t.cell, list_dot_product(e, t.carr) AS score
+       |  FROM v CROSS JOIN tc t),
+       |${semanticTail(threshold, maxCell)}""".stripMargin
 
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
@@ -840,6 +862,20 @@ object NorthStar {
   val dedupSemanticSql: String =
     LshOracleSql.semanticDedup(threshold = 0.4, cells = 16, dim = 64,
       maxCell = graft.operators.Dedup.DefaultMaxBucket)
+
+  /** TRAINED SemDeDup — the composition the paper runs: in-engine k-means
+    * (2 iterations, every trajectory step hash-pinned by the twin's
+    * unrolled CTEs) feeding the cluster-scoped keep-first dedup. Together
+    * with [[dedupSemantic]] both quantizer sources are gated: the
+    * deterministic literal codebook and the trained one. */
+  def dedupSemanticTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupTrained(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.4, cells = 16, iters = 2, dim = 64)
+      .orderBy(col("vec_id"))
+
+  val dedupSemanticTrainedSql: String =
+    LshOracleSql.semanticDedupTrained(threshold = 0.4, cells = 16,
+      iters = 2, dim = 64, maxCell = graft.operators.Dedup.DefaultMaxBucket)
 
   // ---- similarity search ----
 
@@ -1711,6 +1747,7 @@ object NorthStar {
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_trained" -> dedupSemanticTrained,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1761,6 +1798,7 @@ object NorthStar {
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_trained" -> dedupSemanticTrainedSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
