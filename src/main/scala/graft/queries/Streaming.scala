@@ -293,7 +293,67 @@ object Streaming {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming decontamination gate — the ONLINE form of the batch
+    * `text_contamination` sweep (and the streaming sibling of
+    * `dedup_cross`): training documents ARRIVE as a stream and are checked
+    * against the held-out eval 5-gram set, a STATIC broadcast build side,
+    * in a stream-static inner join that emits (doc, gram) matches to an
+    * append sink as documents flow through. The join is STATELESS — no
+    * watermark, no state store growth; the static side bounds it — which
+    * is what makes the gate deployable inline in an ingest pipeline at any
+    * arrival rate (the 100 TB property: per-batch cost tracks the BATCH,
+    * the eval set broadcasts once). The read-back audits distinct shared
+    * grams per document; the twin recomputes the gram intersection in
+    * batch. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempWorkspace("graft-stream-decon")
+    val out = s"$tmp/out"
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("source") =!= "src0")
+    val evalGrams = graft.operators.Dedup
+      .shingles(Tables.documents(s, dir).filter(col("source") === "src0"),
+        "doc_id", "text", 5)
+      .select(col("s")).distinct()
+    val sink = graft.operators.Dedup.shingles(src, "doc_id", "text", 5)
+      .join(broadcast(evalGrams), "s")
+      .select(col("doc").as("doc_id"), col("s"))
+    val q = sink
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(sink.schema).parquet(out)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: the batch gram intersection (the `hits` CTE of the batch
+    * contamination twin — matched documents only, which is exactly what
+    * the streaming sink holds). */
+  val streamDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') ts
+      |  FROM documents),
+      |tr AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-4),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) s
+      |  FROM toks WHERE source != 'src0' AND len(ts) >= 5),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts)-4),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) s
+      |  FROM toks WHERE source = 'src0' AND len(ts) >= 5)
+      |SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+      |FROM tr JOIN ev USING (s) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_decontaminate" -> streamDecontaminate,
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
@@ -301,6 +361,7 @@ object Streaming {
     "stream_enrich" -> streamEnrich)
 
   def oracleSql: Map[String, String] = Map(
+    "stream_decontaminate" -> streamDecontaminateSql,
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
