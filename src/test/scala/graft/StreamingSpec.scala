@@ -276,6 +276,50 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(got((2L, 1L)) - 5.0) < 1e-12)
   }
 
+  test("stream-static decontamination join is stateless and matches the batch intersection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stat = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text") // eval/held-out side (static)
+    val evalGrams = graft.operators.Dedup
+      .shingles(stat, "doc_id", "text", 5).select(col("s")).distinct()
+    val docs = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup
+      .shingles(docs.toDS().toDF("doc_id", "text"), "doc_id", "text", 5)
+      .join(broadcast(evalGrams), "s")
+      .select(col("doc").as("doc_id"), col("s"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon")
+      .start()
+    docs.addData(
+      (1L, "he said the quick brown fox jumps right here"), // 1 shared 5-gram
+      (2L, "a completely different sentence about spark engines"))
+    q.processAllAvailable()
+    docs.addData( // second batch: earlier docs need no state to stay correct
+      (3L, "quick brown fox jumps over the lazy dog indeed"))
+    q.processAllAvailable()
+    // STATELESS is the deployability claim: the progress reports must show
+    // zero stateful operators (no watermark, no state store growth)
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty)
+    q.stop()
+    val got = spark.table("decon").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._1 == 1L) === 1)
+    assert(got.count(_._1 == 2L) === 0)
+    assert(got.count(_._1 == 3L) >= 4) // sliding 5-grams of the shared span
+    // parity with the batch gram intersection on the same rows
+    val batch = graft.operators.Dedup
+      .shingles(Seq(
+          (1L, "he said the quick brown fox jumps right here"),
+          (2L, "a completely different sentence about spark engines"),
+          (3L, "quick brown fox jumps over the lazy dog indeed"))
+        .toDF("doc_id", "text"), "doc_id", "text", 5)
+      .join(evalGrams, "s")
+      .select(col("doc"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === batch.toSet)
+  }
+
   test("stream-stream attribution join matches within the interval only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
