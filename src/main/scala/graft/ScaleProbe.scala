@@ -275,6 +275,18 @@ object ScaleProbe {
           threshold = 0.4,
           Array.tabulate(sdCells, 64)(Similarity.centroidComponent))
       }
+      // two-level assignment at the same sizing law: n·(k/g + g) dots
+      // instead of n·k — the hierarchical escape hatch for the quadratic
+      // the k ∝ n sizing creates (assignment approximate vs flat, rule
+      // exact; pairing term unchanged)
+      val sdG = Iterator.from(math.sqrt(sdCells.toDouble).toInt)
+        .find(g => sdCells % g == 0).get
+      time(s"dedup_semantic2_k${sdCells}_g$sdG", n) {
+        Similarity.semanticDedup2LevelWith(emb, "vec_id", "embedding",
+          threshold = 0.4,
+          Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
+          groupSize = sdG)
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)

@@ -354,11 +354,17 @@ object Similarity {
         crid.join(a, Seq("__rid"))
           .select(col("vec_id"), col("cell"), col("v"))
       }
-    // norms materialize WITH the cache: the pair stage then runs ONE dot
-    // per pair instead of three (dot(a,b)/(na·nb) — the same values and
-    // fold order as recomputing the norms per pair, so the DuckDB twin is
-    // unchanged; measured 83 s → see SCALE.md at 320k/640 cells before
-    // this and the pair-side narrowing)
+    semanticPairTail(assigned0, threshold, maxCell)
+  }
+
+  /** Shared SemDeDup pairing tail over an assigned (vec_id, cell, v)
+    * frame: hot-cell cap, cell-scoped keep-first pairing, per-vector
+    * verdict. Norms materialize WITH the cache so the pair stage runs ONE
+    * dot per pair instead of three (dot(a,b)/(na·nb) — the same values
+    * and fold order as recomputing the norms per pair, so the DuckDB
+    * twins are unchanged; measured 83 s → 25 s at 320k/640 cells). */
+  private def semanticPairTail(assigned0: DataFrame, threshold: Double,
+                               maxCell: Int): DataFrame = {
     val assigned = graft.CacheScope.cache(
       assigned0.select(col("vec_id"), col("cell"), col("v"),
         norm(col("v")).as("n")))
@@ -942,6 +948,95 @@ object Similarity {
     }
     ivfTopKWith(corpus, probes, idCol, vecCol, k, nprobe, cents,
       literalBudget = literalBudget)
+  }
+
+  /** Exact group means of consecutive `groupSize` fine centroids —
+    * ascending-index sums, so the DuckDB twins (which embed these values
+    * as SQL literals) see the identical doubles by construction. */
+  private[graft] def coarseCentroids(cents: Array[Array[Double]],
+                                     groupSize: Int): Array[Array[Double]] = {
+    val dim = cents.head.length
+    cents.grouped(groupSize).map { g =>
+      Array.tabulate(dim) { d =>
+        var s = 0.0; var i = 0
+        while (i < g.length) { s += g(i)(d); i += 1 }
+        s / g.length
+      }
+    }.toArray
+  }
+
+  /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
+    * the n·k quadratic that the paper's k ∝ n cell sizing creates (the
+    * published inverted-multi-index / hierarchical-k-means coarse
+    * quantization): rank-1 against `k / groupSize` COARSE centroids (the
+    * exact group means of the fine codebook), then rank-1 among only the
+    * winning group's `groupSize` fine centroids. Assignment flops drop
+    * from n·k to n·(k/g + g) — 18× at k=1280, g=40 — while the pairing
+    * term stays linear in n.
+    *
+    * This is an APPROXIMATE assignment (the best fine cell can live in a
+    * losing coarse group — the standard IMI trade); the two-level rule
+    * itself is exact and deterministic, ties to the lowest group/cell, and
+    * is what the DuckDB twin recomputes. Literal path evaluates ONLY the
+    * winning group's fine scores via a CASE chain; past the literal budget
+    * both levels ride broadcast-codebook joins with narrow scored streams,
+    * plan O(1) in k. */
+  def semanticDedup2LevelWith(corpus: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              cents: Array[Array[Double]], groupSize: Int,
+                              maxCell: Int = Dedup.DefaultMaxBucket,
+                              literalBudget: Long = CellLiteralBudget): DataFrame = {
+    val cells = cents.length
+    require(cells % groupSize == 0, "cells must divide into equal groups")
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val coarse = coarseCentroids(cents, groupSize)
+    val groups = coarse.length
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val assigned0 =
+      if (cells.toLong * dim <= literalBudget) {
+        val withGrp = v
+          .withColumn("__cs", cellScoreArrayOf(col("v"), coarse))
+          .withColumn("__grp",
+            (array_position(col("__cs"), array_max(col("__cs"))) - 1).cast("int"))
+          .select(col("vec_id"), col("v"), col("__grp"))
+        // CASE chain: only the matched branch evaluates, so per-row work is
+        // k/g coarse dots + g fine dots even though the tree carries all k
+        val fineCell = (0 until groups).foldRight(lit(null).cast("int")) {
+          (j, acc) =>
+            val sub = cents.slice(j * groupSize, (j + 1) * groupSize)
+            val arr = cellScoreArrayOf(col("v"), sub)
+            when(col("__grp") === j,
+              (array_position(arr, array_max(arr)) - 1 + j * groupSize)
+                .cast("int"))
+              .otherwise(acc)
+        }
+        withGrp.select(col("vec_id"), fineCell.as("cell"), col("v"))
+      } else {
+        val spark = corpus.sparkSession
+        val crid = graft.CacheScope.cache(
+          v.withColumn("__rid", monotonically_increasing_id()))
+        crid.count()
+        val coarseRows = centroidRows(spark, coarse)
+          .withColumnRenamed("cell", "grp")
+        val win = crid.crossJoin(broadcast(coarseRows))
+          .select(col("__rid"), col("grp"),
+            dot(col("v"), col("cent")).as("score"))
+          .groupBy(col("__rid"))
+          .agg(max_by(col("grp"),
+            struct(col("score"), (-col("grp")).as("ng"))).as("grp"))
+        val fineRows = centroidRows(spark, cents)
+          .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
+        val best = crid.join(win, Seq("__rid"))
+          .join(broadcast(fineRows), Seq("grp"))
+          .select(col("__rid"), col("cell"),
+            dot(col("v"), col("cent")).as("score"))
+          .groupBy(col("__rid"))
+          .agg(max_by(col("cell"),
+            struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+        crid.join(best, Seq("__rid"))
+          .select(col("vec_id"), col("cell"), col("v"))
+      }
+    semanticPairTail(assigned0, threshold, maxCell)
   }
 
   /** The TRAINED SemDeDup composition the paper actually runs: k-means the

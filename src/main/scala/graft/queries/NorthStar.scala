@@ -185,6 +185,38 @@ private object LshOracleSql {
        |${semanticTail(threshold, maxCell)}""".stripMargin
   }
 
+  private def arrayLitOf(a: Array[Double]): String =
+    a.map(_.toString).mkString("[", ", ", "]")
+
+  /** Twin of [[Similarity.semanticDedup2LevelWith]] over the deterministic
+    * fine codebook: rank-1 against the coarse group means (the SAME
+    * doubles — [[Similarity.coarseCentroids]] computes them once, both
+    * sides embed them), then rank-1 among the winning group's fine cells,
+    * then the shared [[semanticTail]]. */
+  def semanticDedup2Level(threshold: Double, cells: Int, groupSize: Int,
+                          dim: Int, maxCell: Int): String = {
+    val fine = Array.tabulate(cells, dim)(Similarity.centroidComponent)
+    val coarse = Similarity.coarseCentroids(fine, groupSize)
+    val coarseRows = coarse.indices.map { j =>
+      s"SELECT vec_id, $j AS grp, list_dot_product(e, ${arrayLitOf(coarse(j))}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    val fineRows = (0 until cells).map { c =>
+      s"SELECT vec_id, e, $c AS cell, ${c / groupSize} AS grp, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |csc AS (
+       |$coarseRows),
+       |cwin AS (SELECT vec_id, grp FROM (
+       |  SELECT vec_id, grp, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, grp) AS rn FROM csc)
+       |  WHERE rn = 1),
+       |fsc AS (
+       |$fineRows),
+       |sc AS (SELECT f.vec_id, f.e, f.cell, f.score
+       |  FROM fsc f JOIN cwin USING (vec_id, grp)),
+       |${semanticTail(threshold, maxCell)}""".stripMargin
+  }
+
   /** Twin of the TRAINED SemDeDup composition: the [[kmeansCtes]] training
     * chain produces the codebook, assignment is max-dot against the trained
     * centroid lists (same as [[ivfTrainedTopK]]'s search-time rule), then
@@ -876,6 +908,21 @@ object NorthStar {
   val dedupSemanticTrainedSql: String =
     LshOracleSql.semanticDedupTrained(threshold = 0.4, cells = 16,
       iters = 2, dim = 64, maxCell = graft.operators.Dedup.DefaultMaxBucket)
+
+  /** Two-level SemDeDup — the assignment that survives the paper's
+    * k ∝ n cell sizing: coarse-then-fine rank-1 (exact rule, approximate
+    * vs flat assignment — the published IMI trade), gated here at
+    * k=16 / g=4 so the twin recomputes both levels. */
+  def dedupSemantic2Level(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup2LevelWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.4,
+        Array.tabulate(16, 64)(Similarity.centroidComponent), groupSize = 4)
+      .orderBy(col("vec_id"))
+
+  val dedupSemantic2LevelSql: String =
+    LshOracleSql.semanticDedup2Level(threshold = 0.4, cells = 16,
+      groupSize = 4, dim = 64,
+      maxCell = graft.operators.Dedup.DefaultMaxBucket)
 
   // ---- similarity search ----
 
@@ -1748,6 +1795,7 @@ object NorthStar {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_trained" -> dedupSemanticTrained,
+    "dedup_semantic_2level" -> dedupSemantic2Level,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1799,6 +1847,7 @@ object NorthStar {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_trained" -> dedupSemanticTrainedSql,
+    "dedup_semantic_2level" -> dedupSemantic2LevelSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -432,6 +432,33 @@ class NorthStarSpec extends SparkSpec {
     graft.CacheScope.release(spark)
   }
 
+  test("semanticDedup 2-level literal and join paths agree; rule matches in-memory") {
+    val cents = Array.tabulate(16, 64)(Similarity.centroidComponent)
+    def run(budget: Long) = Similarity
+      .semanticDedup2LevelWith(emb, "vec_id", "embedding", 0.4, cents,
+        groupSize = 4, literalBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val viaLit = run(Long.MaxValue)
+    assert(viaLit === run(0L))
+    // the two-level rule recomputed in memory: coarse argmax over the
+    // exact group means, then fine argmax within the winning group
+    val coarse = Similarity.coarseCentroids(cents, 4)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expectCell = rows.map { case (id, v) =>
+      val cs = coarse.map(c => dot(v, c))
+      val g = cs.indexOf(cs.max)
+      val fs = (g * 4 until (g + 1) * 4).map(c => dot(v, cents(c)))
+      id -> (g * 4 + fs.indexOf(fs.max))
+    }.toMap
+    viaLit.foreach { case (id, cell, _) => assert(cell === expectCell(id)) }
+    graft.CacheScope.release(spark)
+  }
+
   test("pqCodes matches an independent in-memory encoder on fixture vectors") {
     val subs = 8; val ksub = 4; val dim = 64; val ds = dim / subs
     val sample = emb.filter(col("vec_id") < 8)
