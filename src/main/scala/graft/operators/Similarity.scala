@@ -302,10 +302,14 @@ object Similarity {
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings with a coarse quantizer and comparing pairs
     * ONLY within a cluster — never corpus×corpus. A row is a semantic
-    * duplicate iff some LOWER-id row in the same cell has cosine ≥
-    * `threshold` (keep-first greedy — the deterministic pinning of the
-    * paper's keep-one-per-ε-ball; the paper itself picks an arbitrary
-    * survivor).
+    * duplicate iff ANY lower-id row in the same cell has cosine ≥
+    * `threshold` — dominated-by-any-earlier-row semantics, a deterministic
+    * SUPERSET of sequential keep-first greedy: in a chain a~b, b~c, a!~c
+    * this removes both b and c (greedy would keep c, since b no longer
+    * survives to dominate it). The paper's keep-one-per-ε-ball picks an
+    * arbitrary survivor; this rule pins the survivor set deterministically
+    * and errs toward removing more, and the DuckDB twin recomputes the
+    * identical rule (ADVICE r7).
     *
     * Scale shape: assignment is the same row-local literal-codebook argmax
     * as [[ivfTopKWith]]'s literal path (trained centroids ride the same
@@ -369,9 +373,17 @@ object Similarity {
       assigned0.select(col("vec_id"), col("cell"), col("v"),
         norm(col("v")).as("n")))
     assigned.count() // one materialization feeds pairing twice + the output
-    val sized = assigned.withColumn("__cn",
-      count(lit(1)).over(Window.partitionBy(col("cell"))))
-    val inPlay = sized.filter(col("__cn") <= maxCell)
+    // Key-narrow census (VERDICT r7 #3): sizing cells via
+    // count().over(partitionBy(cell)) would push the WIDE cached frame
+    // (64-dim vectors in the payload) through an exchange just to count;
+    // the narrow groupBy aggregate shuffles only (cell, count) — at most
+    // one row per cell, k rows total — and the under-cap cell set
+    // broadcasts back. Cap semantics identical (over-`maxCell` cells skip
+    // pairing, their rows stay in the verdict as kept).
+    val okCells = assigned.groupBy(col("cell")).count()
+      .filter(col("count") <= maxCell)
+      .select(col("cell"))
+    val inPlay = assigned.join(broadcast(okCells), Seq("cell"))
     val dup = inPlay.select(col("cell"), col("vec_id").as("a_id"),
         col("v").as("av"), col("n").as("an"))
       .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
@@ -999,8 +1011,14 @@ object Similarity {
           .withColumn("__grp",
             (array_position(col("__cs"), array_max(col("__cs"))) - 1).cast("int"))
           .select(col("vec_id"), col("v"), col("__grp"))
-        // CASE chain: only the matched branch evaluates, so per-row work is
-        // k/g coarse dots + g fine dots even though the tree carries all k
+        // CASE chain: branch VALUES short-circuit (only the matched
+        // group's g fine dots run), but CollapseProject inlines the full
+        // coarse argmax into every `__grp === j` condition — the k/g
+        // coarse dots stay single-evaluation only via whole-stage-codegen
+        // subexpression elimination, the same alias-inlining trap as the
+        // PQ/LSH signatures (ADVICE r7). Fine at literal-budget k
+        // (k·dim ≤ 8192 ⇒ k ≤ 128 at dim 64); the production path past
+        // the budget pins both levels as data joins below.
         val fineCell = (0 until groups).foldRight(lit(null).cast("int")) {
           (j, acc) =>
             val sub = cents.slice(j * groupSize, (j + 1) * groupSize)

@@ -149,12 +149,9 @@ private object LshOracleSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** Twin of [[Similarity.semanticDedup]]: the same literal centroids,
-    * rank-1 cell assignment, hot-cell cap, and cell-scoped keep-first
-    * pairing — the gate hash-checks the whole SemDeDup pipeline. */
   /** Shared SemDeDup tail: expects CTEs `v` (vec_id, e) and `sc`
     * (vec_id, e, cell, score) — rank-1 max-dot assignment, hot-cell cap,
-    * cell-scoped keep-first pairing. */
+    * cell-scoped dominated-by-any-earlier-row pairing. */
   private def semanticTail(threshold: Double, maxCell: Int): String =
     s"""ranked AS (
        |  SELECT vec_id, e, cell, row_number() OVER (
@@ -174,6 +171,10 @@ private object LshOracleSql {
        |FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Twin of [[Similarity.semanticDedup]]: the same literal centroids,
+    * rank-1 cell assignment, hot-cell cap, and cell-scoped
+    * dominated-by-any-earlier-row pairing — the gate hash-checks the
+    * whole SemDeDup pipeline. */
   def semanticDedup(threshold: Double, cells: Int, dim: Int,
                     maxCell: Int): String = {
     val scoreRows = (0 until cells).map { c =>
@@ -1496,13 +1497,15 @@ object NorthStar {
       |bp AS (
       |  SELECT seg FROM segs GROUP BY seg
       |  HAVING COUNT(DISTINCT doc_id) >= 2)
-      |SELECT s.doc_id,
-      |  COUNT(*) AS n_segs,
+      |SELECT t.doc_id,
+      |  COUNT(s.seg) AS n_segs,
       |  COUNT(bp.seg) AS n_dropped,
       |  COALESCE(string_agg(CASE WHEN bp.seg IS NULL THEN s.seg END,
       |    ' ' ORDER BY s.seg_idx), '') AS clean_text
-      |FROM segs s LEFT JOIN bp ON bp.seg = s.seg
-      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+      |FROM toks t
+      |LEFT JOIN segs s ON s.doc_id = t.doc_id
+      |LEFT JOIN bp ON bp.seg = s.seg
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** Centroid-distance outliers — the per-label embedding-space quality
     * filter (>2σ distance to own centroid ⇒ mislabeled / OOD candidate). */
