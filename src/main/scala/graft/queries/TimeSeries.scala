@@ -153,6 +153,145 @@ object TimeSeries {
        |) WHERE rn = 1
        |ORDER BY ts_ns, user_id""".stripMargin
 
+  /** O25-O29 (`Mutable.hs:48-119`) under the gate: the mutable key→blob
+    * view's whole read-modify-write protocol — shadow `-INTERNAL`
+    * namespace, 128-bucket fixed layout, forced-odd extended addressing,
+    * per-key sequence bumps — driven by a deterministic workload the twin
+    * recomputes from the raw fixture. Per user in the Addrs set, the
+    * THREE earliest events (by (ts, event_id)) are `insertWith`-merged in
+    * order with a comma-concat merge function (so the final blob pins the
+    * exact read-modify-write order AND every byte of the binary
+    * round-trip); even users then take a plain `insert` overwrite
+    * (new-wins, seq bumps again). `enumerate` serves the result: the twin
+    * re-derives (seq, final blob) per key with a window + ordered
+    * string_agg, so a wrong merge order, a lost seq bump, a stale lookup,
+    * or a byte flip anywhere in the blob path breaks the hash.
+    *
+    * The workload is intentionally BOUNDED (15 merges + 2 overwrites):
+    * each insertWith is a full lookup→merge→write round trip by contract
+    * (the reference's `Mutable.hs:90-103` race semantics), so this gates
+    * protocol fidelity, not bulk throughput — bulk ingest is
+    * [[storeRoundtrip]]'s job. */
+  def storeMutable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MutableKV, TimeStore}
+    val root = Streaming.tempWorkspace("graft-store-mutable")
+    val n = TimeStore.namespace(root, "MUTABLE")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = Tables.events(s, dir)
+      .filter(col("user_id").isin(Addrs: _*))
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+      .collect() // bounded driver-side workload script: ≤ 3 rows × 5 keys
+    rows.foreach { r =>
+      MutableKV.insertWith(s, n,
+        // (new, existing) => existing ++ "," ++ new — order-sensitive
+        (nw, prev) => prev ++ ",".getBytes("UTF-8") ++ nw,
+        r.getAs[Long]("user_id") * 2,
+        r.getAs[Long]("event_id").toString.getBytes("UTF-8"))
+    }
+    Addrs.filter(_ % 2 == 0).foreach { uid =>
+      MutableKV.insert(s, n, uid * 2, "FINAL".getBytes("UTF-8"))
+    }
+    MutableKV.enumerate(s, n)
+      .select(expr("address div 2").as("user_id"), col("seq"),
+        decode(col("value"), "UTF-8").as("kv"))
+      .orderBy(col("user_id"))
+  }
+
+  val storeMutableSql: String =
+    """WITH sel AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE user_id IN (1,2,3,5,8)),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS cnt,
+      |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS joined
+      |  FROM sel WHERE rn <= 3 GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN user_id % 2 = 0 THEN cnt + 1 ELSE cnt END AS BIGINT) AS seq,
+      |  CASE WHEN user_id % 2 = 0 THEN 'FINAL' ELSE joined END AS kv
+      |FROM agg ORDER BY user_id""".stripMargin
+
+  /** O2-O4 (`Algorithms.hs:111-186`) under the gate: wire-format binary
+    * ingest end to end. A MIXED wire blob — 24-byte little-endian
+    * `(address, time, payload)` headers, odd addresses carrying an inline
+    * blob — is built with [[graft.sources.PointCodec.encode]] from a
+    * deterministic fixture slice (even users → simple points carrying
+    * event_id; odd users → extended points whose blob is
+    * `"<event_id>|<props>"`), ingested through
+    * [[graft.sources.TimeStore.writeEncoded]] (decode → route → one
+    * shuffle → partitioned append), then read back through BOTH kind
+    * paths. The twin recomputes every surviving record from the raw
+    * table, so a codec byte-order bug, a parity mis-route, a truncated
+    * blob length, or a lost record anywhere in encode → decode → route →
+    * parquet → pruned read breaks the hash. Dedup pinning mirrors the
+    * store contract (smallest unsigned (payload, value)): defensive here —
+    * the fixture has no duplicate (user, µs-time) pairs — but declared on
+    * both sides so a future fixture can't silently diverge. */
+  def storeWire(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.{PointCodec, TimeStore}
+    val root = Streaming.tempWorkspace("graft-store-wire")
+    val n = TimeStore.namespace(root, "WIRE")
+    TimeStore.register(s, n, 8, 8)
+    val rows = Tables.events(s, dir)
+      .filter(col("user_id").isin(Addrs: _*))
+      // range on the PHYSICAL ts (pushdown), truncation after
+      .filter(col("ts") >= T0 && col("ts") <= T1 + 999)
+      .select(col("user_id"), nsTruncUs(col("ts")).as("t"),
+        col("event_id"), col("props"))
+      .collect() // bounded: the Addrs slice of a 10-day window
+    val points = rows.toSeq.map { r =>
+      val uid = r.getAs[Long]("user_id")
+      val t = r.getAs[Long]("t")
+      val eid = r.getAs[Long]("event_id")
+      if (uid % 2 == 0) Point(uid * 2, t, eid)
+      else {
+        val v = s"$eid|${r.getAs[String]("props")}".getBytes("UTF-8")
+        Point(uid * 2 + 1, t, v.length.toLong, v)
+      }
+    }
+    TimeStore.writeEncoded(s, n, PointCodec.encode(points))
+    val simple = TimeStore.readSimple(s, n, T0, T1,
+        Addrs.filter(_ % 2 == 0).map(_ * 2))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        lit("simple").as("kind"), col("payload").cast("string").as("rec"))
+    val ext = TimeStore.readExtended(s, n, T0, T1,
+        Addrs.filter(_ % 2 == 1).map(_ * 2 + 1))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        lit("extended").as("kind"), decode(col("value"), "UTF-8").as("rec"))
+    simple.unionAll(ext)
+      .orderBy(col("kind"), col("ts_ns"), col("user_id"))
+  }
+
+  val storeWireSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, props
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1),
+       |simple AS (
+       |  SELECT user_id, ts_ns, 'simple' AS kind,
+       |    CAST(MIN(event_id) AS VARCHAR) AS rec
+       |  FROM base WHERE user_id % 2 = 0 GROUP BY user_id, ts_ns),
+       |ext AS (
+       |  SELECT user_id, ts_ns, 'extended' AS kind, v AS rec
+       |  FROM (
+       |    SELECT user_id, ts_ns, v, row_number() OVER (
+       |        PARTITION BY user_id, ts_ns ORDER BY length(v), v) AS rn
+       |    FROM (SELECT user_id, ts_ns,
+       |            CAST(event_id AS VARCHAR) || '|' || props AS v
+       |          FROM base WHERE user_id % 2 = 1))
+       |  WHERE rn = 1)
+       |SELECT user_id, ts_ns, kind, rec FROM simple
+       |UNION ALL
+       |SELECT user_id, ts_ns, kind, rec FROM ext
+       |ORDER BY kind, ts_ns, user_id""".stripMargin
+
   /** O5/O11: inclusive time-range + address-set scan, sorted (time, addr),
     * first-wins dedup on (addr, time). */
   def rangeScan(s: SparkSession, dir: String): DataFrame =
@@ -604,6 +743,8 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_latest"   -> storeLatest,
     "ts_store_extended" -> storeExtended,
+    "ts_store_mutable"  -> storeMutable,
+    "ts_store_wire"     -> storeWire,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
@@ -620,6 +761,8 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_latest"   -> storeLatestSql,
     "ts_store_extended" -> storeExtendedSql,
+    "ts_store_mutable"  -> storeMutableSql,
+    "ts_store_wire"     -> storeWireSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,
