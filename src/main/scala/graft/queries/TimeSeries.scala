@@ -216,6 +216,51 @@ object TimeSeries {
       |  CASE WHEN user_id % 2 = 0 THEN 'FINAL' ELSE joined END AS kv
       |FROM agg ORDER BY user_id""".stripMargin
 
+  /** STREAMING ingest into the store under the gate (`TimeStore.hs:98-137`
+    * as a continuous protocol): the fixture is staged as FOUR parquet
+    * files and replayed through [[graft.streaming.StreamingIngest.start]]
+    * with `Trigger.AvailableNow` + `maxFilesPerTrigger=1`, so the store
+    * takes four REAL micro-batch appends — each one a full
+    * lease-acquire → route-against-current-index → partitioned append →
+    * monotonic watermark advance transaction, exactly the multi-batch
+    * protocol a live daemon runs (batch [[storeRoundtrip]] pays this once;
+    * here index maintenance must survive repetition). A [[graft.sources
+    * .TimeStore.compact]] generation swap runs before the read, so the
+    * gate also pins that a compaction is contents-preserving. The read and
+    * twin are [[storeRoundtrip]]'s: four appends + a compaction must be
+    * indistinguishable from one bulk write. */
+  def storeStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import graft.streaming.StreamingIngest
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-stream")
+    val n = TimeStore.namespace(root, "STREAMED")
+    TimeStore.register(s, n, 8, 8)
+    val staged = s"$root/staged"
+    val pts0 = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+    pts0.repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(pts0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[Point]
+    val q = StreamingIngest.start(s, n, src, s"$root/ckpt",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    TimeStore.compact(s, n)
+    TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+  }
+
+  /** Same contract as [[storeRoundtripSql]] — the streaming path must be
+    * indistinguishable from the bulk write. */
+  val storeStreamSql: String = storeRoundtripSql
+
   /** O2-O4 (`Algorithms.hs:111-186`) under the gate: wire-format binary
     * ingest end to end. A MIXED wire blob — 24-byte little-endian
     * `(address, time, payload)` headers, odd addresses carrying an inline
@@ -745,6 +790,7 @@ object TimeSeries {
     "ts_store_extended" -> storeExtended,
     "ts_store_mutable"  -> storeMutable,
     "ts_store_wire"     -> storeWire,
+    "ts_store_stream"   -> storeStream,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
@@ -763,6 +809,7 @@ object TimeSeries {
     "ts_store_extended" -> storeExtendedSql,
     "ts_store_mutable"  -> storeMutableSql,
     "ts_store_wire"     -> storeWireSql,
+    "ts_store_stream"   -> storeStreamSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,

@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSpec {
     assert(TimeStore.fetchLatest(spark, n) === ((400L, 0L)))
   }
 
+  test("file replay with maxFilesPerTrigger=1 appends once per staged file") {
+    // the rate-limit contract ts_store_stream relies on: AvailableNow
+    // honors maxFilesPerTrigger, so a 4-file staging directory drives four
+    // separate store-append transactions, not one bulk batch
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-files").toString
+    val n = TimeStore.namespace(root, "FILES")
+    TimeStore.register(spark, n, 4, 4)
+    val pts = (1L to 8L).map(i => Point(i * 2, i * 100, i))
+    val staged = s"$root/staged"
+    val ds = spark.createDataset(pts)
+    ds.repartition(4).write.parquet(staged)
+    val nFiles = new java.io.File(staged).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val src = spark.readStream.schema(ds.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged).as[Point]
+    val q = StreamingIngest.start(spark, n, src, s"$root/ckpt",
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    assert(fed === nFiles,
+      s"expected one micro-batch per staged file ($nFiles), got $fed")
+    assert(nFiles >= 2, "staging must produce a genuinely multi-batch replay")
+    val all = TimeStore.readSimple(spark, n, 0L, -1L, (1L to 8L).map(_ * 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all === pts.sortBy(_.time).map(p => (p.address, p.time, p.payload)))
+  }
+
   test("stateful latest-per-key stream: state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
