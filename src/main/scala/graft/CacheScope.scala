@@ -35,6 +35,17 @@ object CacheScope {
     df
   }
 
+  /** [[cache]] at an explicit storage level — the probe harness uses
+    * DISK_ONLY so single-JVM scale runs aren't bounded by driver heap
+    * (on a cluster the same frames live in executor storage memory). */
+  def cache(df: DataFrame,
+            level: org.apache.spark.storage.StorageLevel): DataFrame =
+    synchronized {
+      df.persist(level)
+      tracked.add(df)
+      df
+    }
+
   /** Register RDD ids persisted outside the Dataset cache manager. */
   def trackRddIds(ids: Iterable[Int]): Unit = synchronized {
     ids.foreach(id => trackedRdds.add(Int.box(id)))

@@ -119,8 +119,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("skew")
+    // "diskonly": persist the synthetic inputs at DISK_ONLY instead of
+    // MEMORY_AND_DISK — the single-JVM probe's stand-in for executor
+    // storage, so big-n runs (e.g. minhash at 640k) fit the default 8g
+    // driver heap instead of needing SPARK_DRIVER_MEM=48g (VERDICT r7 #7)
+    val diskOnly = args.contains("diskonly")
     val numeric = args.filter(_.forall(_.isDigit))
-    only = args.filterNot(a => a.forall(_.isDigit) || a == "skew").toSeq
+    only = args.filterNot(a =>
+      a.forall(_.isDigit) || a == "skew" || a == "diskonly").toSeq
     val sizes = if (numeric.nonEmpty) numeric.map(_.toLong).toSeq
                 else Seq(20000L, 80000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -136,8 +142,11 @@ object ScaleProbe {
     for (n <- sizes) {
       if (!skewOnly) {
       // materialize inputs once so op timings exclude synthesis
-      val docs = CacheScope.cache(synthDocs(spark, n)); docs.count()
-      val emb = CacheScope.cache(synthEmbeddings(spark, n)); emb.count()
+      val lvl =
+        if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = CacheScope.cache(synthDocs(spark, n), lvl); docs.count()
+      val emb = CacheScope.cache(synthEmbeddings(spark, n), lvl); emb.count()
 
       time("dedup_minhash_lsh", n) {
         Dedup.minhashLshPairs(Dedup.shingles(docs, "doc_id", "text", 3),
@@ -275,6 +284,15 @@ object ScaleProbe {
           threshold = 0.4,
           Array.tabulate(sdCells, 64)(Similarity.centroidComponent))
       }
+      // key-narrow census A/B (VERDICT r7 #3): the identical pipeline with
+      // the r7 window-form census — the wide cached frame through one
+      // extra exchange just to size cells — vs the narrow aggregate +
+      // broadcast join the production path now runs
+      time(s"dedup_semantic_wincensus_k$sdCells", n) {
+        Similarity.semanticDedupWindowCensus(emb, "vec_id", "embedding",
+          threshold = 0.4,
+          Array.tabulate(sdCells, 64)(Similarity.centroidComponent))
+      }
       // two-level assignment at the same sizing law: n·(k/g + g) dots
       // instead of n·k — the hierarchical escape hatch for the quadratic
       // the k ∝ n sizing creates (assignment approximate vs flat, rule
@@ -287,6 +305,16 @@ object ScaleProbe {
           Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
           groupSize = sdG)
       }
+      // the IMI split law: per-row assignment is k/g + g dots, minimized
+      // at g = √k — a deliberately lopsided g quantifies what ignoring it
+      // costs (at k=2560: g=10 ⇒ 266 dots/row vs 104 at g≈√k)
+      if (sdCells % 10 == 0)
+        time(s"dedup_semantic2_k${sdCells}_g10", n) {
+          Similarity.semanticDedup2LevelWith(emb, "vec_id", "embedding",
+            threshold = 0.4,
+            Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
+            groupSize = 10)
+        }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)

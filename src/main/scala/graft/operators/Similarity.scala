@@ -336,7 +336,31 @@ object Similarity {
   def semanticDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, cents: Array[Array[Double]],
                         maxCell: Int = Dedup.DefaultMaxBucket,
-                        literalBudget: Long = CellLiteralBudget): DataFrame = {
+                        literalBudget: Long = CellLiteralBudget): DataFrame =
+    semanticPairTail(
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget),
+      threshold, maxCell)
+
+  /** Probe-only A/B twin of [[semanticDedupWith]] that runs the r7
+    * WINDOW-form hot-cell census (the wide cached frame through one extra
+    * exchange just to count cells) — kept solely so the key-narrow census
+    * change stays measurable as a same-run pair (VERDICT r7 #3). Never
+    * referenced by a declared query. */
+  private[graft] def semanticDedupWindowCensus(corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        threshold: Double, cents: Array[Array[Double]],
+                        maxCell: Int = Dedup.DefaultMaxBucket,
+                        literalBudget: Long = CellLiteralBudget): DataFrame =
+    semanticPairTail(
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget),
+      threshold, maxCell, windowCensus = true)
+
+  /** Rank-1 cell assignment shared by the SemDeDup variants: literal
+    * codegen argmax at small k, broadcast-codebook join past
+    * `literalBudget` (see [[semanticDedupWith]]). */
+  private def semanticAssign(corpus: DataFrame, idCol: String,
+                             vecCol: String, cents: Array[Array[Double]],
+                             literalBudget: Long): DataFrame = {
     val cells = cents.length
     val dim = cents.headOption.map(_.length).getOrElse(0)
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
@@ -358,7 +382,7 @@ object Similarity {
         crid.join(a, Seq("__rid"))
           .select(col("vec_id"), col("cell"), col("v"))
       }
-    semanticPairTail(assigned0, threshold, maxCell)
+    assigned0
   }
 
   /** Shared SemDeDup pairing tail over an assigned (vec_id, cell, v)
@@ -368,7 +392,8 @@ object Similarity {
     * and fold order as recomputing the norms per pair, so the DuckDB
     * twins are unchanged; measured 83 s → 25 s at 320k/640 cells). */
   private def semanticPairTail(assigned0: DataFrame, threshold: Double,
-                               maxCell: Int): DataFrame = {
+                               maxCell: Int,
+                               windowCensus: Boolean = false): DataFrame = {
     val assigned = graft.CacheScope.cache(
       assigned0.select(col("vec_id"), col("cell"), col("v"),
         norm(col("v")).as("n")))
@@ -380,10 +405,20 @@ object Similarity {
     // one row per cell, k rows total — and the under-cap cell set
     // broadcasts back. Cap semantics identical (over-`maxCell` cells skip
     // pairing, their rows stay in the verdict as kept).
-    val okCells = assigned.groupBy(col("cell")).count()
-      .filter(col("count") <= maxCell)
-      .select(col("cell"))
-    val inPlay = assigned.join(broadcast(okCells), Seq("cell"))
+    val inPlay =
+      if (windowCensus)
+        // r7 form, probe-only (semanticDedupWindowCensus): the census rides
+        // a window over the wide frame — one extra wide exchange
+        assigned.withColumn("__cn",
+            count(lit(1)).over(Window.partitionBy(col("cell"))))
+          .filter(col("__cn") <= maxCell)
+          .drop("__cn")
+      else {
+        val okCells = assigned.groupBy(col("cell")).count()
+          .filter(col("count") <= maxCell)
+          .select(col("cell"))
+        assigned.join(broadcast(okCells), Seq("cell"))
+      }
     val dup = inPlay.select(col("cell"), col("vec_id").as("a_id"),
         col("v").as("av"), col("n").as("an"))
       .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
@@ -1055,6 +1090,61 @@ object Similarity {
           .select(col("vec_id"), col("cell"), col("v"))
       }
     semanticPairTail(assigned0, threshold, maxCell)
+  }
+
+  /** Contrastive hard-example mining — the curation step a metric-learning
+    * / embedding-training pipeline runs before training: per vector, the
+    * most similar DIFFERENT-label neighbor (the hard negative, the pair
+    * the loss learns most from) and the most similar same-label neighbor
+    * (the nearest positive), plus the margin between them. Neighborhoods
+    * are CELL-SCOPED exactly like [[semanticDedupWith]] — rank-1 coarse
+    * assignment, pairs only within a cell, never corpus×corpus — so the
+    * declared shape IS the scale shape (the hardest neighbor overall is
+    * overwhelmingly in the same coarse cell; IVF-style recall trade).
+    *
+    * Determinism: cosine via cached norms (one dot per pair), winners pin
+    * to (highest sim, lowest neighbor id); vectors whose cell lacks a
+    * same-/different-label peer (or that sit in an over-`maxCell` hot
+    * cell) emit NULLs on that side — visible, not dropped. */
+  def hardNegatives(corpus: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, cents: Array[Array[Double]],
+                    maxCell: Int = Dedup.DefaultMaxBucket,
+                    literalBudget: Long = CellLiteralBudget): DataFrame = {
+    val assigned0 = semanticAssign(corpus, idCol, vecCol, cents, literalBudget)
+    // labels ride a key-narrow join — the wide v array never re-shuffles
+    val labeled = assigned0.join(
+      corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label")),
+      "vec_id")
+    val cached = graft.CacheScope.cache(labeled.select(col("vec_id"), col("label"),
+      col("cell"), col("v"), norm(col("v")).as("n")))
+    cached.count()
+    val okCells = cached.groupBy(col("cell")).count()
+      .filter(col("count") <= maxCell)
+      .select(col("cell"))
+    val inPlay = cached.join(broadcast(okCells), Seq("cell"))
+    val pairs = graft.CacheScope.cache(inPlay
+      .select(col("cell"), col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("av"), col("n").as("an"))
+      .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("v").as("bv"), col("n").as("bn")),
+        "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim")))
+    pairs.count() // scored once, consumed by both the pos and neg aggregates
+    def best(side: DataFrame, prefix: String) = side.groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("sim")),
+        struct(col("sim"), (-col("b_id")).as("nid"))).as("w"))
+      .select(col("a_id").as("vec_id"), col("w.b_id").as(s"${prefix}_id"),
+        col("w.sim").as(s"${prefix}_sim"))
+    val pos = best(pairs.filter(col("a_label") === col("b_label")), "pos")
+    val neg = best(pairs.filter(col("a_label") =!= col("b_label")), "neg")
+    cached.select(col("vec_id"), col("label"))
+      .join(pos, Seq("vec_id"), "left")
+      .join(neg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
   }
 
   /** The TRAINED SemDeDup composition the paper actually runs: k-means the

@@ -354,6 +354,124 @@ object TextAnalysis {
           .as("clean_text"))
   }
 
+  /** Cross-document repeated-SPAN scrub — ExactSubstr deduplication (Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) at token granularity: every `window`-token
+    * span at STRIDE 1 (unlike [[segDedup]]'s disjoint segments, a repeated
+    * passage is caught at ANY alignment) occurring in ≥ `minDocs` distinct
+    * documents is removed from every document carrying it; overlapping
+    * hits merge into maximal spans. Emits per doc: token counts, hit-start
+    * and maximal-span counts, and the md5 of the rebuilt text — the hash
+    * keeps the result compact while gate-checking every surviving byte.
+    *
+    * Scale shape: the gram stream is one row per token position (~10×
+    * [[segDedup]]'s volume at window 10 — still linear in corpus tokens);
+    * grams travel as 16-hex md5 fingerprints so the census shuffle stays
+    * key-narrow; the duplicated-fingerprint set broadcasts; the rebuild is
+    * row-local over (token array, sorted hit starts). The coverage array
+    * materializes through a cache barrier before its three consumers —
+    * un-pinned, CollapseProject would inline the interpreted exists()
+    * chain per consumer per element (the winnow O(tokens²) trap). */
+  def substrDedup(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 10, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+    val tok = base.select(col("doc_id"),
+      posexplode(col("__ts")).as(Seq("pos", "tk")))
+    val grams = graft.CacheScope.cache(tok
+      .withColumn("gram", concat_ws(" ",
+        col("tk") +: (1 until window).map(i => lead(col("tk"), i).over(byDoc)): _*))
+      .withColumn("valid", lead(col("tk"), window - 1).over(byDoc).isNotNull)
+      .filter(col("valid"))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("gram").cast("binary")), 1, 16).as("h")))
+    grams.count() // the census and the hit-join both read this narrow frame
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val starts = grams.join(broadcast(dup), "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    val L = size(col("__ts"))
+    val ss2 = coalesce(col("ss"), array().cast("array<int>"))
+    // sequence(0, -1) would generate DESCENDING [0, -1] — guard empty docs
+    val covExpr = when(L === 0, array().cast("array<boolean>"))
+      .otherwise(transform(sequence(lit(0), L - 1),
+        t => exists(ss2, s => s <= t && t <= s + (window - 1))))
+    val cov = graft.CacheScope.cache(
+      base.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__ts"), ss2.as("ss"), covExpr.as("cov")))
+    cov.count()
+    val posIdx = when(L === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), L - 1))
+    cov.select(
+      col("doc_id"),
+      L.cast("long").as("n_tokens"),
+      size(col("ss")).cast("long").as("n_dup_starts"),
+      // a maximal span starts where coverage turns on; element_at is
+      // 1-based and guarded so position 0 never indexes cov(0)
+      size(filter(posIdx, t => element_at(col("cov"), t + 1) &&
+          when(t === 0, lit(true)).otherwise(!element_at(col("cov"), t))))
+        .cast("long").as("n_spans"),
+      size(filter(col("cov"), c => !c)).cast("long").as("n_clean_tokens"),
+      md5(concat_ws(" ",
+          transform(filter(posIdx, t => !element_at(col("cov"), t + 1)),
+            t => element_at(col("__ts"), t + 1))).cast("binary"))
+        .as("clean_hash"))
+  }
+
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): score each RAW
+    * document by how target-like its hashed n-gram features are —
+    * Σ_g ln( p̂_target(bucket(g)) / p̂_raw(bucket(g)) ) over unigram and
+    * bigram occurrences, features hashed into 256 buckets (the md5-prefix
+    * bucketing every sampler here uses), add-one smoothing on both bucket
+    * models. High weight ⇒ the doc looks like the target domain and
+    * survives importance resampling.
+    *
+    * Shape: ONE narrow (doc, is_target, bucket) feature stream, cached —
+    * it feeds the model aggregate and the scoring join; the 256-row model
+    * and the 1-row totals broadcast. Determinism: the ln argument is a
+    * ratio of exact integer products (< 2^53 — both engines round the same
+    * double), each term rounds to 8 dp and sums as DECIMAL(20,8)
+    * (order-independent), the final sum rounds to 6 dp. */
+  def dsirWeight(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+      posexplode(toks(col(textCol))).as(Seq("pos", "tk")))
+    val uni = tok.select(col("doc_id"), col("is_t"), col("tk").as("g"))
+    val bi = tok
+      .withColumn("nx", lead(col("tk"), 1).over(byDoc))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), col("is_t"),
+        concat_ws(" ", col("tk"), col("nx")).as("g"))
+    val feats = graft.CacheScope.cache(
+      uni.unionAll(bi).select(col("doc_id"), col("is_t"),
+        substring(md5(col("g").cast("binary")), 1, 2).as("b")))
+    feats.count()
+    val model = feats.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val totals = feats.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("nr"))
+    val w8 = floor(log(
+        ((col("ct") + 1) * (col("nr") + 256)).cast("double") /
+        ((col("cr") + 1) * (col("nt") + 256))) * 1e8 + 0.5) / 1e8
+    feats.filter(!col("is_t"))
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), w8.cast("decimal(20,8)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("s").cast("double") * 1e6 + 0.5) / 1e6).as("dsir_weight"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and the DuckDB oracle twin.
     * Deliberately restricted to syntax Java regex and RE2 agree on: no
     * lookaround, no backreferences ('\b' word boundaries are fine in

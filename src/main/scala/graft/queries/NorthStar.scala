@@ -218,6 +218,47 @@ private object LshOracleSql {
        |${semanticTail(threshold, maxCell)}""".stripMargin
   }
 
+  /** Twin of [[graft.operators.Similarity.hardNegatives]]: the same
+    * literal-centroid rank-1 assignment and hot-cell cap as
+    * [[semanticDedup]], then per anchor the (sim desc, id asc)-pinned best
+    * same-label and different-label cell neighbors. */
+  def hardNegatives(cells: Int, dim: Int, maxCell: Int): String = {
+    val scoreRows = (0 until cells).map { c =>
+      s"SELECT vec_id, label, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sc AS (
+       |$scoreRows),
+       |ranked AS (
+       |  SELECT vec_id, label, e, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+       |  FROM sc),
+       |a AS (SELECT vec_id, label, e, cell FROM ranked WHERE rnk = 1),
+       |cn AS (SELECT cell, COUNT(*) AS c FROM a GROUP BY cell),
+       |ip AS (SELECT a.* FROM a JOIN cn USING (cell) WHERE c <= $maxCell),
+       |pairs AS (
+       |  SELECT va.vec_id AS a_id, va.label AS a_label,
+       |    vb.vec_id AS b_id, vb.label AS b_label, $cosSql AS sim
+       |  FROM ip va JOIN ip vb
+       |    ON va.cell = vb.cell AND va.vec_id != vb.vec_id),
+       |pos AS (SELECT a_id, b_id, sim FROM (
+       |  SELECT a_id, b_id, sim, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+       |  FROM pairs WHERE a_label = b_label) WHERE rn = 1),
+       |neg AS (SELECT a_id, b_id, sim FROM (
+       |  SELECT a_id, b_id, sim, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+       |  FROM pairs WHERE a_label != b_label) WHERE rn = 1)
+       |SELECT a.vec_id, a.label,
+       |  pos.b_id AS pos_id, pos.sim AS pos_sim,
+       |  neg.b_id AS neg_id, neg.sim AS neg_sim,
+       |  ROUND(pos.sim - neg.sim, 6) AS margin
+       |FROM a
+       |LEFT JOIN pos ON pos.a_id = a.vec_id
+       |LEFT JOIN neg ON neg.a_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Twin of the TRAINED SemDeDup composition: the [[kmeansCtes]] training
     * chain produces the codebook, assignment is max-dot against the trained
     * centroid lists (same as [[ivfTrainedTopK]]'s search-time rule), then
@@ -1507,6 +1548,96 @@ object NorthStar {
       |LEFT JOIN bp ON bp.seg = s.seg
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** ExactSubstr cross-document span scrub (Lee et al. 2021) — stride-1
+    * 10-token spans repeated across ≥2 docs removed everywhere, the twin
+    * re-deriving the fingerprint census, hit merging, and the md5 of every
+    * rebuilt document; see [[TextAnalysis.substrDedup]]. */
+  def textSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substrDedup(Tables.documents(s, dir), "doc_id", "text",
+        window = 10, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  val textSubstrDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    substr(md5(array_to_string(ts[i : i + 9], ' ')), 1, 16) AS h
+      |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 9)) AS i
+      |        FROM toks WHERE len(ts) >= 10)),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |starts AS (
+      |  SELECT doc_id, list_sort(list(pos)) AS ss
+      |  FROM grams JOIN dup USING (h) GROUP BY doc_id),
+      |cov AS (
+      |  SELECT t.doc_id, ts, COALESCE(ss, []) AS ss,
+      |    list_transform(range(len(ts)),
+      |      p -> len(list_filter(COALESCE(ss, []), s -> s <= p AND p <= s + 9)) > 0) AS cv
+      |  FROM toks t LEFT JOIN starts USING (doc_id))
+      |SELECT doc_id,
+      |  CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(ss) AS BIGINT) AS n_dup_starts,
+      |  CAST(len(list_filter(range(len(ts)),
+      |    p -> cv[p + 1] AND (p = 0 OR NOT cv[p]))) AS BIGINT) AS n_spans,
+      |  CAST(len(list_filter(cv, c -> NOT c)) AS BIGINT) AS n_clean_tokens,
+      |  md5(COALESCE(array_to_string(list_transform(list_filter(range(len(ts)),
+      |    p -> NOT cv[p + 1]), p -> ts[p + 1]), ' '), '')) AS clean_hash
+      |FROM cov ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance weights against the src0 target domain (Xie et al.
+    * 2023) — hashed unigram+bigram bucket models, add-one smoothing; see
+    * [[TextAnalysis.dsirWeight]]. */
+  def textDsirWeight(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeight(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")
+      .orderBy(col("doc_id"))
+
+  val textDsirWeightSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source = 'src0' AS is_t,
+      |    regexp_extract_all(lower(text), '\w+') AS ts
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, is_t, substr(md5(g), 1, 2) AS b
+      |  FROM (
+      |    SELECT doc_id, is_t, unnest(ts) AS g FROM d
+      |    UNION ALL
+      |    SELECT doc_id, is_t,
+      |      unnest(list_transform(generate_series(1, len(ts) - 1),
+      |        i -> ts[i] || ' ' || ts[i + 1])) AS g
+      |    FROM d)),
+      |model AS (
+      |  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+      |         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      |  FROM feats GROUP BY b),
+      |tot AS (
+      |  SELECT SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+      |         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+      |  FROM feats),
+      |sc AS (
+      |  SELECT doc_id,
+      |    FLOOR(LN(CAST((ct + 1) * (nr + 256) AS DOUBLE) /
+      |             ((cr + 1) * (nt + 256))) * 1e8 + 0.5) / 1e8 AS w
+      |  FROM feats JOIN model USING (b), tot
+      |  WHERE NOT is_t)
+      |SELECT doc_id, COUNT(*) AS n_feats,
+      |  FLOOR(CAST(SUM(CAST(w AS DECIMAL(20,8))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS dsir_weight
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Contrastive hard-negative / nearest-positive mining over the labeled
+    * embedding corpus — cell-scoped (IVF-style) neighborhoods with pinned
+    * winners; see [[Similarity.hardNegatives]]. */
+  def embHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "label",
+        "embedding", Array.tabulate(16, 64)(Similarity.centroidComponent))
+      .orderBy(col("vec_id"))
+
+  val embHardNegativesSql: String =
+    LshOracleSql.hardNegatives(cells = 16, dim = 64,
+      maxCell = graft.operators.Dedup.DefaultMaxBucket)
+
   /** Centroid-distance outliers — the per-label embedding-space quality
     * filter (>2σ distance to own centroid ⇒ mislabeled / OOD candidate). */
   def embOutliers(s: SparkSession, dir: String): DataFrame =
@@ -1814,6 +1945,9 @@ object NorthStar {
     "text_perplexity" -> textPerplexity,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "text_substr_dedup" -> textSubstrDedup,
+    "text_dsir_weight" -> textDsirWeight,
+    "emb_hard_negatives" -> embHardNegatives,
     "emb_label_centroids" -> embLabelCentroids,
     "emb_dim_stats" -> embDimStats,
     "emb_covariance" -> embCovariance,
@@ -1866,6 +2000,9 @@ object NorthStar {
     "text_perplexity" -> textPerplexitySql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
+    "text_substr_dedup" -> textSubstrDedupSql,
+    "text_dsir_weight" -> textDsirWeightSql,
+    "emb_hard_negatives" -> embHardNegativesSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,
     "emb_covariance" -> embCovarianceSql,
