@@ -388,6 +388,85 @@ class NorthStarSpec extends SparkSpec {
     assert(got(4L) === ((1L, 1L, ""))) // fully-boilerplate doc → empty
   }
 
+  test("substrDedup catches spans at any alignment and merges overlapping hits") {
+    import spark.implicits._
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // an 11-token passage shared at DIFFERENT offsets: two overlapping
+    // 10-gram hits per doc must merge into ONE maximal span
+    val common = (1 to 11).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 $common a3"),     // passage at offset 2
+      (2L, s"b1 $common"),           // passage at offset 1 — segDedup's
+                                     // aligned segments would MISS this
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique content
+      (4L, "short doc only"),        // < window tokens: no grams
+      (5L, "!!!"))                   // zero word tokens
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .substrDedup(df, "doc_id", "text", window = 10, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    // (n_tokens, n_dup_starts, n_spans, n_clean_tokens, clean_hash)
+    assert(got(1L) === ((14L, 2L, 1L, 3L, md5Of("a1 a2 a3"))))
+    assert(got(2L) === ((12L, 2L, 1L, 1L, md5Of("b1"))))
+    assert(got(3L) === ((12L, 0L, 0L, 12L,
+      md5Of((1 to 12).map(i => s"u$i").mkString(" ")))))
+    assert(got(4L) === ((3L, 0L, 0L, 3L, md5Of("short doc only"))))
+    assert(got(5L) === ((0L, 0L, 0L, 0L, md5Of(""))))
+  }
+
+  test("dsirWeight ranks target-like raw docs above novel ones; feature count exact") {
+    import spark.implicits._
+    // target domain speaks t1..t4; raw doc 10 mimics it, raw doc 11 is novel
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t1 t2", "tgt"),
+      (2L, "t2 t3 t4 t1 t3 t2", "tgt"),
+      (10L, "t1 t2 t3 t4", "raw"),
+      (11L, "z1 z2 z3 z4", "raw"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .dsirWeight(df, "doc_id", "text", col("source") === "tgt")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === Set(10L, 11L)) // only raw docs are scored
+    // t tokens → t unigrams + (t-1) bigrams
+    assert(got(10L)._1 === 7L)
+    assert(got(11L)._1 === 7L)
+    assert(got(10L)._2 > got(11L)._2,
+      s"target-like doc must outweigh the novel doc: $got")
+  }
+
+  test("hardNegatives pins pos/neg winners, ties to lowest id, NULLs visible") {
+    import spark.implicits._
+    def vec(cs: Double*): Array[Float] =
+      Array.tabulate(64)(d => if (d < cs.length) cs(d).toFloat else 0f)
+    val df = Seq(
+      (0L, "a", vec(1, 0)), (1L, "a", vec(1, 1)),
+      (2L, "b", vec(0, 1)), (3L, "b", vec(2, 0)),
+      (4L, "c", vec(0, 0, 1))) // singleton label: no positive exists
+      .toDF("vec_id", "label", "embedding")
+    val oneCell = Array(Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0))
+    val got = Similarity.hardNegatives(df, "vec_id", "label", "embedding", oneCell)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), Option(r.get(6)))))
+      .toMap
+    val c = 0.707107 // round(1/sqrt(2), 6)
+    assert(got(0L) === ((Some(1L), Some(c), Some(3L), Some(1.0), Some(-0.292893))))
+    // id1's negatives tie at 0.707107 → lowest id (2) wins; margin 0
+    assert(got(1L) === ((Some(0L), Some(c), Some(2L), Some(c), Some(0.0))))
+    assert(got(2L) === ((Some(3L), Some(0.0), Some(1L), Some(c), Some(-c))))
+    assert(got(3L) === ((Some(2L), Some(0.0), Some(0L), Some(1.0), Some(-1.0))))
+    // singleton label: no positive → NULLs, neg ties at 0 → id 0
+    assert(got(4L) === ((None, None, Some(0L), Some(0.0), None)))
+  }
+
   test("semanticDedup matches an in-memory keep-first recomputation") {
     val rows = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
