@@ -273,6 +273,20 @@ object ScaleProbe {
       time("text_seg_dedup", n) {
         TextAnalysis.segDedup(docs, "doc_id", "text")
       }
+      // stride-1 ExactSubstr scrub: ~10× seg_dedup's gram volume (one
+      // 16-hex fingerprint per token position), still one narrow census
+      // shuffle + broadcast dup set + row-local rebuild — linear in
+      // corpus tokens with a 10× constant over seg_dedup
+      time("text_substr_dedup", n) {
+        TextAnalysis.substrDedup(docs, "doc_id", "text")
+      }
+      // DSIR weights: one narrow hashed-feature stream (uni+bi ≈ 2×
+      // token count), a 256-row broadcast model, one scoring aggregate —
+      // linear in corpus tokens
+      time("text_dsir_weight", n) {
+        TextAnalysis.dsirWeight(docs, "doc_id", "text",
+          col("source") === "src0")
+      }
       // SemDeDup at the paper's sizing law: cells ≈ n / 500 keeps the
       // cell-scoped quadratic term bounded (~500²/2 pair-dots per cell);
       // past CellLiteralBudget/dim cells the assignment rides the
@@ -304,6 +318,26 @@ object ScaleProbe {
           threshold = 0.4,
           Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
           groupSize = sdG)
+      }
+      // hard-negative mining at the SemDeDup sizing law: same cell-scoped
+      // pairing cost family (Σ cell²), plus two narrow winner aggregates —
+      // should track dedup_semantic2's growth with a ~2× pair-consumer
+      // constant
+      time(s"emb_hard_negatives_k$sdCells", n) {
+        Similarity.hardNegatives(
+          emb.withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int")),
+          "vec_id", "label", "embedding",
+          Array.tabulate(sdCells, 64)(Similarity.centroidComponent))
+      }
+      // the same mining with the two-level assignment (r8: the flat argmax
+      // re-created SemDeDup's n·k quadratic at this k ∝ n sizing — the
+      // measured fix carries over through the shared assignment path)
+      time(s"emb_hard_negatives2_k${sdCells}_g$sdG", n) {
+        Similarity.hardNegatives(
+          emb.withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int")),
+          "vec_id", "label", "embedding",
+          Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
+          groupSize = Some(sdG))
       }
       // the IMI split law: per-row assignment is k/g + g dots, minimized
       // at g = √k — a deliberately lopsided g quantifies what ignoring it

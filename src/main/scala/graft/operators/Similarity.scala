@@ -1032,6 +1032,19 @@ object Similarity {
                               vecCol: String, threshold: Double,
                               cents: Array[Array[Double]], groupSize: Int,
                               maxCell: Int = Dedup.DefaultMaxBucket,
+                              literalBudget: Long = CellLiteralBudget): DataFrame =
+    semanticPairTail(
+      semanticAssign2Level(corpus, idCol, vecCol, cents, groupSize,
+        literalBudget),
+      threshold, maxCell)
+
+  /** The two-level rank-1 assignment shared by [[semanticDedup2LevelWith]]
+    * and [[hardNegatives]]'s scale path — coarse argmax over k/g group
+    * means, then fine argmax within the winning group; see
+    * [[semanticDedup2LevelWith]] for the cost model and the IMI trade. */
+  private[graft] def semanticAssign2Level(corpus: DataFrame, idCol: String,
+                              vecCol: String,
+                              cents: Array[Array[Double]], groupSize: Int,
                               literalBudget: Long = CellLiteralBudget): DataFrame = {
     val cells = cents.length
     require(cells % groupSize == 0, "cells must divide into equal groups")
@@ -1089,7 +1102,7 @@ object Similarity {
         crid.join(best, Seq("__rid"))
           .select(col("vec_id"), col("cell"), col("v"))
       }
-    semanticPairTail(assigned0, threshold, maxCell)
+    assigned0
   }
 
   /** Contrastive hard-example mining — the curation step a metric-learning
@@ -1109,8 +1122,16 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, cents: Array[Array[Double]],
                     maxCell: Int = Dedup.DefaultMaxBucket,
-                    literalBudget: Long = CellLiteralBudget): DataFrame = {
-    val assigned0 = semanticAssign(corpus, idCol, vecCol, cents, literalBudget)
+                    literalBudget: Long = CellLiteralBudget,
+                    // Some(g): route assignment through the two-level
+                    // coarse-then-fine rule — the SAME n·k→n·(k/g+g)
+                    // escape hatch SemDeDup uses at paper-scale k (the
+                    // probe shows the flat argmax re-creates that
+                    // quadratic here); g=1 degenerates to flat exactly
+                    groupSize: Option[Int] = None): DataFrame = {
+    val assigned0 = groupSize.fold(
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget))(g =>
+      semanticAssign2Level(corpus, idCol, vecCol, cents, g, literalBudget))
     // labels ride a key-narrow join — the wide v array never re-shuffles
     val labeled = assigned0.join(
       corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label")),

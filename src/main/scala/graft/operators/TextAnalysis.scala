@@ -280,6 +280,37 @@ object TextAnalysis {
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contamination]] with a BLOOM pre-filter on the training gram stream
+    * — the form that survives when the held-out gram set outgrows an exact
+    * broadcast hash relation (billions of grams at 100 TB): a fixed-size
+    * bloom built from the eval grams (`stat.bloomFilter`) rides to
+    * executors inside a codegen'd [[graft.functions.BloomMightContain]]
+    * predicate and prunes the gram stream BEFORE the exact join, which
+    * then runs over the surviving sliver. Blooms have no false negatives
+    * and the exact join verifies every candidate, so the result is
+    * IDENTICAL to [[contamination]] for any filter contents (spec-pinned);
+    * false positives only cost pruning efficiency, sized by `fpp`. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame = {
+    val trainGrams = Dedup.shingles(train, idCol, textCol, n)
+    // the eval gram set feeds the bloom build AND the exact verify join
+    val evalGrams = graft.CacheScope.cache(
+      Dedup.shingles(eval, idCol, textCol, n).select(col("s")).distinct())
+    evalGrams.count()
+    val bloom = evalGrams.stat.bloomFilter("s", expectedItems, fpp)
+    val hits = trainGrams
+      .filter(graft.functions.BloomOps.mightContain(bloom, col("s")))
+      .join(evalGrams, "s")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Sequence packing — the batch-assembly step before training:
     * documents concatenate into one token stream per packing group
     * (source), in deterministic doc-id order, and the stream is cut into

@@ -1496,6 +1496,70 @@ object NorthStar {
       |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
       |WHERE d.source != 'src0' ORDER BY d.doc_id""".stripMargin
 
+  /** The same decontamination contract served through the BLOOM-prefilter
+    * path ([[TextAnalysis.contaminationBloom]]) — gated against the SAME
+    * twin as `text_contamination`, which IS the point: the codegen'd
+    * bloom probe prunes the gram stream but the exact verify join makes
+    * any filter contents invisible in the result. */
+  def textContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source curriculum ordering — rank documents easiest→hardest by
+    * the unigram-LM difficulty score ([[TextAnalysis.unigramNegLogprob]]:
+    * rarer vocabulary ⇒ higher mean neg-logprob ⇒ later stage) and cut
+    * each source into 4 curriculum stages. The window partitions by
+    * SOURCE deliberately: per-group windows parallelize across executors,
+    * and per-mixture-component curricula are what a data-mixing trainer
+    * consumes — a single global ntile would funnel the corpus through one
+    * partition (the classic unpartitioned-window scale trap). */
+  def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val diff = TextAnalysis.unigramNegLogprob(docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_neg_logprob").as("difficulty"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(diff, "doc_id")
+      .select(col("doc_id"), col("source"), col("difficulty"),
+        // long: DuckDB's ntile emits BIGINT and the gate compares schemas
+        ntile(4).over(w).cast("long").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: the [[textPerplexitySql]] difficulty arithmetic + the same
+    * per-source ntile (SQL-standard even distribution, earlier tiles take
+    * the remainder — Spark and DuckDB agree). */
+  val pipelineCurriculumSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+      |  FROM documents),
+      |st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM tok),
+      |m AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |sc AS (
+      |  SELECT doc_id,
+      |    FLOOR(LN(CAST(n + v AS DOUBLE) / (c + 1)) * 1e8 + 0.5) / 1e8 AS nl
+      |  FROM tok JOIN m USING (t), st),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(nl AS DECIMAL(20,8))) AS s
+      |  FROM sc GROUP BY doc_id),
+      |diff AS (
+      |  SELECT doc_id,
+      |    FLOOR(CAST(s AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS difficulty
+      |  FROM agg)
+      |SELECT d.doc_id, d.source, difficulty,
+      |  ntile(4) OVER (PARTITION BY d.source
+      |                 ORDER BY difficulty, d.doc_id) AS stage
+      |FROM documents d JOIN diff ON diff.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Sequence packing: documents → fixed-500-token bins per source,
     * next-fit in doc-id order (budget chosen to split every fixture
     * source into multiple bins — ~1.3-1.5k tokens per source at sf0.01). */
@@ -1947,6 +2011,8 @@ object NorthStar {
     "text_repetition" -> textRepetition,
     "text_substr_dedup" -> textSubstrDedup,
     "text_dsir_weight" -> textDsirWeight,
+    "text_contamination_bloom" -> textContaminationBloom,
+    "pipeline_curriculum" -> pipelineCurriculum,
     "emb_hard_negatives" -> embHardNegatives,
     "emb_label_centroids" -> embLabelCentroids,
     "emb_dim_stats" -> embDimStats,
@@ -2002,6 +2068,8 @@ object NorthStar {
     "text_repetition" -> textRepetitionSql,
     "text_substr_dedup" -> textSubstrDedupSql,
     "text_dsir_weight" -> textDsirWeightSql,
+    "text_contamination_bloom" -> textContaminationSql,
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "emb_hard_negatives" -> embHardNegativesSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,

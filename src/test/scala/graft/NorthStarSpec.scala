@@ -465,6 +465,36 @@ class NorthStarSpec extends SparkSpec {
     assert(got(3L) === ((Some(2L), Some(0.0), Some(0L), Some(1.0), Some(-1.0))))
     // singleton label: no positive → NULLs, neg ties at 0 → id 0
     assert(got(4L) === ((None, None, Some(0L), Some(0.0), None)))
+    // groupSize=1 two-level assignment degenerates to flat exactly
+    // (singleton group means ARE the centroids, same tie rule) — pins the
+    // shared-assignment plumbing; the 2-level rule itself is gated by the
+    // dedup_semantic_2level oracle
+    val got2 = Similarity.hardNegatives(df, "vec_id", "label", "embedding",
+        oneCell, groupSize = Some(1))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), Option(r.get(6)))))
+      .toMap
+    assert(got2 === got)
+  }
+
+  test("contaminationBloom is exact even with a deliberately degraded filter") {
+    // the contract the bloom path stands on: no false negatives + exact
+    // verify join ⇒ the result is invariant to filter sizing. An
+    // undersized, high-fpp bloom (16 expected items for thousands of
+    // grams, fpp 0.5) floods the pre-filter with false positives — the
+    // output must not move by a single row.
+    val train = docs.filter(col("source") =!= "src0")
+    val ev = docs.filter(col("source") === "src0")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = norm(TextAnalysis.contamination(train, ev, "doc_id", "text", 5))
+    val flooded = norm(TextAnalysis.contaminationBloom(train, ev, "doc_id",
+      "text", 5, expectedItems = 16, fpp = 0.5))
+    assert(exact.exists(_._3), "fixture should contain contaminated docs")
+    assert(flooded === exact)
+    graft.CacheScope.release(spark)
   }
 
   test("semanticDedup matches an in-memory keep-first recomputation") {

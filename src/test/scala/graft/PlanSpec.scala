@@ -70,6 +70,45 @@ class PlanSpec extends SparkSpec {
       "segment match degraded to a nested loop")
   }
 
+  test("text_substr_dedup broadcasts the dup-gram set (no corpus-wide SMJ)") {
+    val df = SparkEntry.queries("text_substr_dedup")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the repeated-fingerprint set is the small side of the hit join —
+    // it must broadcast against the stride-1 gram stream
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "gram match degraded to a nested loop")
+    graft.CacheScope.release(spark)
+  }
+
+  test("text_dsir_weight broadcasts the bucket model (fact stream never re-shuffles)") {
+    val df = SparkEntry.queries("text_dsir_weight")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BuildRight, Cross"), // the 1-row totals cross join broadcasts
+      "model join degraded")
+    graft.CacheScope.release(spark)
+  }
+
+  test("emb_hard_negatives pairs within cells only (no all-pairs nested loop)") {
+    val df = SparkEntry.queries("emb_hard_negatives")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "cell-scoped mining degraded to corpus×corpus")
+    graft.CacheScope.release(spark)
+  }
+
+  test("text_contamination_bloom probes the bloom inside the scan stage before the exact join") {
+    val df = SparkEntry.queries("text_contamination_bloom")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the codegen'd membership probe must appear as a Filter predicate
+    // (pruning the gram stream), and the exact verify join must broadcast
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    graft.CacheScope.release(spark)
+  }
+
   test("dedup_semantic pairs within cells only (no all-pairs nested loop)") {
     val df = SparkEntry.queries("dedup_semantic")(spark, sf("0.001"))
     val plan = df.queryExecution.executedPlan.toString
