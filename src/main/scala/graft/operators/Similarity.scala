@@ -1143,7 +1143,15 @@ object Similarity {
       .filter(col("count") <= maxCell)
       .select(col("cell"))
     val inPlay = cached.join(broadcast(okCells), Seq("cell"))
-    val pairs = graft.CacheScope.cache(inPlay
+    // ONE streamed pass over the scored pairs: both winners fall out of a
+    // single hash aggregate with map-side partials — `max_by` skips rows
+    // whose ordering is NULL, so the two `when` guards split the pair
+    // stream without materializing it. (The first cut CACHED the scored
+    // pairs for two filtered aggregates: Σ cell² rows — 320M at the 640k
+    // probe, ~19 GB — is exactly the frame you must never persist; the
+    // single-pass form keeps pairs pipeline-only, and the probe that
+    // OOM'd now runs at the default heap.)
+    val pairs = inPlay
       .select(col("cell"), col("vec_id").as("a_id"), col("label").as("a_label"),
         col("v").as("av"), col("n").as("an"))
       .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
@@ -1151,18 +1159,18 @@ object Similarity {
         "cell")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim")))
-    pairs.count() // scored once, consumed by both the pos and neg aggregates
-    def best(side: DataFrame, prefix: String) = side.groupBy(col("a_id"))
-      .agg(max_by(struct(col("b_id"), col("sim")),
-        struct(col("sim"), (-col("b_id")).as("nid"))).as("w"))
-      .select(col("a_id").as("vec_id"), col("w.b_id").as(s"${prefix}_id"),
-        col("w.sim").as(s"${prefix}_sim"))
-    val pos = best(pairs.filter(col("a_label") === col("b_label")), "pos")
-    val neg = best(pairs.filter(col("a_label") =!= col("b_label")), "neg")
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+    val same = col("a_label") === col("b_label")
+    val payload = struct(col("b_id"), col("sim"))
+    val ord = struct(col("sim"), (-col("b_id")).as("nid"))
+    val agg = pairs.groupBy(col("a_id"))
+      .agg(max_by(payload, when(same, ord)).as("pos"),
+        max_by(payload, when(!same, ord)).as("neg"))
+      .select(col("a_id").as("vec_id"),
+        col("pos.b_id").as("pos_id"), col("pos.sim").as("pos_sim"),
+        col("neg.b_id").as("neg_id"), col("neg.sim").as("neg_sim"))
     cached.select(col("vec_id"), col("label"))
-      .join(pos, Seq("vec_id"), "left")
-      .join(neg, Seq("vec_id"), "left")
+      .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("pos_id"), col("pos_sim"),
         col("neg_id"), col("neg_sim"),
         round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
