@@ -407,7 +407,15 @@ object TextAnalysis {
                   window: Int = 10, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+    // the token frame feeds BOTH the gram stream and the rebuild — cache
+    // it so (a) the tokenize chain runs once, and (b) it runs in its OWN
+    // small stage: fused into the rebuild join's probe side, the
+    // tokenize+md5+coverage consume method crosses the JIT bytecode
+    // ceiling and the stage drops to interpreted execution (the
+    // dedup_embedding r5 finding — uniform ~25× task slowdown, no skew)
+    val base = graft.CacheScope.cache(
+      df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts")))
+    base.count()
     val tok = base.select(col("doc_id"),
       posexplode(col("__ts")).as(Seq("pos", "tk")))
     val grams = graft.CacheScope.cache(tok
@@ -422,35 +430,50 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    val starts = grams.join(broadcast(dup), "h")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    // Interval-merge the hit starts RELATIONALLY (one window pass), not
+    // via a per-position coverage array: the first cut built
+    // transform(sequence(0,L-1), t -> exists(ss, ...)) — O(tokens·hits)
+    // INTERPRETED lambda evals per doc, and on its first execution in a
+    // JVM the fused stage repeatedly measured 7-17× slower (uniform
+    // max≈med tasks — the winnow/r5 interpreted-stage cliff, reproduced
+    // three times at both heap sizes). Spans merge where coverage is
+    // contiguous (next start ≤ prev end + 1), the classic sorted-interval
+    // running-max; everything below is codegen'd window + aggregate.
+    val hitW = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(broadcast(dup), "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev_end",
+        max(col("pos") + (window - 1)).over(hitW.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        col("prev_end").isNull || col("pos") > col("prev_end") + 1)
+      .withColumn("span_id",
+        sum(when(col("is_new"), 1).otherwise(0)).over(hitW))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("a"),
+        (max(col("pos")) + (window - 1)).as("b"),
+        count(lit(1)).as("k"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("a"), col("b")))).as("sp"),
+        sum(col("k")).cast("long").as("n_dup_starts"),
+        count(lit(1)).cast("long").as("n_spans"))
+    // row-local rebuild from the SMALL merged-span array: gap slices
+    // between spans — the only lambdas left run over |spans| elements
     val L = size(col("__ts"))
-    val ss2 = coalesce(col("ss"), array().cast("array<int>"))
-    // sequence(0, -1) would generate DESCENDING [0, -1] — guard empty docs
-    val covExpr = when(L === 0, array().cast("array<boolean>"))
-      .otherwise(transform(sequence(lit(0), L - 1),
-        t => exists(ss2, s => s <= t && t <= s + (window - 1))))
-    val cov = graft.CacheScope.cache(
-      base.join(starts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("__ts"), ss2.as("ss"), covExpr.as("cov")))
-    cov.count()
-    val posIdx = when(L === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), L - 1))
-    cov.select(
-      col("doc_id"),
-      L.cast("long").as("n_tokens"),
-      size(col("ss")).cast("long").as("n_dup_starts"),
-      // a maximal span starts where coverage turns on; element_at is
-      // 1-based and guarded so position 0 never indexes cov(0)
-      size(filter(posIdx, t => element_at(col("cov"), t + 1) &&
-          when(t === 0, lit(true)).otherwise(!element_at(col("cov"), t))))
-        .cast("long").as("n_spans"),
-      size(filter(col("cov"), c => !c)).cast("long").as("n_clean_tokens"),
-      md5(concat_ws(" ",
-          transform(filter(posIdx, t => !element_at(col("cov"), t + 1)),
-            t => element_at(col("__ts"), t + 1))).cast("binary"))
-        .as("clean_hash"))
+    val sp = coalesce(col("sp"), array().cast("array<struct<a:int,b:int>>"))
+    val gapBegin = concat(array(lit(0)), transform(sp, s => s.getField("b") + 1))
+    val gapEnd = concat(transform(sp, s => s.getField("a") - 1), array(L - 1))
+    val cleanToks = flatten(zip_with(gapBegin, gapEnd, (b, e) =>
+      when(e >= b, slice(col("__ts"), b + 1, e - b + 1))
+        .otherwise(array().cast("array<string>"))))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        L.cast("long").as("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        size(cleanToks).cast("long").as("n_clean_tokens"),
+        md5(concat_ws(" ", cleanToks).cast("binary")).as("clean_hash"))
   }
 
   /** DSIR importance weight (Xie et al. 2023, "Data Selection for Language
