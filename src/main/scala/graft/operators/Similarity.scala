@@ -1363,6 +1363,57 @@ object Similarity {
     adcTopK(scored, k)
   }
 
+  /** Persist a trained PQ index as two plain parquet tables — the
+    * production serving split (train/encode ONCE, search many): `books/`
+    * holds the codebooks as (s, c, d, comp) rows (doubles are bit-exact
+    * through parquet, so a reloaded model scores identically), `codes/`
+    * the 2-byte-code corpus as (nbr_id, pq_code). No custom file format:
+    * the index IS a table, so it inherits partitioning, predicate
+    * pushdown, and every deployment path parquet already has. */
+  def pqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, subs: Int = 8, ksub: Int = 4,
+                   iters: Int = 2, dim: Int = 64): Unit = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
+    val rows = for {
+      s <- books.indices; c <- books(s).indices; d <- books(s)(c).indices
+    } yield (s, c, d, books(s)(c)(d))
+    spark.createDataset(rows).toDF("s", "c", "d", "comp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    val ds = dim / subs
+    corpus.select(col(idCol).as("nbr_id"),
+        trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve top-k from a [[pqIndexWrite]]-persisted index: reload the
+    * model (subs×ksub×ds doubles — tiny), scan the stored code table
+    * with each probe's broadcast ADC distance table. The search never
+    * touches the original vectors — the serving cost is the code scan,
+    * exactly [[pqTopK]]'s shape with the index read from disk. */
+  def pqIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                    probes: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int, subs: Int = 8, ksub: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val ds = dim / subs
+    val books = Array.ofDim[Double](subs, ksub, ds)
+    spark.read.parquet(s"$path/books").collect().foreach { r =>
+      books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
+        r.getAs[Double]("comp")
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+    val p = probes.select(col(idCol).as("query_id"),
+      trainedDtab(books, ds, subs, ksub)(col(vecCol)).as("dtab"))
+    val adc = adcSum(subs, ksub)
+    val scored = codes.crossJoin(broadcast(p))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    adcTopK(scored, k)
+  }
+
   /** Fully-trained IVF-PQ — the complete trained production index:
     * [[kmeansTrain]]'s coarse codebook prunes cells, [[pqTrainBooks]]'
     * per-subspace fine codebooks compress the scan, composed exactly like

@@ -1453,6 +1453,27 @@ object NorthStar {
   val annPqTrainedSql: String = LshOracleSql.pqTrainedTopK(k = 5,
     subs = 8, ksub = 4, iters = 2, dim = 64)
 
+  /** Trained-PQ index PERSISTENCE round-trip — the production serving
+    * split: [[Similarity.pqIndexWrite]] trains the codebooks, encodes the
+    * corpus, and lands both as plain parquet tables in a fresh temp
+    * workspace; [[Similarity.pqIndexSearch]] reloads the model and serves
+    * top-k from the stored 2-byte codes WITHOUT touching the original
+    * vectors. Gated against the SAME twin as `ann_pq_trained`: doubles
+    * are bit-exact through parquet, so a byte flip anywhere in
+    * model-save → reload → ADC scoring breaks the hash. Like the
+    * ts_store_* family, every invocation pays the real write + read. */
+  def annPqIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-pq-index")
+    Similarity.pqIndexWrite(emb, "vec_id", "embedding", path,
+      subs = 8, ksub = 4, iters = 2, dim = 64)
+    Similarity.pqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, subs = 8, ksub = 4, dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqIndexRoundtripSql: String = annPqTrainedSql
+
   /** Fully-trained IVF-PQ (trained coarse pruning × trained compressed
     * scan); see [[Similarity.ivfPqTrainedTopK]]. */
   def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
@@ -1981,6 +2002,7 @@ object NorthStar {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
     "ann_pq_trained" -> annPqTrained,
+    "ann_pq_index_roundtrip" -> annPqIndexRoundtrip,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
@@ -2038,6 +2060,7 @@ object NorthStar {
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
+    "ann_pq_index_roundtrip" -> annPqIndexRoundtripSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
