@@ -39,7 +39,7 @@ object ScaleProbe {
 
   /** 64-dim embeddings with hash-derived components in [-1, 1); vec 20k+1
     * is a small perturbation of vec 20k (cosine ≈ 0.99). */
-  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame =
+  def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
     spark.range(n).toDF("vec_id")
       .withColumn("gid",
         when(pmod(col("vec_id"), lit(20L)) === 1, col("vec_id") - 1)
@@ -47,9 +47,9 @@ object ScaleProbe {
       .withColumn("pert",
         when(pmod(col("vec_id"), lit(20L)) === 1, lit(0.05)).otherwise(lit(0.0)))
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          d => (pmod(xxhash64(col("gid") * 64 + d), lit(2000L)) - 1000L) / 1000.0
-            + col("pert") * ((pmod(xxhash64(col("vec_id") * 64 + d + 7), lit(2000L)) - 1000L) / 1000.0))
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => (pmod(xxhash64(col("gid") * dim + d), lit(2000L)) - 1000L) / 1000.0
+            + col("pert") * ((pmod(xxhash64(col("vec_id") * dim + d + 7), lit(2000L)) - 1000L) / 1000.0))
           .cast("array<float>").as("embedding"))
 
   /** Collects per-task durations while one measurement runs: wall-clock
@@ -338,6 +338,30 @@ object ScaleProbe {
           "vec_id", "label", "embedding",
           Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
           groupSize = Some(sdG))
+      }
+      // unordered-vs-ordered pairing A/B at PRODUCTION embedding width:
+      // at dim 64 halving the pair dots is a wash against the generator
+      // repackage (measured 40.8/66.5 vs 29.1/70.1 across adjacent runs);
+      // this block re-asks at dim 256 where the dot term dominates
+      if (only.exists(o => "hard_negatives_dim".contains(o))) {
+        val emb256 = CacheScope.cache(synthEmbeddings(spark, n, dim = 256), lvl)
+        emb256.count()
+        val l256 = emb256.withColumn("label",
+          pmod(col("vec_id"), lit(10L)).cast("int"))
+        val c256 = Array.tabulate(sdCells, 256)(Similarity.centroidComponent)
+        val saved2 = only
+        only = Nil
+        try {
+          time(s"emb_hard_negatives2_d256_k${sdCells}_unordered", n) {
+            Similarity.hardNegatives(l256, "vec_id", "label", "embedding",
+              c256, groupSize = Some(sdG))
+          }
+          time(s"emb_hard_negatives2_d256_k${sdCells}_ordered", n) {
+            Similarity.hardNegatives(l256, "vec_id", "label", "embedding",
+              c256, groupSize = Some(sdG), orderedPairs = true)
+          }
+        } finally only = saved2
+        CacheScope.free(emb256)
       }
       // the IMI split law: per-row assignment is k/g + g dots, minimized
       // at g = √k — a deliberately lopsided g quantifies what ignoring it

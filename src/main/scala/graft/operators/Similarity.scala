@@ -1128,7 +1128,16 @@ object Similarity {
                     // escape hatch SemDeDup uses at paper-scale k (the
                     // probe shows the flat argmax re-creates that
                     // quadratic here); g=1 degenerates to flat exactly
-                    groupSize: Option[Int] = None): DataFrame = {
+                    groupSize: Option[Int] = None,
+                    // Pairing strategy, settled by measurement (SCALE.md):
+                    // ordered (a ≠ b) scoring — 2× the dots — BEATS the
+                    // unordered (a < b) + generator-repackage form at
+                    // dim 64 AND dim 256 (13.8 vs 18.1 s at 160k/d256):
+                    // the codegen'd dot loop is cheaper than exploding
+                    // structs outside whole-stage codegen. The unordered
+                    // form stays probe-measurable for future re-asks
+                    // (wider dims, costlier kernels).
+                    orderedPairs: Boolean = true): DataFrame = {
     val assigned0 = groupSize.fold(
       semanticAssign(corpus, idCol, vecCol, cents, literalBudget))(g =>
       semanticAssign2Level(corpus, idCol, vecCol, cents, g, literalBudget))
@@ -1151,24 +1160,50 @@ object Similarity {
     // probe, ~19 GB — is exactly the frame you must never persist; the
     // single-pass form keeps pairs pipeline-only, and the probe that
     // OOM'd now runs at the default heap.)
-    val pairs = inPlay
-      .select(col("cell"), col("vec_id").as("a_id"), col("label").as("a_label"),
-        col("v").as("av"), col("n").as("an"))
-      .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
-        col("label").as("b_label"), col("v").as("bv"), col("n").as("bn")),
-        "cell")
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
-    val same = col("a_label") === col("b_label")
-    val payload = struct(col("b_id"), col("sim"))
-    val ord = struct(col("sim"), (-col("b_id")).as("nid"))
-    val agg = pairs.groupBy(col("a_id"))
+    val both =
+      if (orderedPairs)
+        inPlay
+          .select(col("cell"), col("vec_id").as("anchor"),
+            col("label").as("anchor_label"), col("v").as("av"), col("n").as("an"))
+          .join(inPlay.select(col("cell"), col("vec_id").as("nbr"),
+            col("label").as("nbr_label"), col("v").as("bv"), col("n").as("bn")),
+            "cell")
+          .filter(col("anchor") =!= col("nbr"))
+          .select(col("anchor"), col("anchor_label"), col("nbr"),
+            col("nbr_label"),
+            round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+              .as("sim"))
+      else {
+        // the unordered form: score each (a < b) pair once, a generator
+        // repackages both directions — half the dots, but the explode
+        // materializes rows OUTSIDE whole-stage codegen and loses the A/B
+        val scored = inPlay
+          .select(col("cell"), col("vec_id").as("a_id"),
+            col("label").as("a_label"), col("v").as("av"), col("n").as("an"))
+          .join(inPlay.select(col("cell"), col("vec_id").as("b_id"),
+            col("label").as("b_label"), col("v").as("bv"), col("n").as("bn")),
+            "cell")
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+            round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+              .as("sim"))
+        scored.select(explode(array(
+            struct(col("a_id").as("anchor"), col("a_label").as("anchor_label"),
+              col("b_id").as("nbr"), col("b_label").as("nbr_label"), col("sim")),
+            struct(col("b_id").as("anchor"), col("b_label").as("anchor_label"),
+              col("a_id").as("nbr"), col("a_label").as("nbr_label"), col("sim"))))
+            .as("p"))
+          .select(col("p.*"))
+      }
+    val same = col("anchor_label") === col("nbr_label")
+    val payload = struct(col("nbr"), col("sim"))
+    val ord = struct(col("sim"), (-col("nbr")).as("nid"))
+    val agg = both.groupBy(col("anchor"))
       .agg(max_by(payload, when(same, ord)).as("pos"),
         max_by(payload, when(!same, ord)).as("neg"))
-      .select(col("a_id").as("vec_id"),
-        col("pos.b_id").as("pos_id"), col("pos.sim").as("pos_sim"),
-        col("neg.b_id").as("neg_id"), col("neg.sim").as("neg_sim"))
+      .select(col("anchor").as("vec_id"),
+        col("pos.nbr").as("pos_id"), col("pos.sim").as("pos_sim"),
+        col("neg.nbr").as("neg_id"), col("neg.sim").as("neg_sim"))
     cached.select(col("vec_id"), col("label"))
       .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("pos_id"), col("pos_sim"),
@@ -1386,6 +1421,29 @@ object Similarity {
     corpus.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
       .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append NEW vectors to a [[pqIndexWrite]]-persisted index WITHOUT
+    * retraining — the steady-state maintenance path of a production
+    * vector index (retraining on every arrival batch is neither possible
+    * nor wanted; codebooks stay frozen until a scheduled re-train): the
+    * stored model is reloaded, the batch is encoded by the SAME row-local
+    * projection the original build used, and the codes land as an
+    * ordinary parquet append. Quantization error for late vectors is the
+    * standard frozen-codebook drift trade. */
+  def pqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    path: String, subs: Int = 8, ksub: Int = 4,
+                    dim: Int = 64): Unit = {
+    val ds = dim / subs
+    val books = Array.ofDim[Double](subs, ksub, ds)
+    spark.read.parquet(s"$path/books").collect().foreach { r =>
+      books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
+        r.getAs[Double]("comp")
+    }
+    batch.select(col(idCol).as("nbr_id"),
+        trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Serve top-k from a [[pqIndexWrite]]-persisted index: reload the

@@ -462,11 +462,18 @@ private object LshOracleSql {
     * same assoc as the Spark side), the argmin code `s{s}_code`, and the
     * probe distance rows `s{s}_pd`. */
   private def pqSubspaceCtes(subs: Int, ksub: Int, iters: Int,
-                             ds: Int): String =
+                             ds: Int, trainPred: String = ""): String =
     (0 until subs).map { s =>
       val p = s"s${s}_"
+      // trainPred restricts the TRAINING population only — codes and
+      // probe distances still cover all of v (the append-without-retrain
+      // contract: late vectors are encoded by the frozen codebooks)
+      val trainCte =
+        if (trainPred.isEmpty) ""
+        else s"vt$s AS (SELECT * FROM v$s WHERE $trainPred),\n"
+      val vTrain = if (trainPred.isEmpty) s"v$s" else s"vt$s"
       s"""v$s AS (SELECT vec_id, e[${s * ds + 1}:${(s + 1) * ds}] AS e FROM v),
-         |${kmeansCtes(ksub, iters, ds, prefix = p, vName = s"v$s",
+         |$trainCte${kmeansCtes(ksub, iters, ds, prefix = p, vName = vTrain,
              init = (c, d) => Similarity.pqComponent(s, c, d))},
          |${p}tc AS (SELECT s.cell, list(COALESCE(m.c, s.c) ORDER BY s.d) AS carr
          |  FROM ${p}f${iters - 1} s LEFT JOIN ${p}m$iters m
@@ -523,9 +530,9 @@ private object LshOracleSql {
     * an unordered SUM (8 doubles summed in engine-chosen order could flip
     * the r6 rounding). */
   def pqTrainedTopK(k: Int, subs: Int, ksub: Int, iters: Int,
-                    dim: Int): String =
+                    dim: Int, trainPred: String = ""): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       |${pqSubspaceCtes(subs, ksub, iters, dim / subs)},
+       |${pqSubspaceCtes(subs, ksub, iters, dim / subs, trainPred)},
        |${pqCodesCte(subs, ksub)},
        |scored AS (
        |  SELECT q0.query_id, c.vec_id AS nbr_id,
@@ -1474,6 +1481,30 @@ object NorthStar {
 
   val annPqIndexRoundtripSql: String = annPqTrainedSql
 
+  /** Append-without-retrain on the persisted index: codebooks train on
+    * 90% of the corpus ([[Similarity.pqIndexWrite]] over vec_id % 10 ≠ 0),
+    * then the held-out 10% arrives LATER and is encoded by the frozen,
+    * RELOADED model ([[Similarity.pqIndexAppend]] — an ordinary parquet
+    * append); search serves the union. The twin trains its unrolled
+    * k-means chains on the same 90% predicate but codes/probes everything,
+    * so a drifted codebook, a re-encode of the base, or a mis-encoded
+    * appended batch all break the hash. */
+  def annPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-pq-index-append")
+    Similarity.pqIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, subs = 8, ksub = 4, iters = 2, dim = 64)
+    Similarity.pqIndexAppend(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", path, subs = 8, ksub = 4, dim = 64)
+    Similarity.pqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, subs = 8, ksub = 4, dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annPqIndexAppendSql: String = LshOracleSql.pqTrainedTopK(k = 5,
+    subs = 8, ksub = 4, iters = 2, dim = 64,
+    trainPred = "vec_id % 10 != 0")
+
   /** Fully-trained IVF-PQ (trained coarse pruning × trained compressed
     * scan); see [[Similarity.ivfPqTrainedTopK]]. */
   def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
@@ -2003,6 +2034,7 @@ object NorthStar {
     "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_index_roundtrip" -> annPqIndexRoundtrip,
+    "ann_pq_index_append" -> annPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
@@ -2061,6 +2093,7 @@ object NorthStar {
     "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
     "ann_pq_index_roundtrip" -> annPqIndexRoundtripSql,
+    "ann_pq_index_append" -> annPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
