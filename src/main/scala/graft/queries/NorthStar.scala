@@ -122,10 +122,16 @@ private object LshOracleSql {
   /** Twin of [[Similarity.ivfTopK]]: the same literal centroids, the same
     * rank-1 cell assignment / top-nprobe probe cells, the same exact-cosine
     * re-rank — so the gate hash-checks the whole IVF pipeline. */
-  def ivfTopK(k: Int, cells: Int, nprobe: Int, dim: Int): String = {
+  def ivfTopK(k: Int, cells: Int, nprobe: Int, dim: Int,
+              corpusPred: String = ""): String = {
     val scoreRows = (0 until cells).map { c =>
       s"SELECT vec_id, e, $c AS cell, list_dot_product(e, ${centroidArray(c, dim)}) AS score FROM v"
     }.mkString("\nUNION ALL ")
+    // corpusPred restricts the SEARCHABLE corpus only (metadata-filtered
+    // search) — probes still rank their cells against the full quantizer
+    val cFilter =
+      if (corpusPred.isEmpty) ""
+      else s" AND vec_id IN (SELECT vec_id FROM embeddings WHERE $corpusPred)"
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |sc AS (
        |$scoreRows),
@@ -133,7 +139,7 @@ private object LshOracleSql {
        |  SELECT vec_id, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
        |  FROM sc),
-       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM ranked WHERE rnk = 1),
+       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM ranked WHERE rnk = 1$cFilter),
        |probe_cells AS (
        |  SELECT vec_id AS query_id, cell FROM ranked
        |  WHERE rnk <= $nprobe AND vec_id < 10),
@@ -1022,6 +1028,26 @@ object NorthStar {
 
   val annIvfSql: String =
     LshOracleSql.ivfTopK(k = 5, cells = 16, nprobe = 8, dim = 64)
+
+  /** Metadata-FILTERED vector search — the access pattern every
+    * production vector store serves ("nearest neighbors WHERE label ∈
+    * …"): the predicate restricts the searchable corpus BEFORE the IVF
+    * cell join (pre-filtering — exact with respect to the filtered
+    * corpus, no post-filter recall loss), and because the corpus is a
+    * DataFrame the filter rides the parquet scan like any other
+    * predicate. Probes rank their nprobe cells against the full
+    * quantizer; only the corpus side narrows. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("label").isin(0, 1, 2, 3)),
+        emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annFilteredSql: String =
+    LshOracleSql.ivfTopK(k = 5, cells = 16, nprobe = 8, dim = 64,
+      corpusPred = "label IN (0, 1, 2, 3)")
 
   /** Radius search — all neighbors above a similarity floor, no top-k
     * truncation (the contamination-sweep access pattern). One codegen
@@ -2051,6 +2077,7 @@ object NorthStar {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_filtered" -> annFiltered,
     "ann_range" -> annRange,
     "emb_nearest_centroid" -> embNearestCentroid,
     "emb_outliers" -> embOutliers,
@@ -2110,6 +2137,7 @@ object NorthStar {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_range" -> annRangeSql,
     "emb_nearest_centroid" -> embNearestCentroidSql,
     "emb_outliers" -> embOutliersSql,
