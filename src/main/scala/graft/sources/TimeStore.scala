@@ -688,4 +688,192 @@ object TimeStore {
       .select(col("address"), col("latest.time").as("time"),
         col("latest.payload").as("payload"), col("latest.value").as("value"))
   }
+
+  // ---- driver-local point ops (single-object read/append) ----------------
+  //
+  // The reference's point-granular operations are SINGLE rados object IO:
+  // `Mutable.lookup` reads one object (`Mutable.hs:48-73`), `insertWith`
+  // appends one (`Mutable.hs:75-103`). Routing a point-get or a one-row
+  // append through a distributed Spark job pays full job scheduling
+  // (~100-300 ms of driver/DAG/task overhead) to move a handful of bytes —
+  // on a cluster that is a round trip through the scheduler per KV call.
+  // These local twins keep the EXACT on-disk protocol — same lease, same
+  // index routing (`EpochIndex.locate` is the Scala form of [[route]]'s
+  // CASE chain), same partition layout, same pinned dedup winner, same
+  // watermark/rollover maintenance — but do the IO driver-side with the
+  // Parquet file API, so a point op costs one pruned bucket-file read or
+  // one small file append, like the reference's one-object IO. Bulk stays
+  // on [[writePoints]]/[[readSimple]]; the distributed and local paths are
+  // interchangeable per-call on the same namespace (spec-pinned, and the
+  // `ts_store_mutable` oracle reads locally-written data through the
+  // distributed scan, so layout parity is hash-gated end to end).
+
+  private val LocalFileSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      // matches writePoints' file schema: non-nullable case-class fields
+      // write as required, the blob as optional (partition cols live in
+      // the directory names)
+      """message spark_schema {
+        |  required int64 address;
+        |  required int64 time;
+        |  required int64 payload;
+        |  optional binary value;
+        |}""".stripMargin)
+
+  private def readParquetPoints(conf: org.apache.hadoop.conf.Configuration,
+                                file: Path): Seq[Point] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = ParquetReader.builder(new GroupReadSupport(), file)
+      .withConf(conf).build()
+    try {
+      val out = Vector.newBuilder[Point]
+      var g = reader.read()
+      while (g != null) {
+        val v =
+          if (g.getType.containsField("value") &&
+              g.getFieldRepetitionCount("value") > 0)
+            g.getBinary("value", 0).getBytes
+          else null
+        out += Point(g.getLong("address", 0), g.getLong("time", 0),
+          g.getLong("payload", 0), v)
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
+  private def writeParquetPoints(conf: org.apache.hadoop.conf.Configuration,
+                                 file: Path, pts: Seq[Point]): Unit = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.io.api.Binary
+    val writer = ExampleParquetWriter.builder(file)
+      .withConf(conf).withType(LocalFileSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory = new SimpleGroupFactory(LocalFileSchema)
+      pts.foreach { p =>
+        val g = factory.newGroup()
+        g.append("address", p.address)
+        g.append("time", p.time)
+        g.append("payload", p.payload)
+        if (p.value != null)
+          g.append("value", Binary.fromConstantByteArray(p.value))
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+
+  /** Spark BinaryType order: unsigned lexicographic, shorter-prefix-first,
+    * nulls first under ascending — the local dedup must pick the same
+    * winner as [[readKind]]'s `firstWinsDedup`. */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int =
+    if (a eq b) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+
+  /** The pinned first-wins winner among duplicate (address, time) rows:
+    * smallest unsigned (payload, value) — identical to [[readKind]] and
+    * [[latestPerAddress]], so a local point-get can never disagree with a
+    * distributed scan of the same namespace. */
+  private val pinnedWinner: Ordering[Point] = (x: Point, y: Point) => {
+    val c = java.lang.Long.compareUnsigned(x.payload, y.payload)
+    if (c != 0) c else compareBytes(x.value, y.value)
+  }
+
+  /** Driver-local [[readSimple]]: identical contract (pruning, unsigned
+    * range, pinned dedup, unsigned (time, address) order) with one-object
+    * IO instead of a Spark job. For point-gets and small address sets. */
+  def readSimpleLocal(spark: SparkSession, n: Namespace, start: Long,
+                      end: Long, addrs: Seq[Long]): Seq[Point] =
+    readKindLocal(spark, n, "simple", start, end, addrs)
+      .map(p => p.copy(value = null))
+
+  /** Driver-local [[readExtended]] — see [[readSimpleLocal]]. */
+  def readExtendedLocal(spark: SparkSession, n: Namespace, start: Long,
+                        end: Long, addrs: Seq[Long]): Seq[Point] =
+    readKindLocal(spark, n, "extended", start, end, addrs)
+
+  private def readKindLocal(spark: SparkSession, n: Namespace, kind: String,
+                            start: Long, end: Long,
+                            addrs: Seq[Long]): Seq[Point] = {
+    val idx = mustFetchIndex(spark, n, kind)
+    if (addrs.isEmpty) return Nil
+    val liveOpt = livePointsPath(spark, n)
+    if (liveOpt.isEmpty) return Nil
+    val live = liveOpt.get
+    val f = fs(spark, live)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val addrSet = addrs.toSet
+    // targetObjs (StoreHelpers.hs:78-104): the same pruned (epoch, bucket)
+    // image readKind turns into partition predicates, walked directly
+    val rows = idx.rangeEntries(start, end).flatMap { case (e, bc) =>
+      addrs.map(a => EpochIndex.placeBucket(bc, a)).distinct.flatMap { b =>
+        val dir = new Path(s"$live/kind=$kind/epoch=$e/bucket=$b")
+        if (!f.exists(dir)) Nil
+        else f.listStatus(dir).toSeq
+          .filter(st => st.isFile && {
+            val nm = st.getPath.getName
+            !nm.startsWith("_") && !nm.startsWith(".")
+          })
+          .flatMap(st => readParquetPoints(conf, st.getPath))
+      }
+    }.filter(p => addrSet.contains(p.address) &&
+      java.lang.Long.compareUnsigned(p.time, start) >= 0 &&
+      java.lang.Long.compareUnsigned(p.time, end) <= 0)
+    rows.groupBy(p => (p.address, p.time)).valuesIterator
+      .map(_.min(pinnedWinner)).toVector.sorted(Point.ordering)
+  }
+
+  /** Driver-local [[writePoints]] for BOUNDED batches (a KV insert, a
+    * single-point append): same lease, same `EpochIndex` routing, same
+    * partitioned layout (one small file per touched (kind, epoch, bucket)),
+    * same monotonic watermark advance and rollover probe — without a Spark
+    * job. The reference's `insertWith` is one object append; this is its
+    * cost model. Throws [[LeaseContentionException]] exactly like
+    * [[writePoints]] under a contending writer. */
+  def writePointsLocal(spark: SparkSession, n: Namespace, points: Seq[Point],
+                       rolloverBytes: Long = DefaultRolloverBytes): Unit =
+    withWriterLease(spark, n) {
+      if (points.nonEmpty) {
+        val sIdx = mustFetchIndex(spark, n, "simple")
+        val eIdx = mustFetchIndex(spark, n, "extended")
+        val target = livePointsPath(spark, n).getOrElse(n.pointsDir)
+        val f = fs(spark, target)
+        val conf = spark.sparkContext.hadoopConfiguration
+        points.groupBy { p =>
+          val idx = if (p.isExtended) eIdx else sIdx
+          val (epoch, bucket) = EpochIndex.locate(idx, p.time, p.address)
+          (if (p.isExtended) "extended" else "simple", epoch, bucket)
+        }.foreach { case ((kind, epoch, bucket), pts) =>
+          val dir = new Path(s"$target/kind=$kind/epoch=$epoch/bucket=$bucket")
+          f.mkdirs(dir)
+          writeParquetPoints(conf,
+            new Path(dir, s"part-${java.util.UUID.randomUUID()}-local.snappy.parquet"),
+            pts)
+        }
+        val (s0, e0) = fetchLatest(spark, n)
+        val (simplePts, extPts) = points.partition(!_.isExtended)
+        val sMax = simplePts.foldLeft(s0)((a, p) => maxU(a, p.time))
+        val eMax = extPts.foldLeft(e0)((a, p) => maxU(a, p.time))
+        writeLatest(spark, n, sMax, eMax)
+        if (simplePts.nonEmpty)
+          maybeRollover(spark, n, "simple", sIdx, sMax, rolloverBytes, target)
+        if (extPts.nonEmpty)
+          maybeRollover(spark, n, "extended", eIdx, eMax, rolloverBytes, target)
+      }
+    }
 }
