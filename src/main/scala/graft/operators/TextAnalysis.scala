@@ -584,4 +584,34 @@ object TextAnalysis {
       .select(col(idCol), col("fp"))
       .distinct()
   }
+
+  /** Overlapping token-window chunking (RAG / context-window prep): fixed
+    * `window`-token chunks every `stride` tokens, the final partial chunk
+    * kept, empty docs emitting one empty chunk. Chunk count is
+    * ceil(max(n-window,0)/stride)+1 — pure integer arithmetic, so both
+    * engines agree exactly.
+    *
+    * Shape for 100 TB: tokenize → explode chunk ordinals → row-local
+    * slice+join. NO shuffle anywhere — the output inherits the scan's
+    * partitioning and pipelines straight into a downstream embed/dedup
+    * stage; the only cost is the bounded ~window/stride× row fan-out. The
+    * ordinal explode is the sanctioned generator form (a `transform` over a
+    * per-chunk lambda would re-evaluate the token array per element when
+    * CollapseProject inlines the alias — the r2 winnow O(n²) trap). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 32, stride: Int = 24): DataFrame = {
+    val base = df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("k",
+        expr(s"(greatest(n - $window, 0) + ${stride - 1}) div $stride + 1"))
+    base
+      .select(col(idCol), col("ts"), col("n"),
+        explode(sequence(lit(0), col("k") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("ts"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

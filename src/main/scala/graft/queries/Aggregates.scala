@@ -449,7 +449,47 @@ object Aggregates {
       |    AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Count-Min sketch heavy-hitter estimates ([[graft.operators.Sketches]],
+    * Cormode & Muthukrishnan 2005): a depth-4 × width-16 counter matrix
+    * over the event stream's user_id domain (ONE map-side-combined hash
+    * aggregate — 64 cells regardless of corpus size), probed for the 20
+    * heaviest users. The output pairs each exact count with the sketch
+    * estimate, so the gate pins the whole sketch cell-for-cell (the
+    * md5-prefix bucket hash is engine-identical) AND makes the one-sided
+    * error contract (est ≥ exact) visible in the gated data. Width 16
+    * against a few-hundred-user domain forces real collisions — the
+    * estimate is genuinely approximate yet bit-deterministic, unlike the
+    * HLL/quantile sketches whose internals can't hash-match an oracle
+    * (`agg_approx_distinct`). */
+  def aggCountmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.events(s, dir)
+    val counters = Sketches.countMinCounters(ev, "user_id", depth = 4, hexChars = 1)
+    val heavy = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    Sketches.countMinEstimate(counters, heavy, "user_id", depth = 4, hexChars = 1)
+      .orderBy(col("user_id"))
+  }
+
+  val aggCountminSql: String =
+    """WITH counters AS (
+      |  SELECT d, substr(md5('cm'||CAST(d AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,1) AS b,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events, (SELECT unnest(range(4)) AS d) GROUP BY d, b),
+      |heavy AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      |  FROM events GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20),
+      |probe AS (
+      |  SELECT user_id, exact_cnt, d,
+      |    substr(md5('cm'||CAST(d AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,1) AS b
+      |  FROM heavy, (SELECT unnest(range(4)) AS d))
+      |SELECT p.user_id, p.exact_cnt, min(c.c) AS est_cnt
+      |FROM probe p JOIN counters c ON p.d = c.d AND p.b = c.b
+      |GROUP BY p.user_id, p.exact_cnt ORDER BY p.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_countmin" -> aggCountmin,
     "agg_linear_fit" -> aggLinearFit,
     "agg_mode" -> aggMode,
     "fn_unpivot" -> aggUnpivot,
@@ -470,6 +510,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_countmin" -> aggCountminSql,
     "agg_linear_fit" -> aggLinearFitSql,
     "agg_mode" -> aggModeSql,
     "fn_unpivot" -> aggUnpivotSql,

@@ -1150,6 +1150,117 @@ object NorthStar {
       |    x -> CAST(CEIL(CAST(LENGTH(x) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Overlapping token-window chunking ([[TextAnalysis.chunk]], RAG prep):
+    * 32-token chunks every 24 tokens over every document — the shuffle-free
+    * fan-out stage that feeds embedding/dedup at corpus scale. The gate
+    * hash-checks every chunk's byte-exact text, ordinal, and token count. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val textChunkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+      |spec AS (
+      |  SELECT doc_id, ts, len(ts) AS n,
+      |    ((CASE WHEN len(ts) > 32 THEN len(ts) - 32 ELSE 0 END) + 23) // 24 + 1 AS k
+      |  FROM toks)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(least(32, n - i*24) AS BIGINT) AS n_tokens,
+      |  array_to_string(ts[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+      |FROM spec, LATERAL (SELECT unnest(range(k)) AS i) u
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** In-engine TRAINED quality model, closed form: a ridge-regularized
+    * linear probe (two cheap features — stopword ratio, chars-per-token —
+    * plus intercept) fit against a binary teacher label (lang = 'en') by
+    * the NORMAL EQUATIONS, then used to score every document; the gate
+    * checks the top-50. This is the distill-an-expensive-classifier-into-
+    * cheap-features pattern (fastText-quality style) with the training
+    * INSIDE the engine: the moment matrix XᵀX and XᵀY is one exact-decimal
+    * aggregate (features quantized to DECIMAL(18,6), sums exact and
+    * order-independent), and the 3×3 solve is Cramer's rule over doubles.
+    *
+    * Determinism across engines, without the iterative machinery the
+    * kmeans/PCA twins need: the moment sums are exact decimals (identical
+    * doubles after the final cast), and every downstream op is IEEE
+    * +,-,×,÷ — correctly rounded, so the IDENTICAL Cramer expression trees
+    * here and in the twin produce identical bits; no transcendentals
+    * anywhere (the logistic form would cost exp() bit-parity). At 100 TB
+    * the train step stays one map-side-combined aggregate producing nine
+    * doubles; scoring is a codegen'd projection — the model never touches
+    * a shuffle. */
+  def textQualityDistill(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val nTok = greatest(size(col("ts")), lit(1))
+    val feats = graft.CacheScope.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ts"))
+        .select(col("doc_id"),
+          round(size(filter(col("ts"), t => t.isInCollection(stops)))
+            .cast("double") / nTok, 6).cast("decimal(18,6)").as("x1"),
+          round(col("n_chars").cast("double") / nTok, 6)
+            .cast("decimal(18,6)").as("x2"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")))
+    val m = feats.agg(
+      count(lit(1)).cast("double").as("m00"),
+      sum(col("x1")).cast("double").as("m01"),
+      sum(col("x2")).cast("double").as("m02"),
+      (sum(col("x1") * col("x1")).cast("double") + 0.001).as("m11"),
+      sum(col("x1") * col("x2")).cast("double").as("m12"),
+      (sum(col("x2") * col("x2")).cast("double") + 0.001).as("m22"),
+      sum(col("y")).cast("double").as("b0"),
+      sum(col("x1") * col("y")).cast("double").as("b1"),
+      sum(col("x2") * col("y")).cast("double").as("b2")).head()
+    val (m00, m01, m02, m11, m12, m22, b0, b1, b2) =
+      (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3),
+        m.getDouble(4), m.getDouble(5), m.getDouble(6), m.getDouble(7),
+        m.getDouble(8))
+    // Cramer's rule — EXACTLY the twin's expression trees (left-assoc,
+    // same parenthesization): IEEE ops are correctly rounded, so equal
+    // inputs + equal trees = equal bits
+    val det = m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02)
+    val w0 = (b0*(m11*m22 - m12*m12) - m01*(b1*m22 - m12*b2) + m02*(b1*m12 - m11*b2)) / det
+    val w1 = (m00*(b1*m22 - b2*m12) - b0*(m01*m22 - m12*m02) + m02*(m01*b2 - b1*m02)) / det
+    val w2 = (m00*(m11*b2 - m12*b1) - m01*(m01*b2 - b1*m02) + b0*(m01*m12 - m11*m02)) / det
+    feats.select(col("doc_id"),
+        round(lit(w0) + lit(w1) * col("x1").cast("double") +
+          lit(w2) * col("x2").cast("double"), 6).as("yhat"),
+        col("y"))
+      .orderBy(col("yhat").desc, col("doc_id")).limit(50)
+  }
+
+  val textQualityDistillSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    CAST(round(CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+      |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS DECIMAL(18,6)) AS x1,
+      |    CAST(round(CAST(n_chars AS DOUBLE)
+      |      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS DECIMAL(18,6)) AS x2,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS m00,
+      |    CAST(sum(x1) AS DOUBLE) AS m01, CAST(sum(x2) AS DOUBLE) AS m02,
+      |    CAST(sum(x1*x1) AS DOUBLE) + 0.001 AS m11, CAST(sum(x1*x2) AS DOUBLE) AS m12,
+      |    CAST(sum(x2*x2) AS DOUBLE) + 0.001 AS m22,
+      |    CAST(sum(y) AS DOUBLE) AS b0, CAST(sum(x1*y) AS DOUBLE) AS b1, CAST(sum(x2*y) AS DOUBLE) AS b2
+      |  FROM feats),
+      |wts AS (
+      |  SELECT
+      |    (b0*(m11*m22 - m12*m12) - m01*(b1*m22 - m12*b2) + m02*(b1*m12 - m11*b2)) /
+      |    (m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02)) AS w0,
+      |    (m00*(b1*m22 - b2*m12) - b0*(m01*m22 - m12*m02) + m02*(m01*b2 - b1*m02)) /
+      |    (m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02)) AS w1,
+      |    (m00*(m11*b2 - m12*b1) - m01*(m01*b2 - b1*m02) + b0*(m01*m12 - m11*m02)) /
+      |    (m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02)) AS w2
+      |  FROM m)
+      |SELECT doc_id,
+      |  CAST(round(w0 + w1*CAST(x1 AS DOUBLE) + w2*CAST(x2 AS DOUBLE), 6) AS DOUBLE) AS yhat, y
+      |FROM feats, wts ORDER BY yhat DESC, doc_id LIMIT 50""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -2084,6 +2195,8 @@ object NorthStar {
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
+    "text_chunk" -> textChunk,
+    "text_quality_distill" -> textQualityDistill,
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
     "text_tfidf" -> textTfidf,
@@ -2144,6 +2257,8 @@ object NorthStar {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
+    "text_chunk" -> textChunkSql,
+    "text_quality_distill" -> textQualityDistillSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
     "text_tfidf" -> textTfidfSql,

@@ -352,7 +352,68 @@ object Pipeline {
       |FROM g JOIN q USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Domain-mixture resampling: hit a TARGET mixture (web 60% / books 30% /
+    * code 10%, domains derived from the source id) with the largest corpus
+    * the available per-domain pools allow, never upsampling — the training-
+    * mix step every LLM data pipeline runs (The Pile / Dolma publish
+    * exactly such target-weight tables). The feasible budget is
+    * N* = min_d(n_d·100 div pct_d) (the binding domain is fully consumed),
+    * takes are pct_d·N* div 100 — ALL integer arithmetic, so both engines
+    * agree exactly. Selection within a domain is the repo's deterministic
+    * md5-salted rank: every engine (and every re-run, at any partitioning)
+    * picks the same docs.
+    *
+    * 100 TB shape: per-domain counts are one tiny aggregate; the budget and
+    * takes are driver-scale scalars broadcast back; selection is one
+    * window rank per domain — Spark rewrites `row_number <= k` into
+    * WindowGroupLimit, so each partition keeps only its local top-k before
+    * the shuffle (same shape as [[sampleStratified]]). */
+  def mixDomains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val tagged = Tables.documents(s, dir).select(col("doc_id"),
+      expr("CASE CAST(substring(source, 4, 18) AS BIGINT) % 3 " +
+        "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END").as("domain"))
+    val weights = Seq(("web", 60L), ("books", 30L), ("code", 10L))
+      .toDF("domain", "pct")
+    val sizes = tagged.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .join(broadcast(weights), "domain")
+    val nstar = sizes.agg(min(expr("n * 100 div pct")).as("nstar"))
+    val takes = sizes.crossJoin(broadcast(nstar))
+      .select(col("domain"), expr("pct * nstar div 100").as("take"))
+    val w = Window.partitionBy(col("domain")).orderBy(
+      md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")),
+      col("doc_id"))
+    tagged.withColumn("rk", row_number().over(w))
+      .join(broadcast(takes), "domain")
+      .filter(col("rk") <= col("take"))
+      .select(col("doc_id"), col("domain"), col("rk").cast("long").as("rk"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  val mixDomainsSql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id,
+      |    CASE CAST(substr(source, 4) AS BIGINT) % 3
+      |      WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS domain
+      |  FROM documents),
+      |w AS (SELECT * FROM (VALUES ('web', 60), ('books', 30), ('code', 10)) AS t(domain, pct)),
+      |sizes AS (
+      |  SELECT t.domain, CAST(count(*) AS BIGINT) AS n, any_value(w.pct) AS pct
+      |  FROM tagged t JOIN w ON t.domain = w.domain GROUP BY t.domain),
+      |budget AS (SELECT min(n * 100 // pct) AS nstar FROM sizes),
+      |takes AS (SELECT domain, pct * (SELECT nstar FROM budget) // 100 AS take FROM sizes),
+      |ranked AS (
+      |  SELECT doc_id, domain,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM tagged)
+      |SELECT r.doc_id, r.domain, CAST(r.rk AS BIGINT) AS rk
+      |FROM ranked r JOIN takes t ON r.domain = t.domain
+      |WHERE r.rk <= t.take ORDER BY r.domain, r.rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_domains" -> mixDomains,
     "pipeline_data_card" -> pipelineDataCard,
     "sample_stratified" -> sampleStratified,
     "sample_reservoir" -> sampleReservoir,
@@ -362,6 +423,7 @@ object Pipeline {
     "pipeline_clean_split" -> pipelineCleanSplit)
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_mix_domains" -> mixDomainsSql,
     "pipeline_data_card" -> pipelineDataCardSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir" -> sampleReservoirSql,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sketches, TextAnalysis}
+
+/** Properties of the Count-Min sketch and token-window chunker that the
+  * DuckDB hash gate can't express: the sketch's one-sided error and
+  * mergeability (the distributed-correctness core — partial sketches
+  * cell-wise-summed equal the whole-corpus sketch), and the chunker's
+  * coverage/reconstruction invariants. */
+class SketchChunkSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("count-min estimates are never below the exact count") {
+    import spark.implicits._
+    val keys = (1L to 400L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val df = keys.toDF("k")
+    val counters = Sketches.countMinCounters(df, "k", depth = 4, hexChars = 1)
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(counters, exact, "k", depth = 4, hexChars = 1)
+    val rows = est.collect()
+    assert(rows.length === 400)
+    assert(rows.forall(r => r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact")))
+    // width 16 over 400 keys MUST collide — the sketch is genuinely
+    // approximate, not a disguised exact count
+    assert(rows.exists(r => r.getAs[Long]("est_cnt") > r.getAs[Long]("exact")))
+  }
+
+  test("count-min sketches merge: shard sketches cell-wise-summed equal the whole") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("k")
+    val whole = Sketches.countMinCounters(df, "k", depth = 4, hexChars = 1)
+    val a = Sketches.countMinCounters(df.filter(col("k") <= 150), "k", 4, 1)
+    val b = Sketches.countMinCounters(df.filter(col("k") > 150), "k", 4, 1)
+    val merged = a.unionAll(b).groupBy(col("d"), col("b"))
+      .agg(sum(col("c")).as("c"))
+    val diff = merged.join(whole, Seq("d", "b"), "full")
+      .filter(merged("c") =!= whole("c") ||
+        merged("c").isNull || whole("c").isNull)
+    assert(diff.count() === 0)
+  }
+
+  test("chunker covers every token and reconstructs the doc") {
+    val df = docs(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 toks -> 4 chunks
+      (2L, (1 to 32).map(i => s"u$i").mkString(" ")),   // exactly one window
+      (3L, "a b c"),                                    // shorter than window
+      (4L, ""))                                         // empty doc
+    val out = TextAnalysis.chunk(df, "id", "text", window = 32, stride = 24)
+      .orderBy(col("id"), col("chunk_idx")).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    // chunk counts: ceil(max(n-32,0)/24)+1
+    assert(byDoc(1L).length === 4 && byDoc(2L).length === 1 &&
+      byDoc(3L).length === 1 && byDoc(4L).length === 1)
+    // doc 1: strides cover tokens 1..100; final chunk is the tail
+    val chunks1 = byDoc(1L).map(_.getString(3).split(" ").toSeq)
+    assert(chunks1.head === (1 to 32).map(i => s"t$i"))
+    assert(chunks1(1) === (25 to 56).map(i => s"t$i"))  // overlap of 8
+    assert(chunks1.last === (73 to 100).map(i => s"t$i"))
+    // reconstruction: stride-prefixes of all but the last + the last chunk
+    val rebuilt = chunks1.dropRight(1).flatMap(_.take(24)) ++ chunks1.last
+    assert(rebuilt === (1 to 100).map(i => s"t$i"))
+    // n_tokens column matches the actual slice
+    assert(byDoc(1L).map(_.getLong(2)).toSeq === Seq(32L, 32L, 32L, 28L))
+    // empty doc: one empty chunk, 0 tokens
+    assert(byDoc(4L).head.getLong(2) === 0L &&
+      byDoc(4L).head.getString(3) === "")
+  }
+}
