@@ -90,6 +90,71 @@ object Streaming {
       |WHERE epoch_us(date_trunc('hour', ts)) // 1000 + 3600000 <= wm_ms
       |GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin
 
+  /** Trending top-k over SLIDING windows — the seventh streaming shape:
+    * overlapping 2-hour windows sliding hourly (every event lands in TWO
+    * windows — the overlap is what a tumbling shape can't express), driven
+    * through a real streaming execution with the same watermark/append
+    * emission contract as [[streamEventsTumbling]]. Ranking is not an
+    * incremental aggregate, so the top-3 per emitted window is computed on
+    * the sink read-back — exactly the serving split a production trending
+    * pipeline uses (stream maintains windowed counts; a cheap batch/serving
+    * layer ranks them). The twin recomputes the two-window explode, the
+    * ms-floored watermark cutoff, and the (count desc, type) rank from
+    * first principles. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = tempWorkspace("graft-stream-topk")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val batchSchema = Tables.eventsRaw(s, dir).schema
+    val src = Tables.nsTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sink = StreamingIngest.windowedCounts(src, "ts",
+      watermarkDelay = "1 hour", windowLen = "2 hours", slide = Some("1 hour"))
+    val q = sink.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("window_ns"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    s.read.schema(sink.schema).parquet(out)
+      .select((unix_micros(col("window_start")) * 1000L).as("window_ns"),
+        col("event_type"), col("n_events"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("window_ns"), col("rk").cast("long").as("rk"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_ns"), col("rk"))
+  }
+
+  /** Twin: each event belongs to the two hourly-aligned 2 h windows
+    * starting at floor_hour(t) and floor_hour(t)−1h; a window is emitted
+    * iff its END (ms) is at or before the final watermark (max event ms −
+    * 1 h) — the same integer rule as [[streamEventsTumblingSql]]. */
+  val streamTopkSql: String =
+    """WITH wm AS (
+      |  SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+      |assigned AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) - 3600000000 * g AS start_us,
+      |    event_type
+      |  FROM events, (SELECT unnest(range(2)) AS g)),
+      |counted AS (
+      |  SELECT start_us, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM assigned, wm
+      |  WHERE start_us // 1000 + 7200000 <= wm_ms
+      |  GROUP BY start_us, event_type),
+      |ranked AS (
+      |  SELECT start_us * 1000 AS window_ns, event_type, n_events,
+      |    row_number() OVER (PARTITION BY start_us
+      |      ORDER BY n_events DESC, event_type) AS rk
+      |  FROM counted)
+      |SELECT window_ns, CAST(rk AS BIGINT) AS rk, event_type, n_events
+      |FROM ranked WHERE rk <= 3 ORDER BY window_ns, rk""".stripMargin
+
   /** Watermark-bounded streaming dedup driven through a real execution —
     * the exactly-once ingest shape ([[StreamingIngest.dedupStream]]):
     * events stream through `dropDuplicatesWithinWatermark` on
@@ -355,6 +420,7 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_decontaminate" -> streamDecontaminate,
     "stream_events_tumbling" -> streamEventsTumbling,
+    "stream_topk" -> streamTopk,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
     "stream_attribution" -> streamAttribution,
@@ -363,6 +429,7 @@ object Streaming {
   def oracleSql: Map[String, String] = Map(
     "stream_decontaminate" -> streamDecontaminateSql,
     "stream_events_tumbling" -> streamEventsTumblingSql,
+    "stream_topk" -> streamTopkSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,
