@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.SortsSetsFns.queries ++
       graft.queries.NorthStar.queries ++
       graft.queries.Pipeline.queries ++
+      graft.queries.Graph.queries ++
       graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.SortsSetsFns.oracleSql ++
       graft.queries.NorthStar.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
+      graft.queries.Graph.oracleSql ++
       graft.queries.Streaming.oracleSql
 }
