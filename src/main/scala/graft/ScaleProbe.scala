@@ -384,6 +384,61 @@ object ScaleProbe {
       time("emb_outliers", n) {
         Similarity.centroidOutlierStats(lemb, "vec_id", "label", "embedding")
       }
+      // chunking: shuffle-free tokenize → ordinal explode → slice; growth
+      // must be linear in corpus tokens with a ~window/stride fan-out
+      // constant and uniform tasks (row-local work only)
+      time("text_chunk", n) {
+        TextAnalysis.chunk(docs, "doc_id", "text")
+      }
+      // count-min: counter matrix is ONE map-side-combined aggregate to
+      // depth×width cells; growth must be linear in rows with the shuffle
+      // volume CONSTANT (64 cells per partition regardless of n)
+      time("agg_countmin", n) {
+        val keyed = docs.select(pmod(xxhash64(col("doc_id")), lit(1000L)).as("k"))
+        val counters = graft.operators.Sketches
+          .countMinCounters(keyed, "k", depth = 4, hexChars = 1)
+        val heavy = keyed.groupBy(col("k"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("k")).limit(20)
+        graft.operators.Sketches
+          .countMinEstimate(counters, heavy, "k", depth = 4, hexChars = 1)
+      }
+      // pagerank: 3 unrolled join+aggregate rounds over a bipartite
+      // doc↔source graph; ranks stay node-narrow, so growth tracks the
+      // EDGE count (distinct doc-source pairs ≈ n) per round
+      timeAction("graph_pagerank", n) {
+        val ev = docs.select(col("doc_id").as("user_id"),
+          col("source").as("event_type"))
+        val und = ev.select(
+            concat(lit("u:"), col("user_id").cast("string")).as("a"),
+            concat(lit("t:"), col("event_type")).as("b")).distinct()
+        val edges = CacheScope.cache(
+          und.select(col("a").as("src"), col("b").as("dst"))
+            .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = CacheScope.cache(
+          edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+        val nn = deg.count()
+        var ranks = deg.select(col("src").as("node"), col("deg"),
+          round(lit(1.0 / nn), 9).cast("decimal(18,9)").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("deg", "ndeg"),
+              col("src") === col("node"))
+            .select(col("dst"),
+              round(col("r").cast("double") / col("ndeg").cast("double"), 9)
+                .cast("decimal(18,9)").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          // superstep materialization — mirrors Graph.pagerank exactly
+          ranks = CacheScope.cache(deg
+            .join(contrib, col("src") === col("dst"), "left")
+            .select(col("src").as("node"), col("deg"),
+              round(lit(0.15 / nn) +
+                lit(0.85) * coalesce(col("s"), lit(0)).cast("double"), 9)
+                .cast("decimal(18,9)").as("r")))
+          ranks.count()
+        }
+        ranks.write.format("noop").mode("overwrite").save()
+      }
       } // !skewOnly
       // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf
       // head), joined to a keyed dim, aggregated per key. Three plans

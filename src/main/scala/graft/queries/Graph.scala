@@ -43,7 +43,8 @@ object Graph {
     val edges = graft.CacheScope.cache(
       und.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = graft.CacheScope.cache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     // uniform start, quantized exactly like every later iterate
     var ranks = deg.select(col("src").as("node"), col("deg"),
@@ -53,18 +54,26 @@ object Graph {
       // BOTH lineages (directly and through ranks), so df("col") references
       // would trip the ambiguous-self-join check
       val contrib = edges
-        .join(broadcast(ranks.withColumnRenamed("deg", "ndeg")),
+        .join(ranks.withColumnRenamed("deg", "ndeg"),
           col("src") === col("node"))
         .select(col("dst"),
           round(col("r").cast("double") / col("ndeg").cast("double"), 9)
             .cast("decimal(18,9)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = deg
+      // Pregel superstep materialization: persist each iterate and CUT the
+      // plan there — without it the final plan is the whole 3-round chain
+      // and AQE sizes every rank join from the base-table estimate (a
+      // measured 4.5× cliff at 1.28M nodes when the join strategy flips);
+      // with it each round's join is planned against the materialized
+      // node-narrow frame's REAL size. Eagerly counted: two downstream
+      // consumers must not race the fill (verify-recipe rule).
+      ranks = graft.CacheScope.cache(deg
         .join(contrib, col("src") === col("dst"), "left")
         .select(col("src").as("node"), col("deg"),
           round(lit(0.15 / n) +
             lit(0.85) * coalesce(col("s"), lit(0)).cast("double"), 9)
-            .cast("decimal(18,9)").as("r"))
+            .cast("decimal(18,9)").as("r")))
+      ranks.count()
     }
     ranks.select(col("node"), col("r").cast("double").as("pr"))
       .orderBy(col("node"))

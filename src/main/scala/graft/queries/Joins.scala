@@ -354,7 +354,50 @@ object Joins {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n_name, c_custkey""".stripMargin
 
+  /** Blocked fuzzy string join (edit-distance similarity join): part names
+    * within levenshtein ≤ 3 of each other. The scalable shape, in order:
+    * (1) DEDUPE to the string domain first — a grouped aggregate collapses
+    * row-count to name-count, which is what makes the self-join feasible
+    * (string domains are orders of magnitude smaller than fact tables);
+    * (2) BLOCK on cheap signatures (shared last token + length within ±3 —
+    * edit distance ≥ length difference, so the band is lossless for the
+    * threshold); (3) VERIFY with the O(len²) DP only inside blocks.
+    * Levenshtein is exact integer DP in both engines, so the whole join is
+    * hash-gated. Never the naive n² name cross join, and never the DP on
+    * un-blocked pairs. */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .withColumn("ln", length(col("p_name")))
+    val a = names.select(col("p_name").as("name_a"),
+      col("n_parts").as("parts_a"), col("blk"), col("ln").as("ln_a"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("n_parts").as("parts_b"), col("blk").as("blk_b"), col("ln").as("ln_b"))
+    a.join(b, col("blk") === col("blk_b") &&
+        abs(col("ln_a") - col("ln_b")) <= 3 && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("parts_a"), col("parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val joinFuzzySql: String =
+    """WITH names AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+      |    string_split(p_name, ' ')[-1] AS blk, length(p_name) AS ln
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  a.n_parts AS parts_a, b.n_parts AS parts_b
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 3 AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy" -> joinFuzzy,
     "join_lateral" -> joinLateral,
     "join_skew_salted" -> joinSkewSalted,
     "join_inner" -> joinInner,
@@ -370,6 +413,7 @@ object Joins {
     "join_asof_tolerance" -> joinAsofTolerance)
 
   def oracleSql: Map[String, String] = Map(
+    "join_fuzzy" -> joinFuzzySql,
     "join_lateral" -> joinLateralSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_inner" -> joinInnerSql,
