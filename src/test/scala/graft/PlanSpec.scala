@@ -558,4 +558,37 @@ class PlanSpec extends SparkSpec {
       s.head.partitionFilters, s.head.dataFilters)
     assert(parts.length === 1, parts.map(_.values.toString))
   }
+
+  test("text_chunk is shuffle-free (tokenize → explode → slice, no Exchange)") {
+    // the fan-out stage must inherit the scan's partitioning: at corpus
+    // scale any exchange here shuffles the full token stream for nothing.
+    // (Tables.documents itself round-robins the small fixture for local
+    // parallelism — the guard is that chunking adds NOTHING on top.)
+    def exchanges(df: DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val base = exchanges(Tables.documents(spark, sf("0.001")))
+    val df = graft.operators.TextAnalysis.chunk(
+      Tables.documents(spark, sf("0.001")), "doc_id", "text")
+    assert(exchanges(df) === base,
+      df.queryExecution.executedPlan.toString.take(600))
+  }
+
+  test("agg_countmin broadcasts the counter matrix (fact side never re-shuffles)") {
+    val df = SparkEntry.queries("agg_countmin")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the d×w cell matrix is the small side of the probe join by
+    // construction — a sort-merge here would shuffle the probe stream on
+    // the sketch cell key
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("join_fuzzy verifies inside blocks only (no all-pairs nested loop)") {
+    val df = SparkEntry.queries("join_fuzzy")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the levenshtein DP must run on block-join survivors; a nested-loop
+    // join would mean the blocking keys fell out of the join condition
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join degraded to all-pairs")
+  }
 }
