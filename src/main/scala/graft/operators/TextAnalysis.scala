@@ -585,6 +585,68 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** BPE merge-rule induction (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the tokenizer-
+    * training step of an LLM data pipeline, run IN the engine. Classic
+    * byte-pair encoding over the word-frequency table: each word is a
+    * space-separated symbol string (characters + a `</w>` end marker,
+    * wrapped in sentinel spaces so merges are plain substring replaces);
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair (ties broken by lexicographic
+    * (lhs, rhs) — deterministic), and rewrites the vocabulary. Returns the
+    * merge table `(step, lhs, rhs, merged, pair_freq)`.
+    *
+    * 100 TB shape: the ONLY corpus-scale step is the word-frequency
+    * aggregate (one map-side-combined groupBy). Every merge round then
+    * operates on the VOCABULARY table — orders of magnitude smaller than
+    * the corpus and independent of corpus growth once saturated — cached
+    * per round with the superstep-materialization discipline (see
+    * [[graft.queries.Graph.pagerank]]: AQE only sees stats at
+    * materialization boundaries). The per-round argmax is one row of
+    * driver model state, exactly like a k-means centroid collect. */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val w0 = df
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+          lit(" </w> ")).as("sym"),
+        col("freq"))
+    var words = graft.CacheScope.cache(w0)
+    words.count()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to k) {
+      val pairs = words
+        .select(col("freq"), split(trim(col("sym")), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), col("arr"),
+          explode(sequence(lit(0), size(col("arr")) - 2)).as("i"))
+        .select(col("freq"),
+          element_at(col("arr"), col("i") + 1).as("lhs"),
+          element_at(col("arr"), col("i") + 2).as("rhs"))
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, l, r, l + r, cnt))
+      // plain substring replace (NOT regex): symbols are \w chars and the
+      // </w> marker, sentinel spaces make every occurrence ' l r ' and
+      // left-to-right non-overlapping replace matches BPE's greedy-left
+      // merge in both engines
+      words = graft.CacheScope.cache(words.select(
+        regexp_replace(col("sym"), lit(java.util.regex.Pattern.quote(s" $l $r ")),
+          lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))).as("sym"),
+        col("freq")))
+      words.count()
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "merged", "pair_freq")
+      .orderBy(col("step"))
+  }
+
   /** Overlapping token-window chunking (RAG / context-window prep): fixed
     * `window`-token chunks every `stride` tokens, the final partial chunk
     * kept, empty docs emitting one empty chunk. Chunk count is

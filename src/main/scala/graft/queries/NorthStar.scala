@@ -1171,6 +1171,45 @@ object NorthStar {
       |FROM spec, LATERAL (SELECT unnest(range(k)) AS i) u
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** In-engine BPE tokenizer training ([[TextAnalysis.bpeMerges]]): the
+    * first 6 merge rules learned from the corpus, hash-gated. The twin
+    * unrolls the identical 6 rounds as generated CTEs (word-freq table →
+    * pair counts → lexicographic-tie-broken argmax → sentinel-space
+    * substring replace), so a divergence in ANY round's pair statistics or
+    * merge application breaks the gate. */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", k = 6)
+
+  val textBpeMergesSql: String = {
+    // one round: best_t picks the argmax pair of w_{t-1}; w_t rewrites.
+    // DuckDB replace() is plain substring replace-all, left-to-right
+    // non-overlapping — same greedy-left merge as the engine.
+    def round(t: Int): String = {
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""pairs$t AS (
+         |  SELECT arr[i+1] AS lhs, arr[i+2] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(sym), ' ') AS arr FROM $prev),
+         |    LATERAL (SELECT unnest(range(len(arr) - 1)) AS i) u
+         |  WHERE len(arr) >= 2 GROUP BY lhs, rhs),
+         |best$t AS (
+         |  SELECT $t AS step, lhs, rhs, lhs||rhs AS merged, cnt AS pair_freq
+         |  FROM pairs$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$t AS (
+         |  SELECT replace(sym, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS sym, freq
+         |  FROM $prev, best$t)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT ' '||array_to_string(regexp_extract_all(word, '.'), ' ')||' </w> ' AS sym,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, pair_freq FROM (
+       |  ${(1 to 6).map(t => s"SELECT * FROM best$t").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   /** In-engine TRAINED quality model, closed form: a ridge-regularized
     * linear probe (two cheap features — stopword ratio, chars-per-token —
     * plus intercept) fit against a binary teacher label (lang = 'en') by
@@ -2196,6 +2235,7 @@ object NorthStar {
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
     "text_chunk" -> textChunk,
+    "text_bpe_merges" -> textBpeMerges,
     "text_quality_distill" -> textQualityDistill,
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
@@ -2258,6 +2298,7 @@ object NorthStar {
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_chunk" -> textChunkSql,
+    "text_bpe_merges" -> textBpeMergesSql,
     "text_quality_distill" -> textQualityDistillSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,

@@ -45,6 +45,21 @@ class SketchChunkSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("bpe merges follow greedy frequency order with lexicographic ties") {
+    // 'aaab' ×3 by hand: r1 (a,a)=6 wins; r2 three-way tie at 3 → lex
+    // smallest lhs 'a' → (a,b); r3 tie (aa,ab)/(ab,</w>) → (aa,ab);
+    // r4 only (aaab,</w>) remains
+    val df = docs((1L, "aaab aaab aaab"))
+    val out = TextAnalysis.bpeMerges(df, "text", k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 3L),
+      (4L, "aaab", "</w>", "aaab</w>", 3L)))
+  }
+
   test("chunker covers every token and reconstructs the doc") {
     val df = docs(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 toks -> 4 chunks
