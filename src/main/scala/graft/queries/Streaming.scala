@@ -155,6 +155,56 @@ object Streaming {
       |SELECT window_ns, CAST(rk AS BIGINT) AS rk, event_type, n_events
       |FROM ranked WHERE rk <= 3 ORDER BY window_ns, rk""".stripMargin
 
+  /** ONLINE vector retrieval — the eighth streaming shape: probe
+    * embeddings ARRIVE as a stream (4 staged files → 4 real micro-batches)
+    * and each batch is served top-k against the static corpus inside
+    * `foreachBatch`, the Structured Streaming idiom for per-batch
+    * batch-DataFrame logic (ranking isn't an incremental aggregate, so the
+    * serving join runs as ordinary batch code per trigger — exactly how a
+    * production retrieval endpoint rides an ingest stream). The gate pins
+    * the ONLINE = OFFLINE parity claim: results accumulated across
+    * micro-batch arrivals must hash-equal the twin's one-shot batch
+    * retrieval over all probes. Per-batch cost tracks the batch (corpus
+    * side is a broadcast-probe codegen scan, [[graft.operators.Similarity
+    * .bruteForceTopK]]); no stream state at all. */
+  def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val tmp = tempWorkspace("graft-stream-ann")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val staged = s"$tmp/staged"
+    val corpus = Tables.embeddings(s, dir)
+    val probes = corpus.filter(col("vec_id") < 20)
+    probes.repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.bruteForceTopK(corpus, batch, "vec_id", "embedding", 5)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the one-shot batch retrieval over the same probe set — the
+    * online path must be indistinguishable from it. */
+  val streamAnnServeSql: String =
+    """WITH scored AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS nbr_id,
+      |    ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |      / (SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+      |       * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos_sim
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id < 20 AND c.vec_id != p.vec_id)
+      |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+      |  SELECT query_id, nbr_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Watermark-bounded streaming dedup driven through a real execution —
     * the exactly-once ingest shape ([[StreamingIngest.dedupStream]]):
     * events stream through `dropDuplicatesWithinWatermark` on
@@ -421,6 +471,7 @@ object Streaming {
     "stream_decontaminate" -> streamDecontaminate,
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_topk" -> streamTopk,
+    "stream_ann_serve" -> streamAnnServe,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
     "stream_attribution" -> streamAttribution,
@@ -430,6 +481,7 @@ object Streaming {
     "stream_decontaminate" -> streamDecontaminateSql,
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_topk" -> streamTopkSql,
+    "stream_ann_serve" -> streamAnnServeSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,
