@@ -439,6 +439,52 @@ object ScaleProbe {
         }
         ranks.write.format("noop").mode("overwrite").save()
       }
+      // KV point ops: the reference's Mutable.lookup/insertWith are
+      // SINGLE-object IO; this measures the engine's two paths for the
+      // same contract — the driver-local single-object read
+      // (readExtendedLocal, one pruned bucket-file read) vs the
+      // distributed scan (readExtended → collect, a full Spark job) — and
+      // the local single-point append. 20 ops each over a populated
+      // 128-bucket store; per-op ms is the headline (job scheduling is the
+      // distributed path's floor, irrespective of data size)
+      timeAction("kv_point_ops", n) {
+        import graft.core.Point
+        import graft.sources.{MutableKV, TimeStore}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-kv-probe").toString
+        val ns = TimeStore.namespace(root, "KVPROBE")
+        // populate: n/100 extended points through the bulk path
+        val m = math.max(n / 100, 1000L)
+        import spark.implicits._
+        TimeStore.register(spark, ns, MutableKV.MutableBuckets,
+          MutableKV.MutableBuckets)
+        TimeStore.writePoints(spark, ns,
+          spark.range(m).map(i => Point(i * 2 + 1, 1L, 8L,
+            java.nio.ByteBuffer.allocate(8).putLong(i).array())))
+        def ms(k: Int)(body: => Unit): Double = {
+          val t0 = System.nanoTime(); (1 to k).foreach(_ => body)
+          (System.nanoTime() - t0) / 1e6 / k
+        }
+        val addrs = (0 until 20).map(i => (i * (m / 20)) * 2 + 1)
+        val localMs = ms(20) {
+          addrs.foreach { a =>
+            TimeStore.readExtendedLocal(spark, ns, 0L, -1L, Seq(a))
+          }
+        } / 20
+        val distMs = ms(1) {
+          addrs.foreach { a =>
+            TimeStore.readExtended(spark, ns, 0L, -1L, Seq(a)).collect()
+          }
+        } / 20
+        val writeMs = ms(20) {
+          TimeStore.writePointsLocal(spark, ns,
+            Seq(Point(99999999L * 2 + 1, 7L, 4L, Array[Byte](1, 2, 3, 4))),
+            rolloverBytes = Long.MaxValue)
+        }
+        println(f"""{"op":"kv_point_ops_detail","n":$n,""" +
+          f""""local_get_ms":$localMs%.2f,"dist_get_ms":$distMs%.2f,""" +
+          f""""local_put_ms":$writeMs%.2f}""")
+      }
       } // !skewOnly
       // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf
       // head), joined to a keyed dim, aggregated per key. Three plans
