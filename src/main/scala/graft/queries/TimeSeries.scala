@@ -781,7 +781,95 @@ object TimeSeries {
       |FROM base WHERE rn = 1
       |ORDER BY user_id, effective_from""".stripMargin
 
+  /** Seasonal decomposition, hour-of-day profile form: the per-(type, hour)
+    * seasonal mean from exact decimal sums, joined back (broadcast — the
+    * profile is types×24 rows at ANY corpus size) to rank each type's
+    * top-3 seasonally-adjusted deviations. This is [[anomaly]]'s global
+    * z-score with the periodic component removed first — the difference
+    * that matters for diurnal metrics, where a midnight dip is normal and
+    * the same value at noon is the anomaly. One profile aggregate + one
+    * broadcast join + one per-type window; the fact stream shuffles once. */
+  def seasonal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("(ts div 3600000000000) % 24").as("hod"),
+      col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+    val prof = ev.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("event_type"), col("hod"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean_v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("residual")).desc, col("event_id"))
+    ev.join(broadcast(prof), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hod"), col("event_id"),
+        col("v").cast("double").as("value"),
+        round(col("v").cast("double") - col("mean_v"), 6).as("residual"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("event_id"), col("hod"), col("value"), col("residual"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val seasonalSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(epoch_ns(ts) // 3600000000000 % 24 AS BIGINT) AS hod,
+      |    event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |prof AS (
+      |  SELECT event_type, hod,
+      |    ROUND(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
+      |  FROM ev GROUP BY event_type, hod),
+      |j AS (
+      |  SELECT e.event_type, e.hod, e.event_id,
+      |    CAST(e.v AS DOUBLE) AS value,
+      |    ROUND(CAST(e.v AS DOUBLE) - p.mean_v, 6) AS residual
+      |  FROM ev e JOIN prof p
+      |    ON e.event_type = p.event_type AND e.hod = p.hod)
+      |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, hod, value, residual
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(residual) DESC, event_id) AS rk FROM j)
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  /** Contiguous event-sequence matching (MATCH_RECOGNIZE-lite): count
+    * STRICT view→click→purchase runs per user — no intervening events —
+    * complementing [[graft.queries.Windows]]' funnel_conversion, whose
+    * steps may be arbitrarily separated. The per-user journey is folded to
+    * an initials string with a deterministic (ts, event_id) order (Spark:
+    * sort the collected structs — collect_list order is partition-
+    * dependent, the sort pins it), and occurrences are counted by
+    * length-difference after a plain substring replace — identical
+    * left-to-right non-overlap semantics in both engines, no regex
+    * dialect in play. One aggregate; journeys are per-user-bounded. */
+  def seqPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts").as("tu"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("ini"))
+    ev.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("tu"), col("event_id"), col("ini")))),
+          x => x.getField("ini")), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+        expr("(length(seq) - length(replace(seq, 'vcp', ''))) div 3")
+          .cast("long").as("n_funnels"))
+      .filter(col("n_funnels") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val seqPatternSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type,1,1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS BIGINT) AS n_funnels
+      |FROM s WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal"       -> seasonal,
+    "ts_seq_pattern"    -> seqPattern,
     "ts_intervals"      -> intervals,
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
@@ -801,6 +889,8 @@ object TimeSeries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ts_seasonal"       -> seasonalSql,
+    "ts_seq_pattern"    -> seqPatternSql,
     "ts_intervals"      -> intervalsSql,
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
