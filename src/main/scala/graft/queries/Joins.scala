@@ -396,7 +396,62 @@ object Joins {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** MERGE INTO semantics (the lakehouse upsert), expressed relationally:
+    * a change set (per-customer spend, plus synthetic new keys) merges
+    * into the customer table — WHEN MATCHED update the balance, WHEN NOT
+    * MATCHED insert, untouched rows kept — as ONE full outer join +
+    * row-local CASE. This is exactly the join Delta/Iceberg MERGE plans
+    * under the hood; at scale it shuffles both sides once on the key (or
+    * broadcasts a small change set), and the `action` column makes the
+    * three-way row accounting hash-gated, not just the end state. Exact
+    * decimal balance arithmetic; deletes would be one more CASE branch
+    * emitting a filter flag. */
+  def joinMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(s, dir).groupBy(col("o_custkey").as("key"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("spend"))
+    val updates = src.filter(col("key") % 50 =!= 0)
+      .unionAll(src.filter(col("key") % 50 === 0)
+        .select((col("key") + 1000000L).as("key"), col("spend")))
+    val c = Tables.customer(s, dir)
+    val matched = c("c_custkey").isNotNull && updates("key").isNotNull
+    c.join(updates, c("c_custkey") === updates("key"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), updates("key")).as("key"),
+        coalesce(c("c_name"),
+          concat(lit("new-"), updates("key").cast("string"))).as("name"),
+        when(matched,
+            c("c_acctbal").cast("decimal(18,2)") - updates("spend"))
+          .when(c("c_custkey").isNotNull, c("c_acctbal").cast("decimal(18,2)"))
+          .otherwise(updates("spend")).cast("double").as("balance"),
+        when(matched, "updated")
+          .when(c("c_custkey").isNotNull, "kept")
+          .otherwise("inserted").as("action"))
+      .orderBy(col("key"))
+  }
+
+  val joinMergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |updates AS (
+      |  SELECT * FROM src WHERE key % 50 != 0
+      |  UNION ALL SELECT key + 1000000 AS key, spend FROM src WHERE key % 50 = 0)
+      |SELECT COALESCE(c.c_custkey, u.key) AS key,
+      |  COALESCE(c.c_name, 'new-' || CAST(u.key AS VARCHAR)) AS name,
+      |  CAST(CASE
+      |    WHEN c.c_custkey IS NOT NULL AND u.key IS NOT NULL
+      |      THEN CAST(c.c_acctbal AS DECIMAL(18,2)) - u.spend
+      |    WHEN c.c_custkey IS NOT NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+      |    ELSE u.spend END AS DOUBLE) AS balance,
+      |  CASE WHEN c.c_custkey IS NOT NULL AND u.key IS NOT NULL THEN 'updated'
+      |       WHEN c.c_custkey IS NOT NULL THEN 'kept' ELSE 'inserted' END AS action
+      |FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+      |ORDER BY key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_merge_upsert" -> joinMergeUpsert,
     "join_fuzzy" -> joinFuzzy,
     "join_lateral" -> joinLateral,
     "join_skew_salted" -> joinSkewSalted,
@@ -413,6 +468,7 @@ object Joins {
     "join_asof_tolerance" -> joinAsofTolerance)
 
   def oracleSql: Map[String, String] = Map(
+    "join_merge_upsert" -> joinMergeUpsertSql,
     "join_fuzzy" -> joinFuzzySql,
     "join_lateral" -> joinLateralSql,
     "join_skew_salted" -> joinSkewSaltedSql,
