@@ -407,37 +407,16 @@ object ScaleProbe {
       // doc↔source graph; ranks stay node-narrow, so growth tracks the
       // EDGE count (distinct doc-source pairs ≈ n) per round
       timeAction("graph_pagerank", n) {
-        val ev = docs.select(col("doc_id").as("user_id"),
-          col("source").as("event_type"))
-        val und = ev.select(
-            concat(lit("u:"), col("user_id").cast("string")).as("a"),
-            concat(lit("t:"), col("event_type")).as("b")).distinct()
-        val edges = CacheScope.cache(
-          und.select(col("a").as("src"), col("b").as("dst"))
-            .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
-        val deg = CacheScope.cache(
-          edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-        val nn = deg.count()
-        var ranks = deg.select(col("src").as("node"), col("deg"),
-          round(lit(1.0 / nn), 9).cast("decimal(18,9)").as("r"))
-        for (_ <- 1 to 3) {
-          val contrib = edges
-            .join(ranks.withColumnRenamed("deg", "ndeg"),
-              col("src") === col("node"))
-            .select(col("dst"),
-              round(col("r").cast("double") / col("ndeg").cast("double"), 9)
-                .cast("decimal(18,9)").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-          // superstep materialization — mirrors Graph.pagerank exactly
-          ranks = CacheScope.cache(deg
-            .join(contrib, col("src") === col("dst"), "left")
-            .select(col("src").as("node"), col("deg"),
-              round(lit(0.15 / nn) +
-                lit(0.85) * coalesce(col("s"), lit(0)).cast("double"), 9)
-                .cast("decimal(18,9)").as("r")))
-          ranks.count()
-        }
-        ranks.write.format("noop").mode("overwrite").save()
+        // the SHARED Pregel core (Graph.pagerankCore) — the probe must
+        // measure the shipped algorithm, not a copy that can drift
+        // (review finding); lvl honors the diskonly flag like every
+        // other probe input
+        graft.queries.Graph.pagerankCore(
+          docs.select(
+            concat(lit("u:"), col("doc_id").cast("string")).as("a"),
+            concat(lit("t:"), col("source")).as("b")).distinct(),
+          lvl = lvl)
+          .write.format("noop").mode("overwrite").save()
       }
       // KV point ops: the reference's Mutable.lookup/insertWith are
       // SINGLE-object IO; this measures the engine's two paths for the
@@ -484,6 +463,12 @@ object ScaleProbe {
         println(f"""{"op":"kv_point_ops_detail","n":$n,""" +
           f""""local_get_ms":$localMs%.2f,"dist_get_ms":$distMs%.2f,""" +
           f""""local_put_ms":$writeMs%.2f}""")
+        // the probe store is measurement scratch — delete it now rather
+        // than leaking a parquet-filled temp dir per invocation
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(root))
       }
       } // !skewOnly
       // Skew: a fact where 30% of rows hit ONE key (the degenerate zipf

@@ -47,7 +47,12 @@ object Sketches {
 
   /** Point estimates for the keys in `probes` (a SMALL frame with
     * `keyCol`): min over depth rows of the matching cell. The counter
-    * matrix is depth×width rows — always broadcast. */
+    * matrix is depth×width rows — always broadcast. LEFT join + zero
+    * fill: a probe key hashing to a cell no data touched must estimate
+    * that row as 0 (the CMS answer for unseen keys), not silently drop
+    * the row and over-estimate from the surviving cells (review
+    * finding — latent while callers only probe keys drawn from the
+    * sketched data). */
   def countMinEstimate(counters: DataFrame, probes: DataFrame,
                        keyCol: String, depth: Int, hexChars: Int): DataFrame = {
     val probed = probes.select(col("*"),
@@ -55,8 +60,9 @@ object Sketches {
     probed
       .join(broadcast(counters),
         probed("d") === counters("d") &&
-          bucket(probed("d"), probed(keyCol), hexChars) === counters("b"))
+          bucket(probed("d"), probed(keyCol), hexChars) === counters("b"),
+        "left")
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("c")).as("est_cnt"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
   }
 }

@@ -606,20 +606,29 @@ object TextAnalysis {
     * driver model state, exactly like a k-means centroid collect. */
   def bpeMerges(df: DataFrame, textCol: String, k: Int = 6): DataFrame = {
     val spark = df.sparkSession
+    // DOUBLE-space separators with double-space sentinels: the merge
+    // pattern " l  r " (single outer pads, the full double space inside)
+    // consumes only the INNER half of each boundary, so consecutive
+    // occurrences never fight over a shared delimiter — a plain
+    // left-to-right non-overlapping replace is then EXACTLY greedy-left
+    // BPE: 'banana' merges (a,n) twice ([b,an,an,a]), a run 'aaa' merges
+    // once ([aa,a]). A single-space representation silently skipped
+    // every second adjacent occurrence (review finding).
     val w0 = df
       .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0)))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
-          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
-          lit(" </w> ")).as("sym"),
+      .select(concat(lit("  "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+          lit("  </w>  ")).as("sym"),
         col("freq"))
     var words = graft.CacheScope.cache(w0)
     words.count()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (step <- 1 to k) {
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
       val pairs = words
-        .select(col("freq"), split(trim(col("sym")), " ").as("arr"))
+        .select(col("freq"), split(trim(col("sym")), "  ").as("arr"))
         .filter(size(col("arr")) >= 2)
         .select(col("freq"), col("arr"),
           explode(sequence(lit(0), size(col("arr")) - 2)).as("i"))
@@ -629,18 +638,23 @@ object TextAnalysis {
         .groupBy(col("lhs"), col("rhs")).agg(sum(col("freq")).as("cnt"))
       val best = pairs
         .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
-        .collect()(0)
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step.toLong, l, r, l + r, cnt))
-      // plain substring replace (NOT regex): symbols are \w chars and the
-      // </w> marker, sentinel spaces make every occurrence ' l r ' and
-      // left-to-right non-overlapping replace matches BPE's greedy-left
-      // merge in both engines
-      words = graft.CacheScope.cache(words.select(
-        regexp_replace(col("sym"), lit(java.util.regex.Pattern.quote(s" $l $r ")),
-          lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))).as("sym"),
-        col("freq")))
-      words.count()
+        .collect()
+      if (best.isEmpty) {
+        // fully merged before k rounds (every word a single symbol): stop
+        // instead of crashing; the twin's empty bestN CTEs emit the same
+        // truncated merge table
+        exhausted = true
+      } else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, l, r, l + r, cnt))
+        words = graft.CacheScope.cache(words.select(
+          regexp_replace(col("sym"),
+            lit(java.util.regex.Pattern.quote(s" $l  $r ")),
+            lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))).as("sym"),
+          col("freq")))
+        words.count()
+      }
     }
     import spark.implicits._
     merges.result().toDF("step", "lhs", "rhs", "merged", "pair_freq")

@@ -30,26 +30,27 @@ import graft.Tables
   */
 object Graph {
 
-  /** PageRank over the user↔event-type interaction graph: distinct
-    * (user, event_type) interactions become undirected edges, walked in
-    * both directions (so there are no dangling nodes by construction —
-    * every node that exists has degree ≥ 1). Three damped iterations at
-    * d = 0.85 from a uniform start; output is every node's rank. */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val und = Tables.events(s, dir)
-      .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
-        concat(lit("t:"), col("event_type")).as("b"))
-      .distinct()
+  /** The Pregel core shared by the declared query and the scale probe
+    * (one copy — a probe measuring a drifted duplicate of the shipped
+    * algorithm is worthless; review finding): takes the UNDIRECTED pair
+    * frame `(a, b)`, walks it in both directions (no dangling nodes by
+    * construction), runs `iters` damped rounds at d = 0.85 from a uniform
+    * start, returns `(node, pr)` unordered. `lvl` is the storage level
+    * for the edge/rank caches — the probe passes DISK_ONLY for big-n
+    * single-JVM runs. */
+  private[graft] def pagerankCore(und: DataFrame, iters: Int = 3,
+      lvl: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val edges = graft.CacheScope.cache(
       und.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))), lvl)
     val deg = graft.CacheScope.cache(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), lvl)
     val n = deg.count()
     // uniform start, quantized exactly like every later iterate
     var ranks = deg.select(col("src").as("node"), col("deg"),
       round(lit(1.0 / n), 9).cast("decimal(18,9)").as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       // name-based join keys with globally unique column names: deg sits in
       // BOTH lineages (directly and through ranks), so df("col") references
       // would trip the ambiguous-self-join check
@@ -72,12 +73,23 @@ object Graph {
         .select(col("src").as("node"), col("deg"),
           round(lit(0.15 / n) +
             lit(0.85) * coalesce(col("s"), lit(0)).cast("double"), 9)
-            .cast("decimal(18,9)").as("r")))
+            .cast("decimal(18,9)").as("r")), lvl)
       ranks.count()
     }
     ranks.select(col("node"), col("r").cast("double").as("pr"))
-      .orderBy(col("node"))
   }
+
+  /** PageRank over the user↔event-type interaction graph: distinct
+    * (user, event_type) interactions become undirected edges, walked in
+    * both directions (so there are no dangling nodes by construction —
+    * every node that exists has degree ≥ 1). Three damped iterations at
+    * d = 0.85 from a uniform start; output is every node's rank. */
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankCore(Tables.events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
+          concat(lit("t:"), col("event_type")).as("b"))
+        .distinct())
+      .orderBy(col("node"))
 
   /** Twin: identical unrolled iterations. DuckDB's sum over DECIMAL(18,9)
     * is exact, and the 1/n, damping, and rounding arithmetic copies the

@@ -359,9 +359,12 @@ object Joins {
     * (1) DEDUPE to the string domain first — a grouped aggregate collapses
     * row-count to name-count, which is what makes the self-join feasible
     * (string domains are orders of magnitude smaller than fact tables);
-    * (2) BLOCK on cheap signatures (shared last token + length within ±3 —
-    * edit distance ≥ length difference, so the band is lossless for the
-    * threshold); (3) VERIFY with the O(len²) DP only inside blocks.
+    * (2) BLOCK on cheap signatures — the length band (±3) is LOSSLESS
+    * for the threshold (edit distance ≥ length difference), while the
+    * shared-last-token block is the standard recall-trading blocking key
+    * (a pair whose last tokens differ, e.g. 'blue'/'blues', is not
+    * compared — the deliberate blocking trade-off, tune the key to the
+    * domain); (3) VERIFY with the O(len²) DP only inside blocks.
     * Levenshtein is exact integer DP in both engines, so the whole join is
     * hash-gated. Never the naive n² name cross join, and never the DP on
     * un-blocked pairs. */
@@ -410,9 +413,14 @@ object Joins {
     val src = Tables.orders(s, dir).groupBy(col("o_custkey").as("key"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)").as("spend"))
+    // synthetic NEW keys are negated, not offset: c_custkey is strictly
+    // positive at every TPC-H scale, so -key can never collide with a
+    // real customer (a +1000000 offset silently collides once the table
+    // passes a million keys and misclassifies the row as 'updated' —
+    // review finding)
     val updates = src.filter(col("key") % 50 =!= 0)
       .unionAll(src.filter(col("key") % 50 === 0)
-        .select((col("key") + 1000000L).as("key"), col("spend")))
+        .select((-col("key")).as("key"), col("spend")))
     val c = Tables.customer(s, dir)
     val matched = c("c_custkey").isNotNull && updates("key").isNotNull
     c.join(updates, c("c_custkey") === updates("key"), "full_outer")
@@ -437,7 +445,7 @@ object Joins {
       |  FROM orders GROUP BY o_custkey),
       |updates AS (
       |  SELECT * FROM src WHERE key % 50 != 0
-      |  UNION ALL SELECT key + 1000000 AS key, spend FROM src WHERE key % 50 = 0)
+      |  UNION ALL SELECT -key AS key, spend FROM src WHERE key % 50 = 0)
       |SELECT COALESCE(c.c_custkey, u.key) AS key,
       |  COALESCE(c.c_name, 'new-' || CAST(u.key AS VARCHAR)) AS name,
       |  CAST(CASE

@@ -1182,24 +1182,26 @@ object NorthStar {
 
   val textBpeMergesSql: String = {
     // one round: best_t picks the argmax pair of w_{t-1}; w_t rewrites.
-    // DuckDB replace() is plain substring replace-all, left-to-right
-    // non-overlapping — same greedy-left merge as the engine.
+    // DOUBLE-space separators (matching TextAnalysis.bpeMerges): the
+    // " l  r " pattern consumes only the inner half of each boundary, so
+    // DuckDB's plain left-to-right replace IS greedy-left BPE — adjacent
+    // occurrences (banana's two (a,n)s, runs like 'aaa') merge correctly.
     def round(t: Int): String = {
       val prev = if (t == 1) "w0" else s"w${t - 1}"
       s"""pairs$t AS (
          |  SELECT arr[i+1] AS lhs, arr[i+2] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, string_split(trim(sym), ' ') AS arr FROM $prev),
+         |  FROM (SELECT freq, string_split(trim(sym), '  ') AS arr FROM $prev),
          |    LATERAL (SELECT unnest(range(len(arr) - 1)) AS i) u
          |  WHERE len(arr) >= 2 GROUP BY lhs, rhs),
          |best$t AS (
          |  SELECT $t AS step, lhs, rhs, lhs||rhs AS merged, cnt AS pair_freq
          |  FROM pairs$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$t AS (
-         |  SELECT replace(sym, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS sym, freq
+         |  SELECT replace(sym, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS sym, freq
          |  FROM $prev, best$t)""".stripMargin
     }
     s"""WITH w0 AS (
-       |  SELECT ' '||array_to_string(regexp_extract_all(word, '.'), ' ')||' </w> ' AS sym,
+       |  SELECT '  '||array_to_string(regexp_extract_all(word, '.'), '  ')||'  </w>  ' AS sym,
        |    CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
        |        FROM documents)

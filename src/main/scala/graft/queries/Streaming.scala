@@ -179,15 +179,22 @@ object Streaming {
     val src = s.readStream.schema(probes.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // foreachBatch is AT-LEAST-ONCE: a retry between sink write and
+        // offset commit re-executes the batch, so the write must be
+        // idempotent — each batch OVERWRITES its own batchId-keyed
+        // directory (the documented foreachBatch exactly-once recipe),
+        // never a blind append that would duplicate served results
         Similarity.bruteForceTopK(corpus, batch, "vec_id", "embedding", 5)
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy(col("query_id"), col("rnk"))
+    s.read.parquet(out)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Twin: the one-shot batch retrieval over the same probe set — the

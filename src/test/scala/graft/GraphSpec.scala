@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
 
   test("pagerank conserves mass and ranks hubs above leaves") {
-    val df = graft.queries.Graph.pagerank(spark, "/root/testdata/sf0.001")
+    val df = graft.queries.Graph.pagerank(spark, sf("0.001"))
     val rows = df.collect()
     // total mass stays 1 (up to the per-node 1e-9 quantization)
     val mass = rows.map(_.getDouble(1)).sum

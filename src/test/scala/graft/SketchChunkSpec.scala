@@ -60,6 +60,38 @@ class SketchChunkSpec extends SparkSpec {
       (4L, "aaab", "</w>", "aaab</w>", 3L)))
   }
 
+  test("bpe merges adjacent occurrences greedily (banana) and stops when exhausted") {
+    // 'banana' ×2: (a,n) and (n,a) tie at 4, lex lhs 'a' wins; the merge
+    // must hit BOTH occurrences ([b,an,an,a,</w>]) — the single-space
+    // representation's shared-delimiter replace skipped the second
+    // (review finding). Round 2: four pairs tie at 2, lex → (a,</w>).
+    val out = TextAnalysis.bpeMerges(docs((1L, "banana banana")), "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((1L, "a", "n", 4L), (2L, "a", "</w>", 2L)))
+    // a corpus that fully merges before k rounds STOPS with the truncated
+    // merge table instead of crashing on an empty argmax
+    val tiny = TextAnalysis.bpeMerges(docs((1L, "a a a")), "text", k = 4)
+      .collect()
+    assert(tiny.length === 1 &&
+      tiny(0).getString(1) === "a" && tiny(0).getString(2) === "</w>")
+  }
+
+  test("count-min estimates unseen keys as zero, not a dropped row") {
+    import spark.implicits._
+    // a SPARSE sketch (3 keys touch ≤ 12 of the 64 cells) so unseen
+    // probes genuinely hit empty cells
+    val counters = Sketches.countMinCounters(
+      (1L to 3L).toDF("k"), "k", depth = 4, hexChars = 1)
+    val unseen = (100001L to 100020L).toDF("k")
+    val est = Sketches.countMinEstimate(counters, unseen, "k", 4, 1).collect()
+    // every probe row survives; estimates are the CMS bound (>= 0, and 0
+    // whenever any of the 4 cells was untouched)
+    assert(est.length === 20)
+    assert(est.forall(_.getAs[Long]("est_cnt") >= 0L))
+    assert(est.exists(_.getAs[Long]("est_cnt") === 0L))
+  }
+
   test("chunker covers every token and reconstructs the doc") {
     val df = docs(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 toks -> 4 chunks
