@@ -373,6 +373,74 @@ object ScaleProbe {
             Array.tabulate(sdCells, 64)(Similarity.centroidComponent),
             groupSize = 10)
         }
+      // Trained-IMI A/B (VERDICT r8 #6) at the paper-scale split k=2560 /
+      // g=64, k FIXED regardless of n: group-means-of-flat-codebook (the
+      // default two-level model) vs the directly trained coarse + per-group
+      // fine codebooks ([[Similarity.imiTrain]]). Measured: training cost
+      // of each model (flat Lloyd's is n·k dots/iter, IMI fine is n·g —
+      // k-independent), assignment cost (identical rule either way), and
+      // the RECALL PROXY — the fraction of planted near-dup pairs landing
+      // in the same fine cell (co-cell is what makes SemDeDup/mining see a
+      // pair at all), with flat rank-1 over the same fine book as the
+      // exact-assignment reference.
+      if (only.exists(o => "imi_ab".contains(o))) {
+        val k = 2560; val g = 64; val groups = k / g
+        val saved3 = only
+        only = Nil
+        var flat: Array[Array[Double]] = null
+        var coarseT: Array[Array[Double]] = null
+        var fineT: Array[Array[Double]] = null
+        try {
+          timeAction(s"imi_flat_train_k$k", n) {
+            flat = Array.ofDim[Double](k, 64)
+            Similarity.kmeansTrain(emb, "embedding", k, 2, 64)
+              .collect().foreach { r =>
+                flat(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
+                  r.getAs[Double]("c_val")
+              }
+          }
+          timeAction(s"imi_train_k${k}_g$g", n) {
+            val (c, f) = Similarity.imiTrain(emb, "embedding", groups, g, 2, 64)
+            coarseT = c; fineT = f
+          }
+          def cells(fine: Array[Array[Double]], gs: Int,
+                    coarse: Option[Array[Array[Double]]]) =
+            Similarity.semanticAssign2Level(emb, "vec_id", "embedding",
+              fine, gs, coarseOverride = coarse)
+              .select(col("vec_id"), col("cell"))
+          time(s"imi_assign_groupmeans_k$k", n) { cells(flat, g, None) }
+          time(s"imi_assign_trained_k$k", n) { cells(fineT, g, Some(coarseT)) }
+          // co-cell rate of the planted pairs (vec 20i ~ 20i+1)
+          def coRate(df: DataFrame): Double = {
+            val right = df.filter(pmod(col("vec_id"), lit(20L)) === 1)
+              .select((col("vec_id") - 1).as("vec_id"), col("cell").as("cb"))
+            df.join(right, "vec_id")
+              .agg(avg((col("cell") === col("cb")).cast("double")))
+              .first().getDouble(0)
+          }
+          // flat rank-1 over the same book = groupSize k (one coarse group)
+          val rFlatGm = coRate(cells(flat, k, None))
+          val rGm = coRate(cells(flat, g, None))
+          val rFlatTr = coRate(cells(fineT, k, None))
+          val rTr = coRate(cells(fineT, g, Some(coarseT)))
+          println(f"""{"op":"imi_ab_cocell","n":$n,"k":$k,"g":$g,""" +
+            f""""groupmeans":$rGm%.4f,"groupmeans_flat_ref":$rFlatGm%.4f,""" +
+            f""""trained":$rTr%.4f,"trained_flat_ref":$rFlatTr%.4f}""")
+        } finally only = saved3
+      }
+      // Bounded-model perplexity: the top-V + OOV unigram LM — the model
+      // build + scoring join at each n, with the MODEL SIZE printed so the
+      // flatness claim (V+1 rows at any corpus size, vs the full-vocab
+      // model growing with the data) is recorded evidence
+      timeAction("text_perplexity_topv", n) {
+        TextAnalysis.unigramNegLogprobTopV(docs, "doc_id", "text", topV = 512)
+          .write.format("noop").mode("overwrite").save()
+        val vocab = docs
+          .select(explode(split(lower(col("text")), " ")).as("t"))
+          .agg(countDistinct(col("t"))).first().getLong(0)
+        println(s"""{"op":"text_perplexity_topv_model","n":$n,""" +
+          s""""vocab":$vocab,"model_rows":${math.min(vocab, 512L) + 1}}""")
+      }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
       // (labels x dim stays constant)
@@ -460,9 +528,25 @@ object ScaleProbe {
             Seq(Point(99999999L * 2 + 1, 7L, 4L, Array[Byte](1, 2, 3, 4))),
             rolloverBytes = Long.MaxValue)
         }
+        // the same one-row append through the DISTRIBUTED write path — the
+        // cost model that motivated writePointsLocal, recorded as same-run
+        // evidence (VERDICT r8 #7): a Spark job + lease + commit protocol
+        // per KV call vs one driver-side file append
+        val distWriteMs = ms(5) {
+          TimeStore.writePoints(spark, ns,
+            spark.createDataset(Seq(
+              Point(99999998L * 2 + 1, 7L, 4L, Array[Byte](1, 2, 3, 4)))),
+            rolloverBytes = Long.MaxValue)
+        }
+        // insertWith = lookup + merge + append, end to end (local IO path)
+        val insertWithMs = ms(10) {
+          MutableKV.insertWith(spark, ns.copy(ns = "KVPROBE2"),
+            (nw, old) => nw ++ old, 4242L, Array[Byte](9, 9))
+        }
         println(f"""{"op":"kv_point_ops_detail","n":$n,""" +
           f""""local_get_ms":$localMs%.2f,"dist_get_ms":$distMs%.2f,""" +
-          f""""local_put_ms":$writeMs%.2f}""")
+          f""""local_put_ms":$writeMs%.2f,"dist_put_ms":$distWriteMs%.2f,""" +
+          f""""insert_with_ms":$insertWithMs%.2f}""")
         // the probe store is measurement scratch — delete it now rather
         // than leaking a parquet-filled temp dir per invocation
         def rm(p: java.io.File): Unit = {
@@ -592,6 +676,87 @@ object ScaleProbe {
           }
           time("store_read_compacted", n)(read())
         } finally only = saved
+      }
+      // Store DECADE probe (VERDICT r8 #3): the full store life-cycle at
+      // 64n points in ONE run — fragmented multi-batch ingest (pts/s),
+      // pruned range read whose cost tracks SELECTED rows not corpus,
+      // file-count before/after a generation-swap compact, and the
+      // single-object local point-get next to the distributed one — on the
+      // post-r8 code (generation swap + local point ops). Run with
+      // `store_decade <n>` at n up to 16-64M (1-4B points), diskonly
+      // irrelevant (the store lives on disk by construction).
+      if (only.exists(o => "store_decade".contains(o))) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-decade-$n").toString
+        val ns = TimeStore.namespace(root, "DECADE")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val batches = 8
+        def batch(b: Int) = spark.range(rows)
+          .filter(pmod(col("id"), lit(batches.toLong)) === b)
+          .select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved4 = only
+        only = Nil
+        try {
+          val t0 = System.nanoTime()
+          timeAction(s"decade_write_${batches}batches", n) {
+            (0 until batches).foreach(b =>
+              TimeStore.writePoints(spark, ns, batch(b)))
+          }
+          val writeSec = (System.nanoTime() - t0) / 1e9
+          def fileCount(): Long = {
+            val f = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val it = f.listFiles(new org.apache.hadoop.fs.Path(root), true)
+            var c = 0L
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.getPath.getName.endsWith(".parquet")) c += 1
+            }
+            c
+          }
+          val filesBefore = fileCount()
+          def read() = TimeStore.readSimple(spark, ns, 0L, rows * 250L,
+            Seq(2L, 40L, 100L, 500L))
+          val selRows = read().count()
+          time("decade_read_fragmented", n)(read())
+          // point ops against the billion-point store: one pruned
+          // bucket-file read vs a full distributed job
+          def msOf(k: Int)(body: => Unit): Double = {
+            val p0 = System.nanoTime(); (1 to k).foreach(_ => body)
+            (System.nanoTime() - p0) / 1e6 / k
+          }
+          val localGetMs = msOf(10) {
+            TimeStore.readSimpleLocal(spark, ns, 1000L, 100000000L, Seq(2L))
+          }
+          val distGetMs = msOf(2) {
+            TimeStore.readSimple(spark, ns, 1000L, 100000000L, Seq(2L)).collect()
+          }
+          timeAction("decade_compact", n) {
+            TimeStore.compact(spark, ns)
+          }
+          val filesAfter = fileCount()
+          time("decade_read_compacted", n)(read())
+          println(f"""{"op":"store_decade_detail","n":$n,"rows":$rows,""" +
+            f""""write_pts_per_sec":${rows / writeSec}%.0f,""" +
+            f""""selected_rows":$selRows,"files_before":$filesBefore,""" +
+            f""""files_after":$filesAfter,"local_get_ms":$localGetMs%.2f,""" +
+            f""""dist_get_ms":$distGetMs%.2f}""")
+        } finally {
+          only = saved4
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
       }
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(

@@ -1012,6 +1012,107 @@ object Similarity {
     }.toArray
   }
 
+  /** TRUE two-level IMI training (VERDICT r8 #6) — the published
+    * inverted-multi-index trains the coarse quantizer and the per-group
+    * fine codebooks DIRECTLY, instead of deriving coarse cells as group
+    * means of a flat codebook ([[coarseCentroids]]):
+    *
+    *   1. COARSE: [[kmeansTrain]] `groups` centroids on the corpus (the
+    *      same Lloyd's trainer as the flat path — min-L2 assign, exact
+    *      decimal update, r6 means).
+    *   2. ROUTE: every vector to its coarse group by the SERVE-TIME rule
+    *      (max-dot, ties to the lowest group — identical to
+    *      [[semanticAssign2Level]]'s coarse step, so the training
+    *      partition is exactly the serving partition). Routed once and
+    *      cached; routing never changes during fine training.
+    *   3. FINE: joint Lloyd's over all `groups × groupSize` cells where
+    *      each vector competes ONLY among its own group's cells — one
+    *      broadcast-join job per iteration for every group simultaneously
+    *      (NOT `groups` separate trainers), with the same min-L2/lowest-
+    *      cell tie rule and decimal update as [[kmeansTrain]]. An empty
+    *      cell keeps its init.
+    *
+    * Cost per fine iteration: corpus × groupSize scored rows (each vector
+    * meets only its group's cells via the `grp` join key) — k-independent,
+    * vs corpus × k for flat training; model state is (groups + k)·dim
+    * driver doubles. Returns (coarse, fineFlat) with group j's cells at
+    * indices [j·groupSize, (j+1)·groupSize) — the layout
+    * [[semanticAssign2Level]] expects. */
+  def imiTrain(corpus: DataFrame, vecCol: String, groups: Int,
+               groupSize: Int, iters: Int, dim: Int,
+               literalBudget: Long = CellLiteralBudget)
+               : (Array[Array[Double]], Array[Array[Double]]) = {
+    require(iters >= 1 && groups >= 1 && groupSize >= 1)
+    val spark = corpus.sparkSession
+    val k = groups * groupSize
+
+    val coarse = Array.ofDim[Double](groups, dim)
+    kmeansTrain(corpus, vecCol, groups, iters, dim, literalBudget)
+      .collect().foreach { r =>
+        coarse(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
+      }
+
+    // serve-time routing, materialized once: (__vid, grp, v)
+    val vid = graft.CacheScope.cache(
+      corpus.select(asDouble(col(vecCol)).as("v"))
+        .withColumn("__vid", monotonically_increasing_id()))
+    vid.count()
+    val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
+    val routed = graft.CacheScope.cache(
+      vid.crossJoin(broadcast(coarseRows))
+        .select(col("__vid"), col("grp"), dot(col("v"), col("cent")).as("score"))
+        .groupBy(col("__vid"))
+        .agg(max_by(col("grp"),
+          struct(col("score"), (-col("grp")).as("ng"))).as("grp"))
+        .join(vid, Seq("__vid")))
+    routed.count()
+
+    var fine = Array.tabulate(k, dim)((c, d) => centroidComponent(c, d))
+    def fineStep(cur: Array[Array[Double]]): Array[(Int, Int, Double)] = {
+      val fineRows = centroidRows(spark, cur)
+        .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
+      val best = routed.join(broadcast(fineRows), Seq("grp"))
+        .select(col("__vid"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cent")) +
+            col("cc")).as("dist"), col("cell"))
+        .groupBy(col("__vid"))
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+      routed.join(best, Seq("__vid"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("x").cast("decimal(20,8)")).as("sx"))
+        .select(col("cell"), col("d"),
+          (floor(col("sx").cast("double") / col("n_members") * 1e6 + 0.5)
+            / 1e6).as("c_val"))
+        .collect()
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"),
+          r.getAs[Double]("c_val")))
+    }
+    for (_ <- 1 to iters) {
+      val next = fine.map(_.clone)
+      fineStep(fine).foreach { case (c, d, x) => next(c)(d) = x }
+      fine = next
+    }
+    (coarse, fine)
+  }
+
+  /** [[semanticDedup2LevelWith]] served by a TRAINED IMI: the coarse
+    * quantizer and per-group fine codebooks come from [[imiTrain]] instead
+    * of group means of a flat codebook. Same assignment rule, same pairing
+    * tail — only the model differs. */
+  def semanticDedup2LevelTrainedWith(corpus: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     coarse: Array[Array[Double]],
+                                     fine: Array[Array[Double]], groupSize: Int,
+                                     maxCell: Int = Dedup.DefaultMaxBucket,
+                                     literalBudget: Long = CellLiteralBudget)
+                                     : DataFrame =
+    semanticPairTail(
+      semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
+        literalBudget, Some(coarse)),
+      threshold, maxCell)
+
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
     * the n·k quadratic that the paper's k ∝ n cell sizing creates (the
     * published inverted-multi-index / hierarchical-k-means coarse
@@ -1045,11 +1146,17 @@ object Similarity {
   private[graft] def semanticAssign2Level(corpus: DataFrame, idCol: String,
                               vecCol: String,
                               cents: Array[Array[Double]], groupSize: Int,
-                              literalBudget: Long = CellLiteralBudget): DataFrame = {
+                              literalBudget: Long = CellLiteralBudget,
+                              coarseOverride: Option[Array[Array[Double]]] = None)
+                              : DataFrame = {
     val cells = cents.length
     require(cells % groupSize == 0, "cells must divide into equal groups")
     val dim = cents.headOption.map(_.length).getOrElse(0)
-    val coarse = coarseCentroids(cents, groupSize)
+    // default: exact group means of the flat codebook; a TRAINED coarse
+    // quantizer ([[imiTrain]]) overrides — same assignment rule either way
+    val coarse = coarseOverride.getOrElse(coarseCentroids(cents, groupSize))
+    require(coarse.length * groupSize == cells,
+      "coarse quantizer size must be cells / groupSize")
     val groups = coarse.length
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =

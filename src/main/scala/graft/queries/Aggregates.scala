@@ -484,8 +484,8 @@ object Aggregates {
       |  SELECT user_id, exact_cnt, d,
       |    substr(md5('cm'||CAST(d AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,1) AS b
       |  FROM heavy, (SELECT unnest(range(4)) AS d))
-      |SELECT p.user_id, p.exact_cnt, min(c.c) AS est_cnt
-      |FROM probe p JOIN counters c ON p.d = c.d AND p.b = c.b
+      |SELECT p.user_id, p.exact_cnt, min(COALESCE(c.c, 0)) AS est_cnt
+      |FROM probe p LEFT JOIN counters c ON p.d = c.d AND p.b = c.b
       |GROUP BY p.user_id, p.exact_cnt ORDER BY p.user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1367,6 +1367,45 @@ object NorthStar {
       |  FLOOR(CAST(s AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS avg_neg_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** The bounded-model form: top-512 terms + OOV floor
+    * ([[TextAnalysis.unigramNegLogprobTopV]]) — the same scoring join with
+    * a broadcast that stays V+1 rows at any corpus size. 512 against the
+    * fixture's multi-thousand-term vocabulary forces REAL OOV traffic, so
+    * the gate exercises both the in-vocab path and the floor. */
+  def textPerplexityTopv(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramNegLogprobTopV(Tables.documents(s, dir), "doc_id",
+        "text", topV = 512)
+      .orderBy(col("doc_id"))
+
+  /** Twin: same (count DESC, term ASC) top-512 cut, same collapsed-tail
+    * add-one model, same decimal discipline. */
+  val textPerplexityTopvSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT t, c FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+      |  ORDER BY c DESC, t LIMIT 512),
+      |st AS (
+      |  SELECT (SELECT COUNT(*) FROM tok) AS n,
+      |         (SELECT COUNT(*) FROM m) AS v,
+      |         (SELECT SUM(c) FROM m) AS ctop),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN m.t IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CASE WHEN m.t IS NULL
+      |      THEN FLOOR(LN(CAST(n + v + 1 AS DOUBLE) / (n - ctop + 1)) * 1e8 + 0.5) / 1e8
+      |      ELSE FLOOR(LN(CAST(n + v + 1 AS DOUBLE) / (m.c + 1)) * 1e8 + 0.5) / 1e8
+      |    END AS nl
+      |  FROM tok LEFT JOIN m USING (t), st),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |    SUM(CAST(nl AS DECIMAL(20,8))) AS s
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_oov,
+      |  FLOOR(CAST(s AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS avg_neg_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Quality-filter decisions with auditable reject reasons. */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text")
@@ -2243,6 +2282,7 @@ object NorthStar {
     "text_winnow" -> textWinnow,
     "text_tfidf" -> textTfidf,
     "text_perplexity" -> textPerplexity,
+    "text_perplexity_topv" -> textPerplexityTopv,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_substr_dedup" -> textSubstrDedup,
@@ -2306,6 +2346,7 @@ object NorthStar {
     "text_winnow" -> textWinnowSql,
     "text_tfidf" -> textTfidfSql,
     "text_perplexity" -> textPerplexitySql,
+    "text_perplexity_topv" -> textPerplexityTopvSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_substr_dedup" -> textSubstrDedupSql,

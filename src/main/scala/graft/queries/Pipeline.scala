@@ -394,7 +394,7 @@ object Pipeline {
   val mixDomainsSql: String =
     """WITH tagged AS (
       |  SELECT doc_id,
-      |    CASE CAST(substr(source, 4) AS BIGINT) % 3
+      |    CASE CAST(substr(source, 4, 18) AS BIGINT) % 3
       |      WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS domain
       |  FROM documents),
       |w AS (SELECT * FROM (VALUES ('web', 60), ('books', 30), ('code', 10)) AS t(domain, pct)),

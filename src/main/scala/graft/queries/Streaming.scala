@@ -474,7 +474,72 @@ object Streaming {
       |SELECT tr.doc_id, COUNT(*) AS n_shared_grams
       |FROM tr JOIN ev USING (s) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** `statefulLatest` ONLINE = OFFLINE under the gate (VERDICT r8 #2): the
+    * mapGroupsWithState latest-point server
+    * ([[graft.streaming.StreamingIngest.statefulLatest]]) driven by a REAL
+    * streaming execution — the events fixture staged as 4 files, replayed
+    * one file per micro-batch, so state survives and re-resolves across
+    * four genuine trigger boundaries. Each update-mode emission lands in a
+    * batchId-keyed directory (idempotent under foreachBatch's
+    * at-least-once retries, like [[streamAnnServe]]); the served value per
+    * address is the LAST batch's emission (mapGroupsWithState emits at
+    * most one row per group per trigger, so max-batch is unique). The twin
+    * recomputes the pinned contract from the raw fixture: per user the
+    * max-time event, ties to the smallest event_id — a wrong cross-batch
+    * state merge, a lost tie-break, or an emission from a stale trigger
+    * all change the final image and break the hash.
+    *
+    * 100 TB shape: state is ONE point per live address (bounded by key
+    * cardinality, not stream length), emissions per trigger are bounded by
+    * the batch's distinct addresses, and the sink holds one row per
+    * (address, trigger-that-updated-it) — the production latest-value
+    * cache exactly as the reference serves it (`latestUniques` over a live
+    * ingest). */
+  def streamLatestServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Point
+    val tmp = tempWorkspace("graft-stream-latest")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val staged = s"$tmp/staged"
+    Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(Point.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged).as[Point]
+    val q = StreamingIngest.statefulLatest(src).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Point], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final state per address = the newest trigger's emission for it
+    val served = s.read.parquet(out)
+    graft.operators.TimeSeriesOps.firstWinsDedup(
+        served, Seq("address"), Seq(-col("batch")))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamLatestServeSql: String =
+    """SELECT user_id, epoch_ns(ts) AS ts_ns, event_id
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id) rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_latest_serve" -> streamLatestServe,
     "stream_decontaminate" -> streamDecontaminate,
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_topk" -> streamTopk,
@@ -485,6 +550,7 @@ object Streaming {
     "stream_enrich" -> streamEnrich)
 
   def oracleSql: Map[String, String] = Map(
+    "stream_latest_serve" -> streamLatestServeSql,
     "stream_decontaminate" -> streamDecontaminateSql,
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_topk" -> streamTopkSql,

@@ -80,6 +80,50 @@ object TimeSeries {
        |) WHERE rn = 1
        |ORDER BY ts_ns, user_id""".stripMargin
 
+  /** The store as a FIRST-CLASS SQL TABLE (VERDICT r8 #1): the same
+    * whole-protocol write as [[storeRoundtrip]], but the read side is PURE
+    * SQL over `spark.read.format("graft")` — the DataSource-V2 provider
+    * ([[graft.sources.GraftTableProvider]]) — with `readSimple`'s contract
+    * (kind filter, address set, inclusive time range, pinned first-wins
+    * dedup, (time, address) order) expressed as a WHERE clause + window.
+    * The provider pushes `address IN` into the `targetObjs` bucket image
+    * and the time bounds into index-epoch selection BEFORE listing any
+    * directory (GraftSourceSpec pins the pruned file image), so this gate
+    * covers the full SQL-table path: options → schema → pushdown → pruned
+    * planning → executor-side parquet reads → partition-value injection.
+    * Twin: identical semantics recomputed from the raw events fixture —
+    * the same oracle as storeRoundtrip, which is the point: a SQL-only
+    * user gets exactly the API read. */
+  def storeSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-sql")
+    val n = TimeStore.namespace(root, "SQLTBL")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    s.read.format("graft").option("root", root).option("ns", "SQLTBL").load()
+      .createOrReplaceTempView("graft_pts")
+    s.sql(
+      s"""SELECT user_id, ts_ns, event_id FROM (
+         |  SELECT address div 2 AS user_id, time AS ts_ns, payload AS event_id,
+         |    row_number() OVER (PARTITION BY address, time ORDER BY payload) rn
+         |  FROM graft_pts
+         |  WHERE kind = 'simple' AND address IN (${Addrs.map(_ * 2).mkString(",")})
+         |    AND time BETWEEN $T0 AND $T1
+         |) WHERE rn = 1
+         |ORDER BY ts_ns, user_id""".stripMargin)
+  }
+
+  // the twin IS storeRoundtripSql's: the SQL table serves the same API read
+  val storeSqlSql: String = storeRoundtripSql
+
   /** O8 `latestUniques` over an ACTUAL store ([[storeRoundtrip]]'s write
     * path feeding [[graft.sources.TimeStore.latestPerAddress]]) — the
     * store's latest-value materialization (the min_by over sign-flipped
@@ -874,6 +918,7 @@ object TimeSeries {
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
+    "ts_store_sql"      -> storeSql,
     "ts_store_latest"   -> storeLatest,
     "ts_store_extended" -> storeExtended,
     "ts_store_mutable"  -> storeMutable,
@@ -895,6 +940,7 @@ object TimeSeries {
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
+    "ts_store_sql"      -> storeSqlSql,
     "ts_store_latest"   -> storeLatestSql,
     "ts_store_extended" -> storeExtendedSql,
     "ts_store_mutable"  -> storeMutableSql,

@@ -318,6 +318,20 @@ object TimeStore {
     writePoints(spark, n, spark.createDataset(points), rolloverBytes)
   }
 
+  /** Fault-injection seams for the batch write path (StoreProtocolSpec's
+    * crash tests): a registered seam throws ONCE at that point, simulating
+    * a writer that died between two non-atomic protocol steps. Production
+    * cost: one concurrent-map probe per batch, zero when unused. (The
+    * exception path releases the lease via withWriterLease's finally — a
+    * kill -9 would instead leave a stale lease, and THAT state is already
+    * covered by the 120 s break contract tests; what these seams add is
+    * the partial on-disk protocol state between commit points.) */
+  private[graft] val crashSeams =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def crashPoint(name: String): Unit =
+    if (crashSeams.remove(name))
+      throw new RuntimeException(s"injected crash at $name")
+
   /** Distributed ingest: route each point to (kind, epoch, bucket) via the
     * current indexes (`groupMixed`'s partitioning, `Algorithms.hs:111-178`,
     * minus the pointer/offset machinery), append as partitioned Parquet,
@@ -350,6 +364,7 @@ object TimeStore {
         .write.mode(SaveMode.Append)
         .partitionBy("kind", "epoch", "bucket")
         .parquet(target)
+      crashPoint("after-parquet-commit")
 
       def unflip(v: Any): Long = v match {
         case l: java.lang.Long => l.longValue() ^ Long.MinValue
@@ -360,6 +375,7 @@ object TimeStore {
       val sMax = maxU(s0, unflip(metrics.getOrElse("simple", null)))
       val eMax = maxU(e0, unflip(metrics.getOrElse("extended", null)))
       writeLatest(spark, n, sMax, eMax)
+      crashPoint("after-write-latest")
 
       // rollover probes only the kinds this batch actually wrote — sizes
       // are unchanged otherwise, and the probe is a per-bucket listing on
@@ -861,9 +877,18 @@ object TimeStore {
         }.foreach { case ((kind, epoch, bucket), pts) =>
           val dir = new Path(s"$target/kind=$kind/epoch=$epoch/bucket=$bucket")
           f.mkdirs(dir)
-          writeParquetPoints(conf,
-            new Path(dir, s"part-${java.util.UUID.randomUUID()}-local.snappy.parquet"),
-            pts)
+          // Stage under a dot-prefixed name (both the distributed scan and
+          // readKindLocal skip '.'/'_' names) and rename into place only
+          // after the writer closes: reads are lease-free, so a concurrent
+          // reader must never list a file whose footer isn't committed.
+          // Rename is atomic on HDFS and the local FS — the same publish
+          // discipline Spark's commit protocol gives writePoints.
+          val base = s"part-${java.util.UUID.randomUUID()}-local.snappy.parquet"
+          val tmp = new Path(dir, s".$base.inprogress")
+          writeParquetPoints(conf, tmp, pts)
+          if (!f.rename(tmp, new Path(dir, base)))
+            throw new java.io.IOException(
+              s"failed to publish local point write: $tmp")
         }
         val (s0, e0) = fetchLatest(spark, n)
         val (simplePts, extPts) = points.partition(!_.isExtended)

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.core.{EpochIndex, Point}
+import graft.sources.{GraftScan, TimeStore}
+
+/** The DataSource-V2 table provider ([[graft.sources.GraftTableProvider]]):
+  * namespaces as first-class SQL tables with `targetObjs` pruning pushed
+  * through `SupportsPushDownFilters` — the pruned FILE image is asserted
+  * directly off the planned scan, so a regression that silently lists
+  * unpruned directories fails here, not in a benchmark. */
+class GraftSourceSpec extends SparkSpec {
+
+  private def freshStore(prefix: String, buckets: Int = 8): (String, String) = {
+    val root = Files.createTempDirectory(prefix).toString
+    val ns = "PTS"
+    val n = TimeStore.namespace(root, ns)
+    TimeStore.register(spark, n, buckets, buckets)
+    // 32 simple (even addr) + 8 extended (odd addr, with blobs)
+    import spark.implicits._
+    val pts = (0L until 64L by 2L).map(a => Point(a, a * 10, a)) ++
+      (1L until 16L by 2L).map(a => Point(a, a * 10, a, s"blob-$a".getBytes))
+    TimeStore.writePoints(spark, n, spark.createDataset(pts))
+    (root, ns)
+  }
+
+  private def graftDf(root: String, ns: String): DataFrame =
+    spark.read.format("graft").option("root", root).option("ns", ns).load()
+
+  private def graftScan(df: DataFrame): GraftScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.head.asInstanceOf[GraftScan]
+  }
+
+  test("format(graft) read matches the raw parquet relation") {
+    val (root, ns) = freshStore("graft-v2-read")
+    val n = TimeStore.Namespace(root, ns)
+    val got = graftDf(root, ns)
+      .selectExpr("address", "time", "payload", "value", "kind", "epoch", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Array[Byte]](3)).map(new String(_)).orNull,
+        r.getString(4), r.getLong(5), r.getInt(6))).toSet
+    val want = spark.read.parquet(n.pointsDir)
+      .selectExpr("address", "time", "payload", "value",
+        "CAST(kind AS STRING)", "CAST(epoch AS LONG)", "CAST(bucket AS INT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[Array[Byte]](3)).map(new String(_)).orNull,
+        r.getString(4), r.getLong(5), r.getInt(6))).toSet
+    assert(got === want)
+    assert(got.size === 40)
+    assert(got.exists(_._4 == "blob-7"))
+  }
+
+  test("address IN + kind filters prune the planned files to the targetObjs image") {
+    val (root, ns) = freshStore("graft-v2-prune")
+    val df = graftDf(root, ns).where("kind = 'simple' AND address IN (2, 10, 18)")
+    // 2, 10, 18 all hash to bucket 2 of 8
+    val scan = graftScan(df)
+    val files = scan.plannedFiles
+    assert(files.nonEmpty)
+    assert(files.map(_.kind).toSet === Set("simple"),
+      s"extended subtree not pruned: $files")
+    assert(files.map(_.bucket).toSet === Set(EpochIndex.placeBucket(8, 2L)),
+      s"bucket image not pruned: ${files.map(_.bucket).toSet}")
+    // and row-exact results (the pushed filters are applied reader-side)
+    val got = df.selectExpr("address", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 2L), (10L, 10L), (18L, 18L)))
+  }
+
+  test("time bounds prune index epochs after a rollover") {
+    val root = Files.createTempDirectory("graft-v2-epoch").toString
+    val n = TimeStore.namespace(root, "PTS")
+    TimeStore.register(spark, n, 4, 4)
+    import spark.implicits._
+    // batch 1: times 0..630; tiny rollover threshold opens a second epoch
+    TimeStore.writePoints(spark, n,
+      spark.createDataset((0L until 64L).map(a => Point(a * 2, a * 10, a))),
+      rolloverBytes = 1L)
+    val idx = TimeStore.fetchIndex(spark, n, "simple").get
+    assert(idx.entries.length === 2, s"rollover did not open an epoch: $idx")
+    val e1 = idx.entries(1)._1
+    // batch 2: strictly after the new epoch boundary
+    TimeStore.writePoints(spark, n,
+      spark.createDataset((0L until 16L).map(a => Point(a * 2, e1 + 100 + a, a))))
+    val df = graftDf(root, "PTS").where(s"kind = 'simple' AND time >= ${e1 + 1}")
+    val files = graftScan(df).plannedFiles
+    assert(files.nonEmpty)
+    assert(files.map(_.epoch).toSet === Set(e1),
+      s"epoch 0 not pruned: ${files.map(_.epoch).toSet}")
+    assert(df.count() === 16)
+  }
+
+  test("column pruning reaches the scan schema") {
+    val (root, ns) = freshStore("graft-v2-prune-cols")
+    val df = graftDf(root, ns).where("kind = 'simple'").select("payload")
+    val scan = graftScan(df)
+    assert(scan.readSchema().fieldNames.toSeq === Seq("payload"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0L until 64L by 2L).toSeq)
+  }
+
+  test("CREATE TABLE USING graft serves the readSimple contract from pure SQL") {
+    val (root, ns) = freshStore("graft-v2-sql")
+    spark.sql("DROP TABLE IF EXISTS graft_sql_pts")
+    spark.sql(
+      s"CREATE TABLE graft_sql_pts USING graft OPTIONS (root '$root', ns '$ns')")
+    try {
+      val got = spark.sql(
+        """SELECT address, time, payload FROM graft_sql_pts
+          |WHERE kind = 'simple' AND address IN (2, 10) AND time BETWEEN 0 AND 1000
+          |ORDER BY time, address""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val n = TimeStore.Namespace(root, ns)
+      val want = TimeStore.readSimple(spark, n, 0L, 1000L, Seq(2L, 10L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_pts")
+  }
+
+  test("reads a compacted namespace (optional-column rewritten files)") {
+    val (root, ns) = freshStore("graft-v2-compact")
+    val n = TimeStore.Namespace(root, ns)
+    val before = graftDf(root, ns).selectExpr("address", "time", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TimeStore.compact(spark, n)
+    val after = graftDf(root, ns).selectExpr("address", "time", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === before)
+    // blobs survive the rewrite too
+    val blobs = graftDf(root, ns).where("kind = 'extended'")
+      .selectExpr("value").collect().map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(blobs.toSet === (1L until 16L by 2L).map(a => s"blob-$a").toSet)
+  }
+
+  test("pruned scan reports pruned statistics (broadcast-able)") {
+    val (root, ns) = freshStore("graft-v2-stats")
+    val all = graftScan(graftDf(root, ns))
+    val pruned = graftScan(
+      graftDf(root, ns).where("kind = 'simple' AND address IN (2)"))
+    val allBytes = all.estimateStatistics().sizeInBytes().getAsLong
+    val prunedBytes = pruned.estimateStatistics().sizeInBytes().getAsLong
+    assert(prunedBytes < allBytes,
+      s"stats not pruned: $prunedBytes !< $allBytes")
+  }
+}

@@ -568,6 +568,62 @@ class NorthStarSpec extends SparkSpec {
     graft.CacheScope.release(spark)
   }
 
+  test("imiTrain: trained two-level model serves the documented assignment rule") {
+    val small = emb.filter(col("vec_id") < 256)
+    val (coarse, fine) = Similarity.imiTrain(small, "embedding",
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    assert(coarse.length === 4 && coarse.forall(_.length === 64))
+    assert(fine.length === 16 && fine.forall(_.length === 64))
+    // the trained model plugs into the SAME assignment rule: coarse argmax
+    // (max-dot, lowest group on ties) then fine argmax within the winning
+    // group — recomputed in memory against both paths
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val rows = small.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expectCell = rows.map { case (id, v) =>
+      val cs = coarse.map(c => dot(v, c))
+      val g = cs.indexOf(cs.max)
+      val fs = (g * 4 until (g + 1) * 4).map(c => dot(v, fine(c)))
+      id -> (g * 4 + fs.indexOf(fs.max))
+    }.toMap
+    def run(budget: Long) = Similarity
+      .semanticDedup2LevelTrainedWith(small, "vec_id", "embedding", 0.4,
+        coarse, fine, groupSize = 4, literalBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val viaLit = run(Long.MaxValue)
+    assert(viaLit === run(0L), "literal and join paths disagree on trained model")
+    viaLit.foreach { case (id, cell, _) => assert(cell === expectCell(id)) }
+    // fine cells actually moved off the deterministic init (training ran)
+    val init = Array.tabulate(16, 64)(Similarity.centroidComponent)
+    assert(fine.zip(init).exists { case (a, b) => !a.sameElements(b) })
+    graft.CacheScope.release(spark)
+  }
+
+  test("imiTrain groupSize=1 degenerates to flat assignment over the coarse book") {
+    val small = emb.filter(col("vec_id") < 128)
+    val (coarse, fine) = Similarity.imiTrain(small, "embedding",
+      groups = 8, groupSize = 1, iters = 1, dim = 64)
+    // with g=1 the fine step is a no-arg argmax: cell == routed group
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val rows = small.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val expect = rows.map { case (id, v) =>
+      val cs = coarse.map(c => dot(v, c))
+      id -> cs.indexOf(cs.max)
+    }.toMap
+    val got = Similarity.semanticDedup2LevelTrainedWith(small, "vec_id",
+        "embedding", 0.4, coarse, fine, groupSize = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    expect.foreach { case (id, cell) => assert(got(id) === cell) }
+    graft.CacheScope.release(spark)
+  }
+
   test("pqCodes matches an independent in-memory encoder on fixture vectors") {
     val subs = 8; val ksub = 4; val dim = 64; val ds = dim / subs
     val sample = emb.filter(col("vec_id") < 8)
