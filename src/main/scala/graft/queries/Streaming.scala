@@ -538,7 +538,140 @@ object Streaming {
       |) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Stage the 5-user event stream as FOUR time-ordered files — one per
+    * fixed week-boundary quartile of the fixture's Jan-2024 window, one
+    * file each (coalesce(1)), with explicit ascending modification times.
+    * The file source processes oldest-mtime first (`latestFirst=false`)
+    * and `maxFilesPerTrigger=1` makes each file its own micro-batch, so an
+    * ORDER-DEPENDENT stateful operator (EWMA, Welford anomaly) sees events
+    * in global (ts, value) order: batches cover disjoint ascending time
+    * ranges and each implementation sorts within its batch. `ts` is
+    * µs-truncated at staging so both engines see identical instants. */
+  private def stageTimeOrdered(s: SparkSession, dir: String): String = {
+    val tmp = tempWorkspace("graft-stream-ordered")
+    val staged = s"$tmp/staged"
+    val cuts = Seq(1704672000000000000L, 1705276800000000000L,
+      1705881600000000000L) // Jan 8 / 15 / 22 2024, epoch ns
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L))
+      .select(col("user_id").as("key"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
+          .as("ts"),
+        col("value").cast("double").as("value"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+      val part = s"$tmp/part$b"
+      ev.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+        .write.parquet(part)
+      val file = fs.listStatus(new org.apache.hadoop.fs.Path(part))
+        .find(st => st.getPath.getName.startsWith("part-")).get.getPath
+      val dst = new org.apache.hadoop.fs.Path(staged, f"q$b%02d.parquet")
+      fs.rename(file, dst)
+      fs.setTimes(dst, (b + 1) * 60000L, -1L)
+    }
+    staged
+  }
+
+  private def runOrderedStateful[T](s: SparkSession, staged: String,
+      transform: org.apache.spark.sql.Dataset[StreamingIngest.KeyedValue] =>
+        org.apache.spark.sql.Dataset[T]): DataFrame = {
+    import s.implicits._
+    val tmp = tempWorkspace("graft-stream-ordered-out")
+    val out = s"$tmp/out"
+    val src = s.readStream
+      .schema("key LONG, ts LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[StreamingIngest.KeyedValue]
+    val q = transform(src).toDF.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** `ewmaStream` ONLINE = OFFLINE under the gate: the exact per-key EWMA
+    * recursion (s ← α·v + (1−α)·s, the form the batch `ts_ewma` query's
+    * fixed taps approximate) driven through four real time-ordered
+    * micro-batches, every event emitted with its smoothed value. The twin
+    * replays the SAME recursion in a DuckDB recursive CTE with the
+    * identical IEEE expression tree — `0.3·v + (1−0.3)·s`, NOT a literal
+    * 0.7 (1−0.3 ≠ 0.7 in binary64) and NOT the closed geometric form
+    * (different rounding) — so every emitted double must match bit-exactly
+    * across ~70 recursion steps per key. State is one double per key. */
+  def streamEwmaServe(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageTimeOrdered(s, dir)
+    runOrderedStateful(s, staged,
+      (src: org.apache.spark.sql.Dataset[StreamingIngest.KeyedValue]) =>
+        StreamingIngest.ewmaStream(src, alpha = 0.3))
+      .select(col("key").as("user_id"), col("ts").as("ts_ns"),
+        col("value"), col("ewma"))
+      .orderBy(col("user_id"), col("ts_ns"), col("value"))
+  }
+
+  val streamEwmaServeSql: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id AS key, epoch_ns(ts) AS ts_ns, CAST(value AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), value) AS rn
+      |  FROM events WHERE user_id IN (1,2,3,5,8)),
+      |ew AS (
+      |  SELECT key, ts_ns, value, rn, value AS ewma FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.key, s.ts_ns, s.value, s.rn, 0.3 * s.value + (1 - 0.3) * e.ewma
+      |  FROM seq s JOIN ew e ON s.key = e.key AND s.rn = e.rn + 1)
+      |SELECT key AS user_id, ts_ns, value, ewma FROM ew
+      |ORDER BY user_id, ts_ns, value""".stripMargin
+
+  /** `anomalyStream` ONLINE = OFFLINE under the gate: Welford prefix-stat
+    * z-scoring (each event judged against everything BEFORE it) through
+    * the same four time-ordered micro-batches; emits only outliers. The
+    * twin carries the Welford state (n, mean, M2) through a recursive CTE
+    * with the exact update expressions — mean′ = mean + d/(n+1),
+    * M2′ = M2 + d·(v − mean′) — and the same flag rule (n ≥ 2,
+    * population variance > 0, |z| > 2.5), so a drifted mean, a
+    * raw-moment shortcut, or an off-by-one prefix all break the hash. */
+  def streamAnomalyServe(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageTimeOrdered(s, dir)
+    runOrderedStateful(s, staged,
+      (src: org.apache.spark.sql.Dataset[StreamingIngest.KeyedValue]) =>
+        StreamingIngest.anomalyStream(src, threshold = 2.5))
+      .select(col("key").as("user_id"), col("ts").as("ts_ns"),
+        col("value"), col("z"))
+      .orderBy(col("user_id"), col("ts_ns"), col("value"))
+  }
+
+  val streamAnomalyServeSql: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id AS key, epoch_ns(ts) AS ts_ns, CAST(value AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), value) AS rn
+      |  FROM events WHERE user_id IN (1,2,3,5,8)),
+      |st AS (
+      |  SELECT key, ts_ns, value, rn, CAST(1 AS BIGINT) AS n, value AS mean,
+      |    CAST(0 AS DOUBLE) AS m2, CAST(NULL AS DOUBLE) AS z
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.key, s.ts_ns, s.value, s.rn,
+      |    p.n + 1,
+      |    p.mean + (s.value - p.mean) / (p.n + 1),
+      |    p.m2 + (s.value - p.mean)
+      |      * (s.value - (p.mean + (s.value - p.mean) / (p.n + 1))),
+      |    CASE WHEN p.n >= 2 AND p.m2 / p.n > 0
+      |         THEN (s.value - p.mean) / sqrt(p.m2 / p.n) END
+      |  FROM seq s JOIN st p ON s.key = p.key AND s.rn = p.rn + 1)
+      |SELECT key AS user_id, ts_ns, value, z FROM st
+      |WHERE z IS NOT NULL AND abs(z) > 2.5
+      |ORDER BY user_id, ts_ns, value""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma_serve" -> streamEwmaServe,
+    "stream_anomaly_serve" -> streamAnomalyServe,
     "stream_latest_serve" -> streamLatestServe,
     "stream_decontaminate" -> streamDecontaminate,
     "stream_events_tumbling" -> streamEventsTumbling,
@@ -550,6 +683,8 @@ object Streaming {
     "stream_enrich" -> streamEnrich)
 
   def oracleSql: Map[String, String] = Map(
+    "stream_ewma_serve" -> streamEwmaServeSql,
+    "stream_anomaly_serve" -> streamAnomalyServeSql,
     "stream_latest_serve" -> streamLatestServeSql,
     "stream_decontaminate" -> streamDecontaminateSql,
     "stream_events_tumbling" -> streamEventsTumblingSql,
