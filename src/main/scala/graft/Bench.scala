@@ -61,6 +61,15 @@ object Bench {
     def cleanup(): Unit = {
       CacheScope.release(spark)
       spark.catalog.clearCache()
+      // Streaming queries (the mapGroupsWithState serving gates) leave their
+      // state-store providers + background maintenance thread loaded in the
+      // JVM after query.stop(). In a full-suite run those threads contend with
+      // whichever query runs next — the r9 bench overstated stream_topk /
+      // stream_sessionize / dedup_groups_star 3-7x purely from this
+      // interference (VERDICT r9 #1; isolated re-runs matched r8). Unload all
+      // providers and stop the maintenance task between measurements so each
+      // query is timed in a quiescent JVM, as a fresh cluster job would be.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
 
     // optional first arg: regex over query names — a targeted dev loop for

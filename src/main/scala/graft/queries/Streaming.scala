@@ -602,9 +602,12 @@ object Streaming {
     * fixed taps approximate) driven through four real time-ordered
     * micro-batches, every event emitted with its smoothed value. The twin
     * replays the SAME recursion in a DuckDB recursive CTE with the
-    * identical IEEE expression tree — `0.3·v + (1−0.3)·s`, NOT a literal
-    * 0.7 (1−0.3 ≠ 0.7 in binary64) and NOT the closed geometric form
-    * (different rounding) — so every emitted double must match bit-exactly
+    * identical IEEE expression tree — `0.3·v + (1−0.3)·s`, NOT the closed
+    * geometric form (different rounding). (1−0.3 happens to round exactly
+    * to double(0.7) under round-half-even, so the literal would also work;
+    * the real requirement is that both engines evaluate the SAME expression
+    * tree, which the shared form guarantees without per-constant analysis.)
+    * Every emitted double must match bit-exactly
     * across ~70 recursion steps per key. State is one double per key. */
   def streamEwmaServe(s: SparkSession, dir: String): DataFrame = {
     val staged = stageTimeOrdered(s, dir)

@@ -78,6 +78,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
+    // The store relation is fixed; a user-supplied .schema(...) that differs
+    // would otherwise be silently dropped (GraftTable.schema() always returns
+    // StoreSchema) — fail loudly instead (ADVICE r9).
+    if (schema != null && schema.nonEmpty &&
+        schema != GraftTableProvider.StoreSchema)
+      throw new IllegalArgumentException(
+        s"graft tables have the fixed schema ${GraftTableProvider.StoreSchema.simpleString}; " +
+        s"user-specified schema ${schema.simpleString} not supported")
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, ns) = GraftTableProvider.rootNs(opts)
     GraftTable(root, ns)
@@ -97,11 +105,18 @@ object GraftTableProvider {
         TimeStore.namespace(r, n) // validates the name
         (r, n)
       case _ =>
-        // `path`-style single option: <root>/<ns>
+        // `path`-style single option: <root>/<ns>. A trailing slash would
+        // mis-split into an empty ns, and the split ns must pass the same
+        // name validation as the root+ns branch (ADVICE r9) — so reject
+        // trailing '/' and route through TimeStore.namespace().
         Option(opts.get("path")) match {
+          case Some(p) if p.endsWith("/") => throw new IllegalArgumentException(
+            s"graft path option must not end in '/': $p")
           case Some(p) if p.contains('/') =>
             val i = p.lastIndexOf('/')
-            (p.substring(0, i), p.substring(i + 1))
+            val (r, n) = (p.substring(0, i), p.substring(i + 1))
+            TimeStore.namespace(r, n) // validates the name
+            (r, n)
           case _ => throw new IllegalArgumentException(
             "graft source requires options root+ns (or path=<root>/<ns>)")
         }
@@ -284,8 +299,11 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val target = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong
+    // byteStringAsBytes understands the unit forms Spark accepts for this
+    // conf ("128MB", "64m", bare bytes) — hand-parsing broke on them
+    // (ADVICE r9 medium).
+    val target = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     // greedy bin-pack in planning order (files of one bucket stay adjacent)
     val parts = ArrayBuffer.empty[GraftInputPartition]
     val cur = ArrayBuffer.empty[GraftFileSlice]

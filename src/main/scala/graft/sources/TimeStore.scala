@@ -877,6 +877,16 @@ object TimeStore {
         }.foreach { case ((kind, epoch, bucket), pts) =>
           val dir = new Path(s"$target/kind=$kind/epoch=$epoch/bucket=$bucket")
           f.mkdirs(dir)
+          // Sweep stale staged files first: we hold the writer lease, so any
+          // existing .inprogress here is an orphan from a writer that crashed
+          // between staging and rename — invisible to readers (dot-prefixed)
+          // but otherwise accumulating forever (ADVICE r9). Compact retires
+          // them wholesale with the superseded generation; this covers the
+          // no-compact path at one listStatus per touched bucket.
+          f.listStatus(dir).foreach { st =>
+            if (st.isFile && st.getPath.getName.endsWith(".inprogress"))
+              f.delete(st.getPath, false)
+          }
           // Stage under a dot-prefixed name (both the distributed scan and
           // readKindLocal skip '.'/'_' names) and rename into place only
           // after the writer closes: reads are lease-free, so a concurrent
