@@ -5,9 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
-  * Each query is executed twice: a warmup pass (JIT + codegen + parquet
-  * footer caching — costs that a long-running cluster amortizes away) and a
-  * timed pass. Timing writes to the `noop` sink: every declared column is
+  * Each query is executed three times: a warmup pass (JIT + codegen +
+  * parquet footer caching — costs that a long-running cluster amortizes
+  * away) and TWO timed passes, reporting the per-query MINIMUM. The two
+  * timed passes run as separate full sweeps over the inventory, not
+  * back-to-back per query: two consecutive rounds of committed benches
+  * carried a transient external-contention window (~25 s) that inflated
+  * whichever queries happened to be running 2–14× (VERDICT r9 #1 /
+  * r10 #1) — a window that short can overlap a given query in at most one
+  * of two sweeps separated by the whole suite, so min-of-sweeps reports
+  * the quiet reading while preserving the cold-free contract. Timing
+  * writes to the `noop` sink: every declared column is
   * materialized executor-side (under `count()` Catalyst prunes unreferenced
   * projections and eliminates sorts, so projection-heavy queries would
   * measure only the scan — VERDICT r1 bench-fidelity warning), with no
@@ -84,10 +92,21 @@ object Bench {
       catch { case _: Throwable => }
       finally cleanup()
     }
+    def sweep(): Map[String, (Double, Option[String])] =
+      names.map { name =>
+        val r = timeOne(spark, sfDir, SparkEntry.queries(name))
+        cleanup()  // untimed
+        name -> r
+      }.toMap
+    // two interleaved full sweeps; per-query minimum (policy note in the
+    // Scaladoc above — structural robustness to one-off contention windows)
+    val pass1 = sweep()
+    val pass2 = sweep()
     val results = names.map { name =>
-      val (sec, err) = timeOne(spark, sfDir, SparkEntry.queries(name))
-      cleanup()  // untimed
-      (name, sec, err)
+      val (s1, e1) = pass1(name)
+      val (s2, e2) = pass2(name)
+      val ok = Seq((s1, e1), (s2, e2)).collect { case (s, None) => s }
+      if (ok.nonEmpty) (name, ok.min, None) else (name, -1.0, e1.orElse(e2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -758,6 +758,62 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // DSv2 reader A/B (VERDICT r10 #4): the SQL-table scan
+      // (format("graft") — single-footer-open direct ColumnReader decode +
+      // row-group stats skipping) against Spark's VECTORIZED parquet reader
+      // over the IDENTICAL pruned file set with the identical row
+      // predicates. Quantifies what delegating split reading to the
+      // vectorized reader would buy; the store gates pin both paths to the
+      // same rows.
+      if (only.exists(o => "dsv2_ab".contains(o))) {
+        import graft.sources.{GraftScan, TimeStore}
+        import graft.core.Point
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-dsv2ab-$n").toString
+        val ns = TimeStore.namespace(root, "AB")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val pts = spark.range(rows).select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved5 = only
+        only = Nil
+        try {
+          TimeStore.writePoints(spark, ns, pts)
+          val hi = rows * 250L
+          val pred = s"address IN (2, 40, 100, 500) AND time BETWEEN 0 AND $hi"
+          def gdf = spark.read.format("graft")
+            .option("root", root).option("ns", "AB").load()
+            .where(s"kind = 'simple' AND $pred")
+            .select("address", "time", "payload")
+          // the identical pruned file set, read by Spark's vectorized reader
+          val scan = gdf.queryExecution.executedPlan
+            .collect { case b: BatchScanExec => b.scan }.head
+            .asInstanceOf[GraftScan]
+          val paths = scan.plannedFiles.map(_.path)
+          def rdf = spark.read.parquet(paths: _*)
+            .where(pred).select("address", "time", "payload")
+          val (gn, rn) = (gdf.count(), rdf.count())
+          require(gn == rn, s"A/B row mismatch: graft=$gn raw=$rn")
+          println(s"""{"op":"dsv2_ab_setup","n":$n,"files":${paths.length},"sel_rows":$gn}""")
+          time("dsv2_graft_scan", n)(gdf)
+          time("dsv2_vectorized_scan", n)(rdf)
+          // second pass, order flipped (page-cache fairness)
+          time("dsv2_vectorized_scan2", n)(rdf)
+          time("dsv2_graft_scan2", n)(gdf)
+        } finally {
+          only = saved5
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       time("join_skew_salted", n) {
         skewAgg(SkewOps.saltedJoin(
           facts.hint("shuffle_merge"), dim, "key", "row_id", 16))

@@ -281,6 +281,85 @@ private object LshOracleSql {
        |  FROM v CROSS JOIN tc t),
        |${semanticTail(threshold, maxCell)}""".stripMargin
 
+  /** Twin of the IMI-TRAINED two-level SemDeDup
+    * ([[Similarity.imiTrain]] feeding
+    * [[Similarity.semanticDedup2LevelTrainedWith]]): recomputes the WHOLE
+    * training pipeline —
+    *   1. coarse k-means ([[kmeansCtes]] at k = groups, prefix `g`),
+    *   2. serve-rule routing of every vector to its coarse group (max-dot,
+    *      ties to the lowest group — the training partition IS the serving
+    *      partition),
+    *   3. `iters` joint fine Lloyd's iterations where each vector competes
+    *      only among its own group's `groupSize` cells (min-L2 via the same
+    *      dot-decomposed distance, ties to the lowest cell; exact decimal
+    *      sums, r6 means; empty cells keep the previous generation),
+    * then the two-level serve assignment (coarse max-dot rank-1, fine
+    * max-dot rank-1 within the winning group) and the shared
+    * [[semanticTail]]. Every trajectory step is hash-pinned. */
+  def semanticDedupImi(threshold: Double, groups: Int, groupSize: Int,
+                       iters: Int, dim: Int, maxCell: Int): String = {
+    val k = groups * groupSize
+    def exactArr(c: Int): String =
+      (0 until dim)
+        .map(d => s"CAST('${Similarity.centroidComponent(c, d)}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+    val fineInit = (0 until k).map(c => s"($c, ${exactArr(c)})")
+      .mkString(",\n    ")
+    def distExpr(carr: String) =
+      s"list_dot_product(e, e) - 2.0 * list_dot_product(e, $carr) + " +
+        s"list_dot_product($carr, $carr)"
+    val fineIters = new StringBuilder
+    for (it <- 1 to iters) {
+      fineIters.append(
+        s"""ffc${it - 1} AS (SELECT cell, list(c ORDER BY d) AS carr
+           |  FROM ff${it - 1} GROUP BY cell),
+           |fa$it AS (SELECT vec_id, cell FROM (
+           |  SELECT r.vec_id, cc.cell, row_number() OVER (PARTITION BY r.vec_id
+           |    ORDER BY ${distExpr("cc.carr")}, cc.cell) AS rn
+           |  FROM rt r JOIN v USING (vec_id)
+           |  JOIN ffc${it - 1} cc ON CAST(cc.cell // $groupSize AS INT) = r.grp)
+           |  WHERE rn = 1),
+           |fex$it AS (SELECT a.cell, unnest(generate_series(1, len(e))) AS i, e
+           |  FROM fa$it a JOIN v USING (vec_id)),
+           |fm$it AS (SELECT cell, CAST(i - 1 AS INT) AS d,
+           |    FLOOR(CAST(SUM(CAST(e[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
+           |      * 1e6 + 0.5) / 1e6 AS c
+           |  FROM fex$it GROUP BY cell, i),
+           |ff$it AS (SELECT s.cell, s.d, COALESCE(m.c, s.c) AS c
+           |  FROM ff${it - 1} s LEFT JOIN fm$it m ON m.cell = s.cell AND m.d = s.d),
+           |""".stripMargin)
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |${kmeansCtes(groups, iters, dim, prefix = "g")},
+       |gt AS (SELECT s.cell AS grp, s.d, COALESCE(m.c, s.c) AS c
+       |  FROM gf${iters - 1} s LEFT JOIN gm$iters m
+       |  ON m.cell = s.cell AND m.d = s.d),
+       |gtc AS (SELECT grp, list(c ORDER BY d) AS carr FROM gt GROUP BY grp),
+       |rt AS (SELECT vec_id, grp FROM (
+       |  SELECT v.vec_id, g.grp, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY list_dot_product(e, g.carr) DESC, g.grp) AS rn
+       |  FROM v CROSS JOIN gtc g) WHERE rn = 1),
+       |ff0 AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (
+       |  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM (
+       |    SELECT * FROM (VALUES
+       |    $fineInit) t0(cell, carr)))),
+       |${fineIters.toString}ftc AS (SELECT cell, list(c ORDER BY d) AS carr
+       |  FROM ff$iters GROUP BY cell),
+       |csc AS (SELECT v.vec_id, g.grp, list_dot_product(e, g.carr) AS score
+       |  FROM v CROSS JOIN gtc g),
+       |cwin AS (SELECT vec_id, grp FROM (
+       |  SELECT vec_id, grp, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, grp) AS rn FROM csc)
+       |  WHERE rn = 1),
+       |fsc AS (SELECT v.vec_id, v.e, t.cell,
+       |    CAST(t.cell // $groupSize AS INT) AS grp,
+       |    list_dot_product(e, t.carr) AS score
+       |  FROM v CROSS JOIN ftc t),
+       |sc AS (SELECT f.vec_id, f.e, f.cell, f.score
+       |  FROM fsc f JOIN cwin USING (vec_id, grp)),
+       |${semanticTail(threshold, maxCell)}""".stripMargin
+  }
+
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
   private def pqDistCols(subs: Int, ksub: Int, dim: Int): String = {
@@ -977,6 +1056,32 @@ object NorthStar {
   val dedupSemantic2LevelSql: String =
     LshOracleSql.semanticDedup2Level(threshold = 0.4, cells = 16,
       groupSize = 4, dim = 64,
+      maxCell = graft.operators.Dedup.DefaultMaxBucket)
+
+  /** IMI-TRAINED two-level SemDeDup — the full production composition
+    * (VERDICT r9 #6 / r10 #5): [[Similarity.imiTrain]] trains the coarse
+    * quantizer (2 Lloyd's iterations) and the per-group fine codebooks
+    * (2 joint group-scoped iterations — k-independent cost per iteration,
+    * the property that makes the trainer viable at the paper's k ∝ n
+    * sizing), then [[Similarity.semanticDedup2LevelTrainedWith]] serves
+    * the coarse-then-fine assignment and the cluster-scoped keep-first
+    * dedup. Gated at groups=4 × groupSize=4 (k=16) so the DuckDB twin
+    * recomputes the ENTIRE trajectory — coarse training, routing, both
+    * fine iterations, serve assignment, pairing — with every collected
+    * model double hash-pinned, same discipline as
+    * [[dedupSemanticTrained]]. */
+  def dedupSemanticImi(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (coarse, fine) = Similarity.imiTrain(emb, "embedding",
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    Similarity.semanticDedup2LevelTrainedWith(emb, "vec_id", "embedding",
+        threshold = 0.4, coarse, fine, groupSize = 4)
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticImiSql: String =
+    LshOracleSql.semanticDedupImi(threshold = 0.4, groups = 4,
+      groupSize = 4, iters = 2, dim = 64,
       maxCell = graft.operators.Dedup.DefaultMaxBucket)
 
   // ---- similarity search ----
@@ -2265,6 +2370,7 @@ object NorthStar {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_trained" -> dedupSemanticTrained,
     "dedup_semantic_2level" -> dedupSemantic2Level,
+    "dedup_semantic_imi" -> dedupSemanticImi,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -2329,6 +2435,7 @@ object NorthStar {
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_trained" -> dedupSemanticTrainedSql,
     "dedup_semantic_2level" -> dedupSemantic2LevelSql,
+    "dedup_semantic_imi" -> dedupSemanticImiSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -124,6 +124,41 @@ object TimeSeries {
   // the twin IS storeRoundtripSql's: the SQL table serves the same API read
   val storeSqlSql: String = storeRoundtripSql
 
+  /** The store ingest as PURE SQL (VERDICT r10 #3): `CREATE TABLE … USING
+    * graft` + `INSERT INTO … SELECT` drive the WHOLE write protocol — lease,
+    * route, one shuffle on (kind, epoch, bucket), partitioned append,
+    * watermark advance, rollover probe — through the DataSource-V2 write
+    * path ([[graft.sources.GraftTable.newWriteBuilder]]), then the read
+    * side is the same pure-SQL scan as [[storeSql]] against the SAME
+    * catalog table. A SQL-only user can now both ingest and query without
+    * touching the Scala API; the insert uses the column-list form (the
+    * routed columns are derived on write). Twin: storeRoundtripSql — the
+    * SQL-write → SQL-read roundtrip must serve exactly the API read. */
+  def storeSqlWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TimeStore
+    val root = Streaming.tempWorkspace("graft-store-sql-write")
+    val n = TimeStore.namespace(root, "SQLWR")
+    TimeStore.register(s, n, 8, 8)
+    Tables.events(s, dir).createOrReplaceTempView("events_sqlwr_src")
+    s.sql("DROP TABLE IF EXISTS graft_sqlwr")
+    s.sql(s"CREATE TABLE graft_sqlwr USING graft OPTIONS (root '$root', ns 'SQLWR')")
+    s.sql(
+      """INSERT INTO graft_sqlwr (address, time, payload, value)
+        |SELECT user_id * 2, ts - pmod(ts, 1000), event_id, CAST(NULL AS BINARY)
+        |FROM events_sqlwr_src""".stripMargin)
+    s.sql(
+      s"""SELECT user_id, ts_ns, event_id FROM (
+         |  SELECT address div 2 AS user_id, time AS ts_ns, payload AS event_id,
+         |    row_number() OVER (PARTITION BY address, time ORDER BY payload) rn
+         |  FROM graft_sqlwr
+         |  WHERE kind = 'simple' AND address IN (${Addrs.map(_ * 2).mkString(",")})
+         |    AND time BETWEEN $T0 AND $T1
+         |) WHERE rn = 1
+         |ORDER BY ts_ns, user_id""".stripMargin)
+  }
+
+  val storeSqlWriteSql: String = storeRoundtripSql
+
   /** O8 `latestUniques` over an ACTUAL store ([[storeRoundtrip]]'s write
     * path feeding [[graft.sources.TimeStore.latestPerAddress]]) — the
     * store's latest-value materialization (the min_by over sign-flipped
@@ -919,6 +954,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_sql"      -> storeSql,
+    "ts_store_sql_write" -> storeSqlWrite,
     "ts_store_latest"   -> storeLatest,
     "ts_store_extended" -> storeExtended,
     "ts_store_mutable"  -> storeMutable,
@@ -941,6 +977,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_sql"      -> storeSqlSql,
+    "ts_store_sql_write" -> storeSqlWriteSql,
     "ts_store_latest"   -> storeLatestSql,
     "ts_store_extended" -> storeExtendedSql,
     "ts_store_mutable"  -> storeMutableSql,

@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -80,9 +80,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     // The store relation is fixed; a user-supplied .schema(...) that differs
     // would otherwise be silently dropped (GraftTable.schema() always returns
-    // StoreSchema) — fail loudly instead (ADVICE r9).
+    // StoreSchema) — fail loudly instead (ADVICE r9). Compatibility is
+    // names + types only: a DDL column list is nullable-by-default and a
+    // catalog round-trip can relax nullability or attach field metadata,
+    // neither of which changes what the scan returns (ADVICE r10) — strict
+    // StructType equality rejected those semantically identical schemas.
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     if (schema != null && schema.nonEmpty &&
-        schema != GraftTableProvider.StoreSchema)
+        shape(schema) != shape(GraftTableProvider.StoreSchema))
       throw new IllegalArgumentException(
         s"graft tables have the fixed schema ${GraftTableProvider.StoreSchema.simpleString}; " +
         s"user-specified schema ${schema.simpleString} not supported")
@@ -124,13 +129,68 @@ object GraftTableProvider {
   }
 }
 
-case class GraftTable(root: String, ns: String) extends Table with SupportsRead {
+case class GraftTable(root: String, ns: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$root/$ns`"
   override def schema(): StructType = GraftTableProvider.StoreSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE satisfies DataFrameWriter.save()'s capability probe (it
+    // checks BATCH_WRITE before building AppendData); the Write this table
+    // builds is a V1Write, so physical planning still routes through
+    // AppendDataExecV1 — V1_BATCH_WRITE declares that honestly.
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, ns)
+
+  /** DSv2 write path (VERDICT r10 #3): `INSERT INTO <graft table> SELECT …`
+    * and `df.write.format("graft").mode("append")`, so the reference's
+    * ingest (`TimeStore.hs:98-137`) is reachable from pure SQL like its
+    * reads. The write protocol is a driver-orchestrated multi-JOB program —
+    * exclusive writer lease with heartbeat, index fetch, distributed route,
+    * one shuffle on (kind, epoch, bucket), partitioned parquet append with
+    * observe-collected watermark metrics, monotonic latest advance,
+    * rollover probe — which the per-task DataWriter/commit-message model
+    * cannot express without splitting the protocol in two. The connector
+    * therefore bridges through [[org.apache.spark.sql.connector.write.V1Write]]
+    * (the same shape Spark's own JDBC connector uses): `insert()` hands the
+    * fully-analyzed input DataFrame to [[TimeStore.writePoints]] — ONE
+    * implementation of the protocol, fully distributed (no driver
+    * materialization), publish atomic per batch under the namespace lease.
+    *
+    * The routed columns (kind, epoch, bucket) are DERIVED partition
+    * metadata — a pure function of (address, time) and the namespace's
+    * index state (epoch floor + `placeBucket`). Honoring user-supplied
+    * values would break the `targetObjs` pruning invariant every read
+    * relies on, so the write recomputes them and ignores any provided
+    * values; `INSERT INTO t (address, time, payload, value)` (column-list
+    * form — the routed columns are nullable in the declared schema exactly
+    * so this works) is the natural spelling. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "graft tables are append-only: the store protocol has no " +
+                  "truncate (generational rewrite is `compact`); use append/INSERT INTO")
+                val spark = data.sparkSession
+                import spark.implicits._
+                val pts = data.select(
+                  org.apache.spark.sql.functions.col("address"),
+                  org.apache.spark.sql.functions.col("time"),
+                  org.apache.spark.sql.functions.col("payload"),
+                  org.apache.spark.sql.functions.col("value"))
+                  .as[graft.core.Point]
+                TimeStore.writePoints(spark, TimeStore.Namespace(root, ns), pts)
+              }
+            }
+        }
+    }
 }
 
 class GraftScanBuilder(root: String, ns: String)
@@ -140,9 +200,13 @@ class GraftScanBuilder(root: String, ns: String)
   private var required: StructType = GraftTableProvider.StoreSchema
   private var pushed: Array[Filter] = Array.empty
 
-  /** A filter is accepted iff the reader can evaluate it EXACTLY row-side
-    * (so it need not come back as a residual) — simple comparisons over the
-    * non-null routed columns. Everything else stays with Spark. */
+  /** A filter is accepted iff the scan can exploit it — planning-time
+    * pruning (index epochs, `targetObjs` buckets, kind subtrees) and
+    * row-group statistics skipping — simple comparisons over the non-null
+    * routed columns. Accepted filters are STILL returned as residuals so
+    * Spark re-evaluates them over the scan output (vectorized + codegen'd
+    * over the columnar batches — the same contract as Spark's own parquet
+    * source); `pushedFilters()` reports them for `.explain` fidelity. */
   private def accepts(f: Filter): Boolean = f match {
     case EqualTo(c, v) => colKind(c) != 'x' && litOk(c, v)
     case In(c, vs) => colKind(c) != 'x' && vs.nonEmpty && vs.forall(litOk(c, _))
@@ -168,9 +232,8 @@ class GraftScanBuilder(root: String, ns: String)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ours, residual) = filters.partition(accepts)
-    pushed = ours
-    residual
+    pushed = filters.filter(accepts)
+    filters // all residual: Spark re-checks rows, the scan prunes/skips
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -299,20 +362,33 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    // byteStringAsBytes understands the unit forms Spark accepts for this
-    // conf ("128MB", "64m", bare bytes) — hand-parsing broke on them
+    // byteStringAsBytes understands the unit forms Spark accepts for these
+    // confs ("128MB", "64m", bare bytes) — hand-parsing broke on them
     // (ADVICE r9 medium).
-    val target = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    def bytesConf(key: String, dflt: String) =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "134217728")
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4194304")
+    // Spark's own maxSplitBytes law (FilePartition): when the pruned set is
+    // smaller than maxPartitionBytes × parallelism, shrink splits so the
+    // scan still fans out across the cluster — without this, a 4-file
+    // pruned read bin-packs into ONE task and a single core decodes what 32
+    // could (measured 2.8 s vs 0.5 s at 82M points, SCALE.md dsv2_ab row).
+    val minPartitions = math.max(spark.sparkContext.defaultParallelism, 1)
+    val totalCost = plannedFiles.map(_.bytes + openCost).sum
+    val target = math.min(maxPartitionBytes,
+      math.max(openCost, totalCost / minPartitions))
     // greedy bin-pack in planning order (files of one bucket stay adjacent)
     val parts = ArrayBuffer.empty[GraftInputPartition]
     val cur = ArrayBuffer.empty[GraftFileSlice]
     var curBytes = 0L
     plannedFiles.foreach { fs =>
-      if (cur.nonEmpty && curBytes + fs.bytes > target) {
+      val cost = fs.bytes + openCost
+      if (cur.nonEmpty && curBytes + cost > target) {
         parts += GraftInputPartition(cur.toVector); cur.clear(); curBytes = 0L
       }
-      cur += fs; curBytes += fs.bytes
+      cur += fs; curBytes += cost
     }
     if (cur.nonEmpty) parts += GraftInputPartition(cur.toVector)
     parts.toArray
@@ -322,7 +398,9 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     val spark = SparkSession.active
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      required, filters)
+      required, filters,
+      spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096").toInt,
+      spark.conf.get("spark.sql.columnVector.offheap.enabled", "false").toBoolean)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -332,26 +410,193 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
   }
 }
 
+object GraftParquetFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+
+  /** Row-group statistics predicate from the pushed numeric filters on the
+    * LONG point columns — address/time/payload are present (required or
+    * optional) in every store layout, both the typed writers' and
+    * [[TimeStore.compact]]'s, so the predicate is file-independent. Signed
+    * comparisons, matching Spark's LongType semantics on these columns
+    * (unsigned time windows are the store API's concern, not the SQL
+    * table's). Conservative: any filter shape not expressible keeps the
+    * row group; the predicate only SKIPS groups from footer stats — the
+    * filters also return to Spark as residuals for exact row evaluation. */
+  def rowGroupPredicate(filters: Array[Filter]): Option[FilterPredicate] = {
+    val LongCols = Set("address", "time", "payload")
+    def lcol(c: String) = FilterApi.longColumn(c)
+    val preds = filters.toSeq.flatMap {
+      case EqualTo(c, v: java.lang.Number) if LongCols(c) =>
+        Some(FilterApi.eq(lcol(c), java.lang.Long.valueOf(v.longValue)))
+      case In(c, vs) if LongCols(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        val set = new java.util.HashSet[java.lang.Long]()
+        vs.foreach { case n: java.lang.Number => set.add(n.longValue) }
+        Some(FilterApi.in(lcol(c), set))
+      case GreaterThan(c, v: java.lang.Number) if LongCols(c) =>
+        Some(FilterApi.gt(lcol(c), java.lang.Long.valueOf(v.longValue)))
+      case GreaterThanOrEqual(c, v: java.lang.Number) if LongCols(c) =>
+        Some(FilterApi.gtEq(lcol(c), java.lang.Long.valueOf(v.longValue)))
+      case LessThan(c, v: java.lang.Number) if LongCols(c) =>
+        Some(FilterApi.lt(lcol(c), java.lang.Long.valueOf(v.longValue)))
+      case LessThanOrEqual(c, v: java.lang.Number) if LongCols(c) =>
+        Some(FilterApi.ltEq(lcol(c), java.lang.Long.valueOf(v.longValue)))
+      case _ => None
+    }
+    preds.reduceOption(FilterApi.and)
+  }
+}
+
 class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
-                         filters: Array[Filter])
+                         filters: Array[Filter], batchCapacity: Int,
+                         offHeap: Boolean)
     extends PartitionReaderFactory {
+
+  private val DataColNames = Set("address", "time", "payload", "value")
+
+  /** Columnar reads need the output schema shaped data-columns-then-
+    * partition-columns (the vectorized reader appends partition vectors
+    * after the file's data vectors). Catalyst prunes preserving the table
+    * schema order — which IS data-then-partition — so this holds for every
+    * real plan; the row-based reader remains as the general fallback. */
+  private def dataThenPartition: Boolean = {
+    val firstPart = required.fieldNames.indexWhere(n => !DataColNames(n))
+    firstPart < 0 || required.fieldNames.drop(firstPart).forall(n => !DataColNames(n))
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    dataThenPartition
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(conf, required,
       partition.asInstanceOf[GraftInputPartition].files, filters)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(conf, required,
+      partition.asInstanceOf[GraftInputPartition].files, filters,
+      batchCapacity, offHeap)
 }
 
-/** Executor-side reader: parquet Group API over the split's files, with the
-  * data-column projection pushed into the parquet reader
-  * (`parquet.read.schema`), partition values injected from the directory
-  * image, and the pushed filters evaluated row-exactly (they were NOT
-  * returned as residuals). */
+/** Executor-side COLUMNAR reader (VERDICT r10 #4): delegates split decoding
+  * to Spark's `VectorizedParquetRecordReader` — the same batched,
+  * dictionary-aware column decoder the raw-parquet path uses (measured 4-5×
+  * faster than row-at-a-time ColumnReader decode on the same pruned files,
+  * SCALE.md dsv2_ab row) — handing whole `ColumnarBatch`es to whole-stage
+  * codegen. Partition values (kind, epoch, bucket) are injected as constant
+  * vectors via `initBatch`; the pushed filters drive row-group stats
+  * skipping through the parquet filter conf and ALSO return to Spark as
+  * residuals for exact row evaluation, the same contract as Spark's own
+  * parquet source. */
+class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
+                          files: Seq[GraftFileSlice], filters: Array[Filter],
+                          capacity: Int, offHeap: Boolean)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.parquet.hadoop.ParquetInputFormat
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val DataColNames = Set("address", "time", "payload", "value")
+  private val dataSchema = StructType(required.fields.filter(f => DataColNames(f.name)))
+  private val partSchema = StructType(required.fields.filterNot(f => DataColNames(f.name)))
+  private val rowGroupPredicate = GraftParquetFilters.rowGroupPredicate(filters)
+
+  private var fileIdx = -1
+  private var reader: VectorizedParquetRecordReader = _
+  private var batch: ColumnarBatch = _
+
+  private def partValues(f: GraftFileSlice): InternalRow =
+    InternalRow.fromSeq(partSchema.fieldNames.toIndexedSeq.map {
+      case "kind" => UTF8String.fromString(f.kind)
+      case "epoch" => f.epoch
+      case "bucket" => f.bucket
+      case other => throw new IllegalStateException(s"unknown column $other")
+    })
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) false
+    else {
+      val f = files(fileIdx)
+      val c = new Configuration(conf.conf)
+      // the keys ParquetReadSupport publishes (private[parquet] at the
+      // Scala level, stable since Spark 2.x): the read-support class the
+      // base reader instantiates and the Catalyst projection it clips the
+      // file schema against
+      c.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      c.set("org.apache.spark.sql.parquet.row.requested_schema", dataSchema.json)
+      // ParquetToSparkSchemaConverter(conf) reads these with NO defaults
+      // (Spark's own scans set them from SQLConf before shipping the conf);
+      // the store schema is flat INT64/BINARY so the values are inert, but
+      // they must parse
+      c.setBoolean("spark.sql.parquet.binaryAsString", false)
+      c.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+      c.setBoolean("spark.sql.caseSensitive", false)
+      c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+      c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+      rowGroupPredicate.foreach(p => ParquetInputFormat.setFilterPredicate(c, p))
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new Path(f.path), 0, f.bytes, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      // no timestamp columns in the store schema, so the rebase modes are
+      // inert — CORRECTED means "values are what they say"
+      val r = new VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", offHeap, capacity)
+      try {
+        r.initialize(split, ctx)
+        r.initBatch(partSchema, partValues(f))
+        r.enableReturningBatches()
+        reader = r
+        true
+      } catch { case t: Throwable => r.close(); throw t }
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !openNext()) return false
+      if (reader.nextKeyValue()) {
+        batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        return true
+      }
+      reader.close(); reader = null
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
+}
+
+/** Executor-side reader: ONE parquet footer open per file (VERDICT r10 #4
+  * — the previous shape opened each footer twice, once for the projection
+  * probe and again inside `ParquetReader.builder`), decoding the projected
+  * columns DIRECTLY through parquet's `ColumnReader`s — primitive
+  * long/binary reads, no per-row `Group` materialization — with partition
+  * values injected from the directory image and the pushed filters
+  * evaluated row-exactly (they were NOT returned as residuals). The same
+  * pushed filters are ALSO compiled to a parquet `FilterPredicate` so
+  * whole row groups outside the predicate's min/max range are skipped from
+  * the footer stats before any page IO — the DSv2 twin of the row-group
+  * skipping the raw-parquet Scala read path gets from Spark's reader. */
 class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
                            files: Seq[GraftFileSlice], filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  import org.apache.parquet.hadoop.ParquetReader
-  import org.apache.parquet.hadoop.example.GroupReadSupport
-  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.HadoopReadOptions
+  import org.apache.parquet.column.ColumnReader
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+  import org.apache.parquet.schema.MessageType
 
   private val DataColNames = Set("address", "time", "payload", "value")
   // Read every data column the OUTPUT needs plus every data column a pushed
@@ -366,9 +611,28 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
     if (dataCols.nonEmpty) dataCols else Array("address")
 
   private var fileIdx = -1
-  private var reader: ParquetReader[Group] = _
+  private var fileReader: ParquetFileReader = _
   private var current: InternalRow = _
   private var curFile: GraftFileSlice = _
+
+  // per-file decode state: column readers aligned to the projected schema,
+  // max definition levels, column→reader slot for each point column
+  private var projSchema: MessageType = _
+  private var colReaders: Array[ColumnReader] = _
+  private var maxDef: Array[Int] = _
+  private var addrSlot, timeSlot, paySlot, valSlot: Int = -1
+  private var rowsLeft: Long = 0L
+
+  // ColumnReaderImpl requires a converter binding; values are pulled via
+  // getLong/getBinary directly, so the converter never sees data
+  private object NoopGroup extends GroupConverter {
+    private val prim = new PrimitiveConverter {}
+    override def getConverter(i: Int): Converter = prim
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  private val rowGroupPredicate = GraftParquetFilters.rowGroupPredicate(filters)
 
   // compile the pushed filters once per task
   private val rowPred: (Long, Long, Long, Array[Byte], GraftFileSlice) => Boolean = {
@@ -413,53 +677,80 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
     (a, t, p, v, f) => checks.forall(_(a, t, p, v, f))
   }
 
-  /** Column projection must repetition-match the file (parquet's
-    * `checkContains` is exact, and the store holds both required-column
-    * files from the typed writers and optional-column files from
-    * [[TimeStore.compact]]'s rewrite) — so prune the FILE's own schema down
-    * to the required columns instead of parsing a fixed message type. */
-  private def prunedProjection(c: Configuration, p: Path): String = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.MessageType
-    import scala.jdk.CollectionConverters._
-    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
-    val fileSchema = try rd.getFileMetaData.getSchema finally rd.close()
-    val keep = fileSchema.getFields.asScala.filter(f => readCols.contains(f.getName))
-    new MessageType(fileSchema.getName, keep.asJava).toString
-  }
-
+  /** Open the next file: ONE footer read, projection set from the FILE's
+    * own schema pruned to the needed columns (parquet's `checkContains` is
+    * exact, and the store holds both required-column files from the typed
+    * writers and optional-column files from [[TimeStore.compact]]'s
+    * rewrite), row-group stats filter installed from the pushed
+    * predicates. */
   private def openNext(): Boolean = {
-    if (reader != null) { reader.close(); reader = null }
+    if (fileReader != null) { fileReader.close(); fileReader = null }
     fileIdx += 1
     if (fileIdx >= files.length) false
     else {
+      import scala.jdk.CollectionConverters._
       curFile = files(fileIdx)
-      val c = new Configuration(conf.conf)
-      val p = new Path(curFile.path)
-      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        prunedProjection(c, p))
-      reader = ParquetReader.builder(new GroupReadSupport(), p)
-        .withConf(c).build()
+      val in = HadoopInputFile.fromPath(new Path(curFile.path), conf.conf)
+      val optsB = HadoopReadOptions.builder(conf.conf, in.getPath)
+      rowGroupPredicate.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
+      fileReader = ParquetFileReader.open(in, optsB.build())
+      val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+      val keep = fileSchema.getFields.asScala
+        .filter(f => readCols.contains(f.getName))
+      projSchema = new MessageType(fileSchema.getName, keep.asJava)
+      fileReader.setRequestedSchema(projSchema)
+      val slot = projSchema.getFields.asScala.map(_.getName).zipWithIndex.toMap
+      addrSlot = slot.getOrElse("address", -1)
+      timeSlot = slot.getOrElse("time", -1)
+      paySlot = slot.getOrElse("payload", -1)
+      valSlot = slot.getOrElse("value", -1)
+      rowsLeft = 0L
+      colReaders = null
       true
     }
   }
 
+  /** Position on the next row group of the current file (stats-filtered by
+    * the reader); false when the file is exhausted. */
+  private def advanceRowGroup(): Boolean = {
+    val pages = fileReader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      import scala.jdk.CollectionConverters._
+      val store = new ColumnReadStoreImpl(pages, NoopGroup, projSchema,
+        fileReader.getFooter.getFileMetaData.getCreatedBy)
+      val descs = projSchema.getColumns.asScala
+      colReaders = descs.map(store.getColumnReader).toArray
+      maxDef = descs.map(_.getMaxDefinitionLevel).toArray
+      rowsLeft = pages.getRowCount
+      true
+    }
+  }
+
+  private def readLongAt(slot: Int): Long = {
+    val r = colReaders(slot)
+    val v = if (r.getCurrentDefinitionLevel == maxDef(slot)) r.getLong else 0L
+    r.consume(); v
+  }
+
+  private def readBinaryAt(slot: Int): Array[Byte] = {
+    val r = colReaders(slot)
+    val v = if (r.getCurrentDefinitionLevel == maxDef(slot))
+      r.getBinary.getBytes else null
+    r.consume(); v
+  }
+
   override def next(): Boolean = {
     while (true) {
-      if (reader == null && !openNext()) return false
-      val g = reader.read()
-      if (g == null) {
-        reader.close(); reader = null
+      if (fileReader == null && !openNext()) return false
+      if (rowsLeft == 0L && !advanceRowGroup()) {
+        fileReader.close(); fileReader = null
       } else {
-        val address = if (readCols.contains("address")) g.getLong("address", 0) else 0L
-        val time = if (readCols.contains("time")) g.getLong("time", 0) else 0L
-        val payload = if (readCols.contains("payload")) g.getLong("payload", 0) else 0L
-        val value =
-          if (readCols.contains("value") && g.getType.containsField("value") &&
-              g.getFieldRepetitionCount("value") > 0)
-            g.getBinary("value", 0).getBytes
-          else null
+        rowsLeft -= 1
+        val address = if (addrSlot >= 0) readLongAt(addrSlot) else 0L
+        val time = if (timeSlot >= 0) readLongAt(timeSlot) else 0L
+        val payload = if (paySlot >= 0) readLongAt(paySlot) else 0L
+        val value = if (valSlot >= 0) readBinaryAt(valSlot) else null
         if (rowPred(address, time, payload, value, curFile)) {
           val vals: Array[Any] = required.fieldNames.map {
             case "address" => address
@@ -482,5 +773,5 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
   override def get(): InternalRow = current
 
   override def close(): Unit =
-    if (reader != null) { reader.close(); reader = null }
+    if (fileReader != null) { fileReader.close(); fileReader = null }
 }
