@@ -141,12 +141,26 @@ object ScaleProbe {
 
     for (n <- sizes) {
       if (!skewOnly) {
-      // materialize inputs once so op timings exclude synthesis
+      // materialize inputs once so op timings exclude synthesis — unless
+      // every selected op is a store-family probe that synthesizes its own
+      // points (store_decade at n=16-64M would otherwise pay tens of GB of
+      // doc/embedding synthesis it never reads); the un-cached plans still
+      // flow into the skipped time() thunks, which never force them
+      val storeFamily = Seq("store", "decade", "dsv2", "kv_point")
+      val inputsNeeded = only.isEmpty ||
+        !only.forall(o => storeFamily.exists(o.contains(_)))
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
         else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val docs = CacheScope.cache(synthDocs(spark, n), lvl); docs.count()
-      val emb = CacheScope.cache(synthEmbeddings(spark, n), lvl); emb.count()
+      val docs =
+        if (inputsNeeded) { val d = CacheScope.cache(synthDocs(spark, n), lvl)
+          d.count(); d }
+        else synthDocs(spark, n)
+      val emb =
+        if (inputsNeeded) { val e =
+          CacheScope.cache(synthEmbeddings(spark, n), lvl)
+          e.count(); e }
+        else synthEmbeddings(spark, n)
 
       time("dedup_minhash_lsh", n) {
         Dedup.minhashLshPairs(Dedup.shingles(docs, "doc_id", "text", 3),
