@@ -442,18 +442,46 @@ object ScaleProbe {
             f""""trained":$rTr%.4f,"trained_flat_ref":$rFlatTr%.4f}""")
         } finally only = saved3
       }
+      // Decompose the IMI trainer's wall time (`imi_parts`): the imi_ab
+      // run showed trained-IMI (n·(k/g+g) scoring flops) only ~1.2× faster
+      // end-to-end than flat Lloyd's (n·k flops) at k=2560 — coarse-train
+      // deltas (1 vs 2 iters) and full-train deltas isolate the per-
+      // iteration cost that is NOT scoring (the exploded exact-decimal
+      // centroid update, routing, plan/cache fixed costs)
+      if (only.exists(o => "imi_parts".contains(o))) {
+        val k = 2560; val g = 64; val groups = k / g
+        val saved6 = only
+        only = Nil
+        try {
+          for (it <- Seq(1, 2)) {
+            timeAction(s"imip_coarse_g${groups}_it$it", n) {
+              Similarity.kmeansTrain(emb, "embedding", groups, it, 64).collect()
+              ()
+            }
+          }
+          for (it <- Seq(1, 2)) {
+            timeAction(s"imip_full_k${k}_it$it", n) {
+              Similarity.imiTrain(emb, "embedding", groups, g, it, 64)
+              ()
+            }
+          }
+        } finally only = saved6
+      }
       // Bounded-model perplexity: the top-V + OOV unigram LM — the model
       // build + scoring join at each n, with the MODEL SIZE printed so the
       // flatness claim (V+1 rows at any corpus size, vs the full-vocab
       // model growing with the data) is recorded evidence
+      // probe at topV=256 — BELOW the 400-word synthetic vocabulary, so the
+      // cap actually binds (at the production default 512 the probe corpus
+      // never exceeds V and "flatness" would be vacuous)
       timeAction("text_perplexity_topv", n) {
-        TextAnalysis.unigramNegLogprobTopV(docs, "doc_id", "text", topV = 512)
+        TextAnalysis.unigramNegLogprobTopV(docs, "doc_id", "text", topV = 256)
           .write.format("noop").mode("overwrite").save()
         val vocab = docs
           .select(explode(split(lower(col("text")), " ")).as("t"))
           .agg(countDistinct(col("t"))).first().getLong(0)
         println(s"""{"op":"text_perplexity_topv_model","n":$n,""" +
-          s""""vocab":$vocab,"model_rows":${math.min(vocab, 512L) + 1}}""")
+          s""""vocab":$vocab,"model_rows":${math.min(vocab, 256L) + 1}}""")
       }
       // centroid-audit family: labels synthesized as vec_id mod 10 — the
       // broadcast-centroid join shape should grow linearly in corpus size
@@ -709,10 +737,18 @@ object ScaleProbe {
         TimeStore.register(spark, ns, 64, 64)
         val rows = n * 64
         val batches = 8
+        // address derives from id DIV batches, NOT id: batch b holds ids
+        // ≡ b (mod 8), and with address = (id % 1024)·2 each batch's
+        // addresses were ≡ 2b (mod 16) — landing in a DISJOINT set of 4
+        // buckets per batch, so the "fragmented" ingest wrote exactly one
+        // file per bucket and compact had nothing to merge (caught when a
+        // layout dump showed 32 pre-compact files at 8 batches). Dividing
+        // first makes every batch cover all 1024 addresses, i.e. all 32
+        // even-residue buckets: 8 genuinely interleaved appends per bucket.
         def batch(b: Int) = spark.range(rows)
           .filter(pmod(col("id"), lit(batches.toLong)) === b)
           .select(
-            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (pmod(expr(s"id DIV $batches"), lit(1024L)) * 2).as("address"),
             (col("id") * 1000L).as("time"),
             xxhash64(col("id")).as("payload"),
             lit(null).cast("binary").as("value"))
@@ -726,10 +762,14 @@ object ScaleProbe {
               TimeStore.writePoints(spark, ns, batch(b)))
           }
           val writeSec = (System.nanoTime() - t0) / 1e9
+          // count the LIVE generation only: compact retains the superseded
+          // generation for the lease horizon (reader safety), so a
+          // whole-root count right after compact double-counts by design
           def fileCount(): Long = {
-            val f = new org.apache.hadoop.fs.Path(root)
+            val live = TimeStore.livePointsPath(spark, ns).getOrElse(root)
+            val f = new org.apache.hadoop.fs.Path(live)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val it = f.listFiles(new org.apache.hadoop.fs.Path(root), true)
+            val it = f.listFiles(new org.apache.hadoop.fs.Path(live), true)
             var c = 0L
             while (it.hasNext) {
               val st = it.next()

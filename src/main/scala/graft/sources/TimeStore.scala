@@ -737,11 +737,17 @@ object TimeStore {
         |}""".stripMargin)
 
   private def readParquetPoints(conf: org.apache.hadoop.conf.Configuration,
-                                file: Path): Seq[Point] = {
+                                file: Path,
+                                filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : Seq[Point] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    val reader = ParquetReader.builder(new GroupReadSupport(), file)
-      .withConf(conf).build()
+    val builder = ParquetReader.builder(new GroupReadSupport(), file)
+      .withConf(conf)
+    val reader = filter
+      .fold(builder)(p => builder.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(p)))
+      .build()
     try {
       val out = Vector.newBuilder[Point]
       var g = reader.read()
@@ -834,6 +840,33 @@ object TimeStore {
     val f = fs(spark, live)
     val conf = spark.sparkContext.hadoopConfiguration
     val addrSet = addrs.toSet
+    // The bucket files this walks grow with corpus/buckets, not with the
+    // selection — without a parquet filter a single point-get decodes the
+    // WHOLE bucket file (measured 2.6 s against a 4M-row bucket, 8x SLOWER
+    // than the distributed scan it exists to undercut). Push the time range
+    // and address set down as a parquet FilterPredicate: row-group stats
+    // and column-index page skipping prune the file to the touched pages,
+    // restoring the reference's one-small-object cost model at any bucket
+    // size. Comparisons are signed; the UNSIGNED time range maps to a
+    // conjunction when start/end share a sign half and to a disjunction
+    // when the range crosses the sign boundary (the >= start matches live
+    // entirely in the non-negative half, the <= end matches in the
+    // negative half). An unsigned-empty range can slip a too-wide
+    // disjunction through -- the exact driver-side filter below still
+    // gates every row, as before.
+    val tcol = org.apache.parquet.filter2.predicate.FilterApi.longColumn("time")
+    val acol = org.apache.parquet.filter2.predicate.FilterApi.longColumn("address")
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val timePred =
+      if ((start < 0) == (end < 0))
+        FilterApi.and(FilterApi.gtEq(tcol, java.lang.Long.valueOf(start)),
+          FilterApi.ltEq(tcol, java.lang.Long.valueOf(end)))
+      else
+        FilterApi.or(FilterApi.gtEq(tcol, java.lang.Long.valueOf(start)),
+          FilterApi.ltEq(tcol, java.lang.Long.valueOf(end)))
+    val addrJSet = new java.util.HashSet[java.lang.Long]()
+    addrs.foreach(a => addrJSet.add(java.lang.Long.valueOf(a)))
+    val pred = Some(FilterApi.and(timePred, FilterApi.in(acol, addrJSet)))
     // targetObjs (StoreHelpers.hs:78-104): the same pruned (epoch, bucket)
     // image readKind turns into partition predicates, walked directly
     val rows = idx.rangeEntries(start, end).flatMap { case (e, bc) =>
@@ -845,7 +878,7 @@ object TimeStore {
             val nm = st.getPath.getName
             !nm.startsWith("_") && !nm.startsWith(".")
           })
-          .flatMap(st => readParquetPoints(conf, st.getPath))
+          .flatMap(st => readParquetPoints(conf, st.getPath, pred))
       }
     }.filter(p => addrSet.contains(p.address) &&
       java.lang.Long.compareUnsigned(p.time, start) >= 0 &&
