@@ -643,18 +643,102 @@ object TimeStore {
       case (curGen, curPath) =>
         val next = new Path(genPath(n, curGen + 1))
         if (f.exists(next)) f.delete(next, true) // dead earlier attempt
-        spark.read.parquet(curPath.toString)
-          .repartition(col("kind"), col("epoch"), col("bucket"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("kind", "epoch", "bucket")
-          .parquet(next.toString)
+        // ZERO-SHUFFLE merge (r11): the store is already physically
+        // partitioned by (kind, epoch, bucket) directories, so compaction
+        // is a per-directory FILE merge, not a relational rewrite. The old
+        // shape (read → repartition(kind,epoch,bucket) → partitionBy write)
+        // shuffled the ENTIRE corpus to land rows it already had grouped —
+        // at 1.02B points that shuffle cost 287.6 s and spilled ~19 GB; at
+        // 2.05B the spill alone outgrew the box (SCALE.md decade table).
+        // Instead: one task per partition directory, each streaming its
+        // files' rows into one output file (raw byte copy when the
+        // directory already holds a single file). Transient space is the
+        // two generations only — the irreducible cost of the reader-safe
+        // swap — and network traffic is zero.
+        val leaves = scala.collection.mutable.SortedSet.empty[String]
+        val walk = f.listFiles(curPath, true)
+        while (walk.hasNext) {
+          val st = walk.next()
+          val nm = st.getPath.getName
+          if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+            val rel = st.getPath.getParent.toString
+              .stripPrefix(curPath.toString).stripPrefix("/")
+            if (rel.nonEmpty) leaves += rel
+          }
+        }
+        val sconf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val (curStr, nextStr) = (curPath.toString, next.toString)
+        if (leaves.nonEmpty)
+          // one partition-dir per task: the merge is IO-bound and a retried
+          // task overwrites its own output file, so tasks are idempotent
+          spark.sparkContext.parallelize(leaves.toSeq, leaves.size)
+            .foreach { rel =>
+              mergePartitionDir(sconf.conf, new Path(s"$curStr/$rel"),
+                new Path(s"$nextStr/$rel/compacted-0.parquet"))
+            }
+        else f.mkdirs(next)
         // the new generation is live from here (its _SUCCESS committed);
         // retire only superseded generations whose supersession is older
         // than the lease horizon — curGen and any recently-superseded
         // predecessor stay for readers that resolved them pre-swap (two
         // fast back-to-back compactions must not strand an in-flight scan)
+        f.create(new Path(next, "_SUCCESS"), true).close()
         retireable(spark, f, gens, curGen + 1).foreach(g => f.delete(g._2, true))
     }
+  }
+
+  /** Executor-side streaming merge of one partition directory's parquet
+    * files into a single file — bounded memory (the writer buffers one row
+    * group; rows stream reader→writer without materialization), files
+    * visited in name order so the merged row groups preserve per-append
+    * time locality (row-group min/max stats keep skipping). A directory
+    * already holding one file is byte-copied unchanged. Overwrite modes
+    * make task retries idempotent. */
+  private def mergePartitionDir(conf: org.apache.hadoop.conf.Configuration,
+                                srcDir: Path, dstFile: Path): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val f = srcDir.getFileSystem(conf)
+    val files = f.listStatus(srcDir).toSeq
+      .filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) return
+    f.mkdirs(dstFile.getParent)
+    if (files.sizeIs == 1) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, files.head.getPath, f, dstFile, false, true, conf)
+      return
+    }
+    val writer = ExampleParquetWriter.builder(dstFile)
+      .withConf(conf).withType(LocalFileSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(LocalFileSchema)
+    try files.foreach { st =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val out = factory.newGroup()
+          out.append("address", g.getLong("address", 0))
+          out.append("time", g.getLong("time", 0))
+          out.append("payload", g.getLong("payload", 0))
+          if (g.getType.containsField("value") &&
+              g.getFieldRepetitionCount("value") > 0)
+            out.append("value", g.getBinary("value", 0))
+          writer.write(out)
+          g = reader.read()
+        }
+      } finally reader.close()
+    } finally writer.close()
   }
 
   /** Crash recovery for [[compact]]: a compaction that died mid-write left
