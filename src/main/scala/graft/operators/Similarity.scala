@@ -1113,6 +1113,79 @@ object Similarity {
         literalBudget, Some(coarse)),
       threshold, maxCell)
 
+  /** IMI-trained ANN search — the inverted-multi-index SERVING path
+    * (Babenko & Lempitsky 2012's index family, the same coarse structure
+    * FAISS's IMI uses), completing the trained-index family: [[imiTrain]]
+    * trains the coarse quantizer + per-group fine codebooks, the corpus
+    * inverted lists are the two-level rank-1 assignment
+    * ([[semanticAssign2Level]] — the SAME lists `dedup_semantic_imi`
+    * dedups over), and each probe fans out top-`nprobeGroups` coarse
+    * groups → top-`nprobeCells` fine cells within them → exact-cosine
+    * re-rank of those cells' members.
+    *
+    * Why this exists next to [[ivfTrainedTopK]]: a flat IVF's probe ranks
+    * ALL k cells per query and its trainer pays n·k scoring flops per
+    * iteration; the IMI's probe ranks k/g groups + the probed groups'
+    * g-sized slices (n·(k/g + g·nprobeGroups) flops) and its trainer is
+    * k-independent per iteration (SCALE.md imi_parts) — at the 100 TB
+    * operating point (k ≈ 10⁴-10⁵ cells) the IMI shape is the one that
+    * still fits. Both levels ride broadcast-codebook joins: plan size
+    * O(1) in k, scored streams narrow, probes ranked per PINNED row
+    * (duplicate probe ids pool only at the final rank window — the
+    * declared semantics across this top-k family).
+    *
+    * Determinism: every score is the codegen'd [[dot]] kernel on the
+    * trained (1e-6-rounded) centroids, ties pin to the lowest
+    * group/cell/neighbor id, cosine rounds to 6 — the DuckDB twin
+    * recomputes the whole trajectory (training, lists, probe, re-rank)
+    * and the gate hash-checks it end to end. */
+  def imiTrainedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, groups: Int, groupSize: Int,
+                     iters: Int, dim: Int, nprobeGroups: Int,
+                     nprobeCells: Int,
+                     literalBudget: Long = CellLiteralBudget): DataFrame = {
+    val spark = corpus.sparkSession
+    val (coarse, fine) =
+      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    // inverted lists: serve-time two-level rank-1 assignment — one cell
+    // per corpus vector, so a (probe, corpus) pair meets at most once
+    val corpusCells = semanticAssign2Level(corpus, idCol, vecCol, fine,
+        groupSize, literalBudget, Some(coarse))
+      .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("cell"))
+    val pid = graft.CacheScope.cache(
+      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
+        .withColumn("__pid", monotonically_increasing_id()))
+    pid.count()
+    val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
+    val wg = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("grp"))
+    val probedGroups = pid.crossJoin(broadcast(coarseRows))
+      .select(col("__pid"), col("query_id"), col("pv"), col("grp"),
+        dot(col("pv"), col("cent")).as("score"))
+      .withColumn("__r", row_number().over(wg))
+      .filter(col("__r") <= nprobeGroups)
+      .select(col("__pid"), col("query_id"), col("pv"), col("grp"))
+    val fineRows = centroidRows(spark, fine)
+      .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
+    val wc = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("cell"))
+    val probedCells = probedGroups.join(broadcast(fineRows), Seq("grp"))
+      .select(col("__pid"), col("query_id"), col("pv"), col("cell"),
+        dot(col("pv"), col("cent")).as("score"))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= nprobeCells)
+      .select(col("query_id"), col("pv"), col("cell"))
+    val scored = corpusCells.join(probedCells, Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+  }
+
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
     * the n·k quadratic that the paper's k ∝ n cell sizing creates (the
     * published inverted-multi-index / hierarchical-k-means coarse

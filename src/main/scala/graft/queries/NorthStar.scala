@@ -297,7 +297,19 @@ private object LshOracleSql {
     * max-dot rank-1 within the winning group) and the shared
     * [[semanticTail]]. Every trajectory step is hash-pinned. */
   def semanticDedupImi(threshold: Double, groups: Int, groupSize: Int,
-                       iters: Int, dim: Int, maxCell: Int): String = {
+                       iters: Int, dim: Int, maxCell: Int): String =
+    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim)},
+       |${semanticTail(threshold, maxCell)}""".stripMargin
+
+  /** The IMI training + serve-assignment CTE chain shared by
+    * [[semanticDedupImi]] and [[imiTopK]] (no leading WITH). Produces:
+    * `v` (vec_id, e), `gtc` (trained coarse group lists), `ftc` (trained
+    * fine cell lists), `csc` (per-vector coarse scores), `cwin` (rank-1
+    * group), `fsc` (per-vector fine scores with each cell's grp), and
+    * `sc` (the winning group's fine scores — rank-1 over it is the
+    * two-level assignment). */
+  private def imiModelCtes(groups: Int, groupSize: Int, iters: Int,
+                           dim: Int): String = {
     val k = groups * groupSize
     def exactArr(c: Int): String =
       (0 until dim)
@@ -329,7 +341,7 @@ private object LshOracleSql {
            |  FROM ff${it - 1} s LEFT JOIN fm$it m ON m.cell = s.cell AND m.d = s.d),
            |""".stripMargin)
     }
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |${kmeansCtes(groups, iters, dim, prefix = "g")},
        |gt AS (SELECT s.cell AS grp, s.d, COALESCE(m.c, s.c) AS c
        |  FROM gf${iters - 1} s LEFT JOIN gm$iters m
@@ -356,9 +368,41 @@ private object LshOracleSql {
        |    list_dot_product(e, t.carr) AS score
        |  FROM v CROSS JOIN ftc t),
        |sc AS (SELECT f.vec_id, f.e, f.cell, f.score
-       |  FROM fsc f JOIN cwin USING (vec_id, grp)),
-       |${semanticTail(threshold, maxCell)}""".stripMargin
+       |  FROM fsc f JOIN cwin USING (vec_id, grp))""".stripMargin
   }
+
+  /** Twin of [[Similarity.imiTrainedTopK]] with probe set vec_id < 10:
+    * the [[imiModelCtes]] chain recomputes the whole IMI trajectory, the
+    * corpus inverted lists are rank-1 over `sc` (the two-level
+    * assignment), probes take top-`nprobeGroups` groups from `csc` then
+    * top-`nprobeCells` cells among those groups' `fsc` scores, and the
+    * probed cells' members re-rank by the shared exact-cosine rule. */
+  def imiTopK(k: Int, groups: Int, groupSize: Int, iters: Int, dim: Int,
+              nprobeGroups: Int, nprobeCells: Int): String =
+    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim)},
+       |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |pg AS (SELECT query_id, grp FROM (
+       |  SELECT vec_id AS query_id, grp, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, grp) AS rn
+       |  FROM csc WHERE vec_id < 10) WHERE rn <= $nprobeGroups),
+       |pc AS (SELECT query_id, cell FROM (
+       |  SELECT p.query_id, f.cell, row_number() OVER (
+       |    PARTITION BY p.query_id ORDER BY f.score DESC, f.cell) AS rn
+       |  FROM pg p JOIN fsc f ON f.vec_id = p.query_id AND f.grp = p.grp)
+       |  WHERE rn <= $nprobeCells),
+       |scored AS (
+       |  SELECT query_id, nbr_id, $cosSql AS cos_sim
+       |  FROM pc JOIN corpus_cells USING (cell)
+       |  JOIN v va ON va.vec_id = query_id JOIN v vb ON vb.vec_id = nbr_id
+       |  WHERE query_id != nbr_id)
+       |SELECT query_id, rnk, nbr_id, cos_sim FROM (
+       |  SELECT query_id, nbr_id, cos_sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
@@ -1755,6 +1799,23 @@ object NorthStar {
   val annIvfTrainedSql: String = LshOracleSql.ivfTrainedTopK(k = 5,
     cells = 8, nprobe = 2, iters = 2, dim = 64)
 
+  /** IMI-trained ANN search (train → two-level inverted lists → group/cell
+    * probe → exact re-rank composed); see [[Similarity.imiTrainedTopK]].
+    * Gated at groups=4 × groupSize=4 (k=16) with a 2-group / 4-cell probe
+    * so the DuckDB twin recomputes the ENTIRE trajectory, same model
+    * discipline as `dedup_semantic_imi` (which shares these codebooks'
+    * training chain). */
+  def annImiTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.imiTrainedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, groups = 4, groupSize = 4, iters = 2,
+        dim = 64, nprobeGroups = 2, nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiTrainedSql: String = LshOracleSql.imiTopK(k = 5, groups = 4,
+    groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4)
+
   /** [[annIvfTrained]] with `literalBudget = 0`: BOTH k-means training and
     * search assignment forced through the broadcast-codebook JOIN path —
     * the production large-k strategy. Declared against the SAME oracle SQL
@@ -2352,6 +2413,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPq,
     "ann_rerank" -> annRerank,
     "emb_kmeans" -> embKmeans,
+    "ann_imi_trained" -> annImiTrained,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
     "ann_pq_trained" -> annPqTrained,
@@ -2417,6 +2479,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
+    "ann_imi_trained" -> annImiTrainedSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
