@@ -1186,6 +1186,77 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** IMI + PQ composed index — the canonical billion-vector serving
+    * structure (FAISS's "IMI2xN,PQM"): [[imiTrainedTopK]]'s trained
+    * two-level coarse structure prunes the scan to the probed cells'
+    * inverted lists, [[pqTopK]]'s 2-byte code words + broadcast ADC tables
+    * compress what the scan touches. Both levers compose — scan fraction
+    * from the group/cell probe, 128× compression from PQ — and BOTH hold
+    * their cost shape at large k (the IMI trainer is k-independent per
+    * iteration, the probe never ranks all k cells; SCALE.md imi_parts).
+    * The corpus index is (cell, pq_code) per vector — 3 narrow columns,
+    * cached once; probes broadcast their ADC tables into the pruned scan,
+    * so the corpus never shuffles.
+    *
+    * Determinism: trained-IMI assignment as [[imiTrainedTopK]]; PQ
+    * code/ADC as [[pqTopK]] (deterministic literal codebooks, pinned-tie
+    * argmin, r6-rounded ADC, id tie-break) — the DuckDB twin recomputes
+    * the entire composition. */
+  def imiPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, groups: Int, groupSize: Int,
+                iters: Int, dim: Int, nprobeGroups: Int, nprobeCells: Int,
+                subs: Int = 8, ksub: Int = 4,
+                literalBudget: Long = CellLiteralBudget): DataFrame = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val spark = corpus.sparkSession
+    val (coarse, fine) =
+      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    // corpus index: trained two-level cell + packed PQ code, pinned to its
+    // own stage (see pqTopK's CollapseProject note)
+    val cells2 = semanticAssign2Level(corpus, idCol, vecCol, fine,
+        groupSize, literalBudget, Some(coarse))
+      .select(col("vec_id"), col("cell"))
+    val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
+      .select(col("vec_id").as("__cid"), col("pq_code"))
+    val corpusIdx = graft.CacheScope.cache(
+      cells2.join(codes, col("vec_id") === col("__cid"))
+        .select(col("vec_id").as("nbr_id"), col("cell"), col("pq_code")))
+    corpusIdx.count()
+    // probes: the IMI group/cell fan-out of imiTrainedTopK, carrying the
+    // broadcast ADC table instead of the full-precision vector
+    val pid = graft.CacheScope.cache(
+      probes.select(col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("pv"),
+          pqDistTable(vecCol, subs, ksub, dim).as("dtab"))
+        .withColumn("__pid", monotonically_increasing_id()))
+    pid.count()
+    val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
+    val wg = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("grp"))
+    val probedGroups = pid.crossJoin(broadcast(coarseRows))
+      .select(col("__pid"), col("query_id"), col("pv"), col("dtab"), col("grp"),
+        dot(col("pv"), col("cent")).as("score"))
+      .withColumn("__r", row_number().over(wg))
+      .filter(col("__r") <= nprobeGroups)
+      .select(col("__pid"), col("query_id"), col("pv"), col("dtab"), col("grp"))
+    val fineRows = centroidRows(spark, fine)
+      .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
+    val wc = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("cell"))
+    val probedCells = probedGroups.join(broadcast(fineRows), Seq("grp"))
+      .select(col("__pid"), col("query_id"), col("dtab"), col("cell"),
+        dot(col("pv"), col("cent")).as("score"))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= nprobeCells)
+      .select(col("query_id"), col("dtab"), col("cell"))
+    val adc = adcSum(subs, ksub)
+    val scored = corpusIdx.join(broadcast(probedCells), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
+    adcTopK(scored, k)
+  }
+
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
     * the n·k quadratic that the paper's k ∝ n cell sizing creates (the
     * published inverted-multi-index / hierarchical-k-means coarse

@@ -404,6 +404,62 @@ private object LshOracleSql {
        |  FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Twin of [[Similarity.imiPqTopK]] with probe set vec_id < 10: the
+    * [[imiModelCtes]] chain recomputes the trained IMI, the corpus index
+    * joins the rank-1 two-level cells with [[pqCodes]]'s packed words,
+    * probes fan out groups then cells exactly as [[imiTopK]], and the
+    * probed cells' members score by the bit-sliced ADC CASE. */
+  def imiPqTopK(k: Int, groups: Int, groupSize: Int, iters: Int, dim: Int,
+                nprobeGroups: Int, nprobeCells: Int, subs: Int,
+                ksub: Int): String = {
+    val shift = Integer.numberOfTrailingZeros(ksub)
+    val adc = (0 until subs).map { s =>
+      val whens = (0 until ksub)
+        .map(c => s"WHEN $c THEN d_${s}_$c").mkString(" ")
+      s"(CASE ((pq_code >> ${s * shift}) & ${ksub - 1}) $whens END)"
+    }.mkString("\n      + ")
+    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim)},
+       |corpus_cells AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |d AS (
+       |  SELECT vec_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(${pqPackedExpr(subs, ksub)} AS BIGINT) AS pq_code
+       |  FROM d),
+       |corpus_idx AS (
+       |  SELECT cc.vec_id AS nbr_id, cc.cell, c.pq_code
+       |  FROM corpus_cells cc JOIN codes c ON c.vec_id = cc.vec_id),
+       |pg AS (SELECT query_id, grp FROM (
+       |  SELECT vec_id AS query_id, grp, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY score DESC, grp) AS rn
+       |  FROM csc WHERE vec_id < 10) WHERE rn <= $nprobeGroups),
+       |pc AS (SELECT query_id, cell FROM (
+       |  SELECT p.query_id, f.cell, row_number() OVER (
+       |    PARTITION BY p.query_id ORDER BY f.score DESC, f.cell) AS rn
+       |  FROM pg p JOIN fsc f ON f.vec_id = p.query_id AND f.grp = p.grp)
+       |  WHERE rn <= $nprobeCells),
+       |pd AS (
+       |  SELECT vec_id AS query_id,
+       |    ${pqDistCols(subs, ksub, dim)}
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, ci.nbr_id,
+       |    FLOOR(($adc) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM pc p JOIN corpus_idx ci USING (cell)
+       |  JOIN pd ON pd.query_id = p.query_id
+       |  WHERE p.query_id != ci.nbr_id)
+       |SELECT query_id, rnk, nbr_id, adc_dist FROM (
+       |  SELECT query_id, nbr_id, adc_dist, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Shared select list of probe/corpus→centroid squared distances
     * `d_s_k` — the same fixed-order folds as [[Similarity.pqCodes]]. */
   private def pqDistCols(subs: Int, ksub: Int, dim: Int): String = {
@@ -1816,6 +1872,22 @@ object NorthStar {
   val annImiTrainedSql: String = LshOracleSql.imiTopK(k = 5, groups = 4,
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4)
 
+  /** IMI + PQ composed index search (trained coarse structure × compressed
+    * ADC scan — the canonical billion-vector serving composition); see
+    * [[Similarity.imiPqTopK]]. Same IMI gate parameters as
+    * [[annImiTrained]], same PQ parameters as [[annIvfPq]]. */
+  def annImiPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.imiPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, groups = 4, groupSize = 4, iters = 2,
+        dim = 64, nprobeGroups = 2, nprobeCells = 4, subs = 8, ksub = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiPqSql: String = LshOracleSql.imiPqTopK(k = 5, groups = 4,
+    groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
+    subs = 8, ksub = 4)
+
   /** [[annIvfTrained]] with `literalBudget = 0`: BOTH k-means training and
     * search assignment forced through the broadcast-codebook JOIN path —
     * the production large-k strategy. Declared against the SAME oracle SQL
@@ -2413,6 +2485,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPq,
     "ann_rerank" -> annRerank,
     "emb_kmeans" -> embKmeans,
+    "ann_imi_pq" -> annImiPq,
     "ann_imi_trained" -> annImiTrained,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
@@ -2479,6 +2552,7 @@ object NorthStar {
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
     "emb_kmeans" -> embKmeansSql,
+    "ann_imi_pq" -> annImiPqSql,
     "ann_imi_trained" -> annImiTrainedSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
