@@ -53,6 +53,21 @@ object Bench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
 
+  /** 1-minute load average from /proc/loadavg (−1.0 if unreadable) — the
+    * provenance signal the min-of-sweeps policy can't provide by itself:
+    * min-of-2 defeats a TRANSIENT contention window (it can overlap a
+    * query in at most one of two separated sweeps) but is blind to
+    * SUSTAINED box load, which inflates both sweeps uniformly (VERDICT
+    * r11: a +22% driver re-run of a byte-identical binary). Sampling load
+    * at every sweep boundary makes an inflated run self-identify from the
+    * artifact alone — a bench whose samples sit near core count was
+    * measured under load and says so. */
+  private[graft] def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -99,9 +114,17 @@ object Bench {
         name -> r
       }.toMap
     // two interleaved full sweeps; per-query minimum (policy note in the
-    // Scaladoc above — structural robustness to one-off contention windows)
+    // Scaladoc above — structural robustness to one-off contention windows).
+    // The artifact carries BOTH sweeps' raw values plus a load-average
+    // sample at every sweep boundary, so a run's provenance (quiet vs
+    // loaded box) is adjudicable from the JSON alone: sustained load shows
+    // as high samples AND a small sweep1/sweep2 spread, a transient window
+    // as one inflated sweep the minimum discards (VERDICT r11 next #1).
+    val load0 = loadAvg()
     val pass1 = sweep()
+    val load1 = loadAvg()
     val pass2 = sweep()
+    val load2 = loadAvg()
     val results = names.map { name =>
       val (s1, e1) = pass1(name)
       val (s2, e2) = pass2(name)
@@ -110,10 +133,15 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def sweepJson(p: Map[String, (Double, Option[String])]): String =
+      names.map(n => "\"" + n + "\":" + p(n)._1).mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sweep1":${sweepJson(pass1)},"sweep2":${sweepJson(pass2)},""" +
+      s""""loadavg":[$load0,$load1,$load2],""" +
+      s""""errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the stdout tail, which truncates ~80 of the
     // per-query times out of every round's audit (VERDICT r6 missing #2).

@@ -146,9 +146,16 @@ object ScaleProbe {
       // points (store_decade at n=16-64M would otherwise pay tens of GB of
       // doc/embedding synthesis it never reads); the un-cached plans still
       // flow into the skipped time() thunks, which never force them
-      val storeFamily = Seq("store", "decade", "dsv2", "kv_point")
+      // explicit whitelist of the SELF-CONTAINED probe selectors (ops that
+      // synthesize their own points and never read docs/emb) — an arg is
+      // store-family only if it selects within this list, so a future label
+      // that merely CONTAINS 'store'/'dsv2' but does read docs/emb gets its
+      // inputs cached like everything else (ADVICE r11: the old substring
+      // tokens would have silently timed input synthesis into such a probe)
+      val selfContained = Seq("kv_point_ops", "store_write",
+        "store_read_pruned", "store_compact", "store_decade", "dsv2_ab")
       val inputsNeeded = only.isEmpty ||
-        !only.forall(o => storeFamily.exists(o.contains(_)))
+        !only.forall(o => selfContained.exists(_.contains(o)))
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
         else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -466,6 +473,46 @@ object ScaleProbe {
             }
           }
         } finally only = saved6
+      }
+      // Decimal- vs double-precision centroid update A/B (VERDICT r11 #6):
+      // the exact-decimal accumulation exists for the cross-engine bit
+      // determinism the GATES need; a production trainer doesn't. Same-run
+      // pair at the imi_parts operating point — wall time of each path plus
+      // the resulting centroid drift (both paths round to 1e-6, so any
+      // difference is a real accumulation-order/precision divergence, not
+      // formatting).
+      if (only.exists(o => "trainer_precision_ab".contains(o))) {
+        val k = 2560; val g = 64; val groups = k / g
+        val saved7 = only
+        only = Nil
+        try {
+          var exact: (Array[Array[Double]], Array[Array[Double]]) = null
+          var fast: (Array[Array[Double]], Array[Array[Double]]) = null
+          timeAction(s"trainp_decimal_k$k", n) {
+            exact = Similarity.imiTrain(emb, "embedding", groups, g, 2, 64)
+          }
+          timeAction(s"trainp_double_k$k", n) {
+            fast = Similarity.imiTrain(emb, "embedding", groups, g, 2, 64,
+              exactUpdate = false)
+          }
+          def drift(a: Array[Array[Double]], b: Array[Array[Double]])
+              : (Double, Long) = {
+            var mx = 0.0; var nDiff = 0L
+            for (c <- a.indices; d <- a(c).indices) {
+              val dd = math.abs(a(c)(d) - b(c)(d))
+              if (dd > 0) nDiff += 1
+              if (dd > mx) mx = dd
+            }
+            (mx, nDiff)
+          }
+          val (dc, nc) = drift(exact._1, fast._1)
+          val (dfm, nf) = drift(exact._2, fast._2)
+          val total = exact._1.length.toLong * 64 + exact._2.length.toLong * 64
+          println(f"""{"op":"trainer_precision_drift","n":$n,"k":$k,""" +
+            f""""coarse_max_abs":$dc%.2e,"coarse_diff_components":$nc,""" +
+            f""""fine_max_abs":$dfm%.2e,"fine_diff_components":$nf,""" +
+            f""""total_components":$total}""")
+        } finally only = saved7
       }
       // Bounded-model perplexity: the top-V + OOV unigram LM — the model
       // build + scoring join at each n, with the MODEL SIZE printed so the

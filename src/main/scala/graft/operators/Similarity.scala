@@ -908,7 +908,20 @@ object Similarity {
   def kmeansTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int,
                   dim: Int,
                   literalBudget: Long = CellLiteralBudget,
-                  init: (Int, Int) => Double = centroidComponent): DataFrame = {
+                  init: (Int, Int) => Double = centroidComponent,
+                  // exactUpdate=true (default, what every gate runs): the
+                  // centroid UPDATE sums in DECIMAL(20,8) — order-independent
+                  // partials, so the trained model is bit-identical across
+                  // partitionings AND across engines (the DuckDB twin's
+                  // contract). false: plain double sums — the production
+                  // knob for training runs that don't need cross-engine bit
+                  // determinism; the decimal accumulation dominates trainer
+                  // cost (SCALE.md imi_parts: ~k-independent but ~115 s/iter
+                  // at 640k×64) while double partials codegen and combine at
+                  // native width. Centroids still round to 1e-6 either way,
+                  // so drift between the two paths is directly measurable
+                  // (SCALE.md trainer_precision_ab row).
+                  exactUpdate: Boolean = true): DataFrame = {
     require(iters >= 1)
     val spark = corpus.sparkSession
     val v = corpus.select(asDouble(col(vecCol)).as("v"))
@@ -952,14 +965,17 @@ object Similarity {
       }: _*)
       v.select(col("v"), array_min(scored).getField("cell").as("cell"))
     }
-    def update(assigned: DataFrame): DataFrame =
+    def update(assigned: DataFrame): DataFrame = {
+      val sx =
+        if (exactUpdate) sum(col("x").cast("decimal(20,8)")).cast("double")
+        else sum(col("x"))
       assigned.select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(col("x").cast("decimal(20,8)")).as("sx"))
+        .agg(count(lit(1)).as("n_members"), sx.as("sx"))
         .select(col("cell"), col("d"), col("n_members"),
-          (floor(col("sx").cast("double") / col("n_members") * 1e6 + 0.5)
+          (floor(col("sx") / col("n_members") * 1e6 + 0.5)
             / 1e6).as("c_val"))
+    }
     var cents = Array.tabulate(k, dim)((c, d) => init(c, d))
     for (_ <- 1 until iters) {
       val next = cents.map(_.clone)
@@ -1040,14 +1056,19 @@ object Similarity {
     * [[semanticAssign2Level]] expects. */
   def imiTrain(corpus: DataFrame, vecCol: String, groups: Int,
                groupSize: Int, iters: Int, dim: Int,
-               literalBudget: Long = CellLiteralBudget)
+               literalBudget: Long = CellLiteralBudget,
+               // see [[kmeansTrain]]'s exactUpdate — decimal (gated default)
+               // vs double centroid accumulation, threaded through BOTH the
+               // coarse k-means and the fine Lloyd's steps
+               exactUpdate: Boolean = true)
                : (Array[Array[Double]], Array[Array[Double]]) = {
     require(iters >= 1 && groups >= 1 && groupSize >= 1)
     val spark = corpus.sparkSession
     val k = groups * groupSize
 
     val coarse = Array.ofDim[Double](groups, dim)
-    kmeansTrain(corpus, vecCol, groups, iters, dim, literalBudget)
+    kmeansTrain(corpus, vecCol, groups, iters, dim, literalBudget,
+        exactUpdate = exactUpdate)
       .collect().foreach { r =>
         coarse(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
       }
@@ -1077,13 +1098,15 @@ object Similarity {
             col("cc")).as("dist"), col("cell"))
         .groupBy(col("__vid"))
         .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+      val sx =
+        if (exactUpdate) sum(col("x").cast("decimal(20,8)")).cast("double")
+        else sum(col("x"))
       routed.join(best, Seq("__vid"))
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(col("x").cast("decimal(20,8)")).as("sx"))
+        .agg(count(lit(1)).as("n_members"), sx.as("sx"))
         .select(col("cell"), col("d"),
-          (floor(col("sx").cast("double") / col("n_members") * 1e6 + 0.5)
+          (floor(col("sx") / col("n_members") * 1e6 + 0.5)
             / 1e6).as("c_val"))
         .collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"),
@@ -1152,6 +1175,24 @@ object Similarity {
     val corpusCells = semanticAssign2Level(corpus, idCol, vecCol, fine,
         groupSize, literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("cell"))
+    imiServe(spark, probes, idCol, vecCol, corpusCells, k, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells)
+  }
+
+  /** The IMI SERVING tail shared by [[imiTrainedTopK]] (model trained
+    * in-invocation) and [[imiIndexSearch]] (model + lists reloaded from a
+    * persisted index): top-`nprobeGroups` coarse groups per probe →
+    * top-`nprobeCells` fine cells within them → exact-cosine re-rank of
+    * the probed cells' inverted-list members. Both codebook levels ride
+    * broadcast joins (plan O(1) in k), probes rank per PINNED row, the
+    * corpus-side lists never shuffle (probe side broadcasts into the cell
+    * join). `corpusCells` must carry (nbr_id, cv, cell). */
+  private def imiServe(spark: org.apache.spark.sql.SparkSession,
+                       probes: DataFrame, idCol: String, vecCol: String,
+                       corpusCells: DataFrame, k: Int,
+                       coarse: Array[Array[Double]],
+                       fine: Array[Array[Double]], groupSize: Int,
+                       nprobeGroups: Int, nprobeCells: Int): DataFrame = {
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
         .withColumn("__pid", monotonically_increasing_id()))
@@ -1175,7 +1216,7 @@ object Similarity {
       .withColumn("__r", row_number().over(wc))
       .filter(col("__r") <= nprobeCells)
       .select(col("query_id"), col("pv"), col("cell"))
-    val scored = corpusCells.join(probedCells, Seq("cell"))
+    val scored = corpusCells.join(broadcast(probedCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
@@ -1184,6 +1225,91 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+  }
+
+  /** Persist a trained IMI index as three plain parquet tables — the same
+    * train/encode-ONCE, search-many production split [[pqIndexWrite]]
+    * established (a serving path never retrains per query; the training
+    * cost amortizes across every search): `coarse/` and `fine/` hold the
+    * two codebook levels as (cell, d, comp) rows (doubles are bit-exact
+    * through parquet, so a reloaded model assigns and scores identically),
+    * `lists/` the inverted lists as (nbr_id, cell, cv) — cell for the
+    * probe-pruned scan, the full-precision vector for the exact-cosine
+    * re-rank (the IVFFlat/IMI-flat layout; the compressed-code variant is
+    * [[imiPqTopK]]'s composition). No custom file format: the index IS a
+    * set of tables, inheriting partitioning + predicate pushdown. */
+  def imiIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, groups: Int, groupSize: Int, iters: Int,
+                    dim: Int,
+                    literalBudget: Long = CellLiteralBudget): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (coarse, fine) =
+      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    def dump(m: Array[Array[Double]], name: String): Unit =
+      spark.createDataset(
+          for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
+        .toDF("cell", "d", "comp")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
+    dump(coarse, "coarse")
+    dump(fine, "fine")
+    semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
+        literalBudget, Some(coarse))
+      .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
+      .write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Reload a persisted IMI model ([[imiIndexWrite]]'s `coarse/` +
+    * `fine/`): bounded k×dim state, shape inferred from the stored
+    * indices. */
+  private def imiIndexModel(spark: org.apache.spark.sql.SparkSession,
+                            path: String)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    def load(name: String): Array[Array[Double]] = {
+      val rows = spark.read.parquet(s"$path/$name").collect()
+      val cells = rows.iterator.map(_.getAs[Int]("cell")).max + 1
+      val dim = rows.iterator.map(_.getAs[Int]("d")).max + 1
+      val m = Array.ofDim[Double](cells, dim)
+      rows.foreach { r =>
+        m(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("comp")
+      }
+      m
+    }
+    (load("coarse"), load("fine"))
+  }
+
+  /** Append NEW vectors to an [[imiIndexWrite]]-persisted index WITHOUT
+    * retraining — the steady-state maintenance path (codebooks stay frozen
+    * until a scheduled re-train, exactly [[pqIndexAppend]]'s contract):
+    * the stored two-level model is reloaded and the batch is assigned by
+    * the SAME rank-1 coarse-then-fine rule the original build used, landing
+    * as an ordinary parquet append to `lists/`. */
+  def imiIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, idCol: String, vecCol: String,
+                     path: String, groupSize: Int,
+                     literalBudget: Long = CellLiteralBudget): Unit = {
+    val (coarse, fine) = imiIndexModel(spark, path)
+    semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
+        literalBudget, Some(coarse))
+      .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
+      .write.mode("append").parquet(s"$path/lists")
+  }
+
+  /** Serve top-k from an [[imiIndexWrite]]-persisted index: reload the
+    * two codebook levels (bounded k×dim doubles), scan only the probed
+    * cells' stored inverted lists — [[imiTrainedTopK]]'s serving shape
+    * with the model and lists read from disk instead of trained
+    * per-invocation (the amortization "What's missing" item: the measured
+    * 336.7 s training cost pays once at [[imiIndexWrite]], never here). */
+  def imiIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                     probes: DataFrame, idCol: String, vecCol: String,
+                     path: String, k: Int, groupSize: Int,
+                     nprobeGroups: Int, nprobeCells: Int): DataFrame = {
+    val (coarse, fine) = imiIndexModel(spark, path)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("nbr_id"), col("cv"), col("cell"))
+    imiServe(spark, probes, idCol, vecCol, lists, k, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells)
   }
 
   /** IMI + PQ composed index — the canonical billion-vector serving

@@ -309,8 +309,15 @@ private object LshOracleSql {
     * `sc` (the winning group's fine scores — rank-1 over it is the
     * two-level assignment). */
   private def imiModelCtes(groups: Int, groupSize: Int, iters: Int,
-                           dim: Int): String = {
+                           dim: Int, trainPred: String = ""): String = {
     val k = groups * groupSize
+    // trainPred restricts the TRAINING population (coarse k-means, routing,
+    // fine Lloyd's) only — serve assignment (csc/cwin/fsc/sc) always covers
+    // the full corpus, mirroring the frozen-model append lifecycle
+    val vtCte =
+      if (trainPred.isEmpty) ""
+      else s"vt AS (SELECT * FROM v WHERE $trainPred),\n"
+    val vTrain = if (trainPred.isEmpty) "v" else "vt"
     def exactArr(c: Int): String =
       (0 until dim)
         .map(d => s"CAST('${Similarity.centroidComponent(c, d)}' AS DOUBLE)")
@@ -342,7 +349,7 @@ private object LshOracleSql {
            |""".stripMargin)
     }
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       |${kmeansCtes(groups, iters, dim, prefix = "g")},
+       |$vtCte${kmeansCtes(groups, iters, dim, prefix = "g", vName = vTrain)},
        |gt AS (SELECT s.cell AS grp, s.d, COALESCE(m.c, s.c) AS c
        |  FROM gf${iters - 1} s LEFT JOIN gm$iters m
        |  ON m.cell = s.cell AND m.d = s.d),
@@ -350,7 +357,7 @@ private object LshOracleSql {
        |rt AS (SELECT vec_id, grp FROM (
        |  SELECT v.vec_id, g.grp, row_number() OVER (PARTITION BY v.vec_id
        |    ORDER BY list_dot_product(e, g.carr) DESC, g.grp) AS rn
-       |  FROM v CROSS JOIN gtc g) WHERE rn = 1),
+       |  FROM $vTrain v CROSS JOIN gtc g) WHERE rn = 1),
        |ff0 AS (SELECT cell, CAST(i - 1 AS INT) AS d, carr[i] AS c FROM (
        |  SELECT cell, unnest(generate_series(1, $dim)) AS i, carr FROM (
        |    SELECT * FROM (VALUES
@@ -378,8 +385,9 @@ private object LshOracleSql {
     * top-`nprobeCells` cells among those groups' `fsc` scores, and the
     * probed cells' members re-rank by the shared exact-cosine rule. */
   def imiTopK(k: Int, groups: Int, groupSize: Int, iters: Int, dim: Int,
-              nprobeGroups: Int, nprobeCells: Int): String =
-    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim)},
+              nprobeGroups: Int, nprobeCells: Int,
+              trainPred: String = ""): String =
+    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim, trainPred)},
        |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
@@ -1888,6 +1896,56 @@ object NorthStar {
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
     subs = 8, ksub = 4)
 
+  /** Trained-IMI index PERSISTENCE round-trip — closes the serving split
+    * for the IMI family ([[annPqIndexRoundtrip]]'s analog, VERDICT r11
+    * missing #1): [[Similarity.imiIndexWrite]] trains the two-level model
+    * once, lands codebooks + inverted lists as plain parquet tables in a
+    * fresh temp workspace; [[Similarity.imiIndexSearch]] reloads the
+    * frozen model and serves top-k from the STORED lists without
+    * retraining. Gated against the SAME twin as `ann_imi_trained`:
+    * doubles are bit-exact through parquet, so a byte flip anywhere in
+    * model-save → reload → probe → re-rank breaks the hash. Every
+    * invocation pays the real write + read, like the ts_store_* family. */
+  def annImiIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imi-index")
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", path,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiIndexRoundtripSql: String = annImiTrainedSql
+
+  /** Append-without-retrain on the persisted IMI index
+    * ([[annPqIndexAppend]]'s analog): the two-level model trains on 90%
+    * of the corpus (vec_id % 10 ≠ 0), the held-out 10% arrives LATER and
+    * is assigned by the frozen, RELOADED codebooks
+    * ([[Similarity.imiIndexAppend]] — an ordinary parquet append to the
+    * inverted lists); search serves the union. The twin trains its coarse
+    * k-means + fine Lloyd's chains on the same 90% predicate but assigns
+    * and probes everything, so a drifted codebook, a re-assignment of the
+    * base lists, or a mis-assigned appended batch all break the hash. */
+  def annImiIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imi-index-append")
+    Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 2,
+      dim = 64)
+    Similarity.imiIndexAppend(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", path, groupSize = 4)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiIndexAppendSql: String = LshOracleSql.imiTopK(k = 5, groups = 4,
+    groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
+    trainPred = "vec_id % 10 != 0")
+
   /** [[annIvfTrained]] with `literalBudget = 0`: BOTH k-means training and
     * search assignment forced through the broadcast-codebook JOIN path —
     * the production large-k strategy. Declared against the SAME oracle SQL
@@ -2492,6 +2550,8 @@ object NorthStar {
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_index_roundtrip" -> annPqIndexRoundtrip,
     "ann_pq_index_append" -> annPqIndexAppend,
+    "ann_imi_index_roundtrip" -> annImiIndexRoundtrip,
+    "ann_imi_index_append" -> annImiIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
@@ -2559,6 +2619,8 @@ object NorthStar {
     "ann_pq_trained" -> annPqTrainedSql,
     "ann_pq_index_roundtrip" -> annPqIndexRoundtripSql,
     "ann_pq_index_append" -> annPqIndexAppendSql,
+    "ann_imi_index_roundtrip" -> annImiIndexRoundtripSql,
+    "ann_imi_index_append" -> annImiIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,

@@ -403,11 +403,40 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
       spark.conf.get("spark.sql.columnVector.offheap.enabled", "false").toBoolean)
   }
 
+  /** Exact row count of the pruned file set from parquet footer metadata —
+    * surfaced so Catalyst/AQE sees ROWS, not just bytes, when a graft table
+    * joins a small side (bytes-only stats under-inform the broadcast
+    * decision; the reference's analog is its index-driven planning,
+    * `Index.hs:90-95`). One footer read per planned file, driver-side and
+    * once per scan (lazy), bounded: past [[GraftScan.MaxStatFooterReads]]
+    * pruned files the planner falls back to bytes-only rather than pay an
+    * unbounded metadata pass — at that scale sizeInBytes alone already
+    * steers the join strategy correctly. */
+  private lazy val footerRowCount: OptionalLong =
+    if (plannedFiles.isEmpty) OptionalLong.of(0L)
+    else if (plannedFiles.length > GraftScan.MaxStatFooterReads) OptionalLong.empty()
+    else try {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      var total = 0L
+      plannedFiles.foreach { fs =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(fs.path), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += r.getRecordCount finally r.close()
+      }
+      OptionalLong.of(total)
+    } catch { case _: Exception => OptionalLong.empty() }
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = plannedFiles.map(_.bytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong = footerRowCount
   }
+}
+
+object GraftScan {
+  /** Cap on per-scan driver-side footer reads for row-count statistics. */
+  val MaxStatFooterReads = 256
 }
 
 object GraftParquetFilters {

@@ -215,4 +215,32 @@ class GraftSourceSpec extends SparkSpec {
     assert(prunedBytes < allBytes,
       s"stats not pruned: $prunedBytes !< $allBytes")
   }
+
+  test("scan statistics report exact footer row counts (VERDICT r11 #5)") {
+    val (root, ns) = freshStore("graft-v2-rowstats")
+    // full corpus: 32 simple + 8 extended points
+    val all = graftScan(graftDf(root, ns))
+    assert(all.estimateStatistics().numRows().getAsLong === 40L,
+      "numRows must be the footer sum of the planned files")
+    // pruned: one bucket's files only — the count tracks the pruned set
+    val pruned = graftScan(
+      graftDf(root, ns).where("kind = 'simple' AND address IN (2, 10, 18)"))
+    val prunedRows = pruned.estimateStatistics().numRows().getAsLong
+    assert(prunedRows < 40L && prunedRows >= 3L,
+      s"pruned numRows out of range: $prunedRows")
+  }
+
+  test("graft table joined to a larger side broadcasts WITHOUT a hint") {
+    // row-count + bytes statistics must be enough for the planner to pick
+    // the graft side as the broadcast build side on a cold plan — no
+    // broadcast() hint, no AQE runtime conversion needed
+    val (root, ns) = freshStore("graft-v2-bcast")
+    import spark.implicits._
+    val big = spark.createDataset((0L until 10000L).map(i => (i % 64, i)))
+      .toDF("address", "x")
+    val joined = big.join(graftDf(root, ns).where("kind = 'simple'")
+      .select("address", "payload"), "address")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
 }

@@ -583,6 +583,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("imiTrainedTopK's cell join never shuffles the corpus (VERDICT r11 #4)") {
+    // the inverted-list ⋈ probed-cells join must broadcast the probe side
+    // on the COLD plan — at corpus scale an `Exchange hashpartitioning(cell`
+    // would shuffle every corpus vector for a handful of probed cells. The
+    // only hash exchanges allowed are the probe-/query-keyed rank windows.
+    val df = SparkEntry.queries("ann_imi_trained")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    CacheScope.release(spark)
+  }
+
   test("join_fuzzy verifies inside blocks only (no all-pairs nested loop)") {
     val df = SparkEntry.queries("join_fuzzy")(spark, sf("0.001"))
     val plan = df.queryExecution.executedPlan.toString
