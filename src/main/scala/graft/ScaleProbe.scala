@@ -474,6 +474,30 @@ object ScaleProbe {
           }
         } finally only = saved6
       }
+      // Assignment-strategy A/B: the literal-codebook argmin (array of
+      // k (dist, cell) structs over per-cell literal arrays — the default
+      // under CellLiteralBudget) vs the broadcast-codebook JOIN path
+      // (literalBudget=0), bit-identical by the ann_ivf_trained_joinpath
+      // gate, timed as full kmeansTrain calls at g=40 over the same cached
+      // corpus. Motivated by imi_parts: ~92 s/iter at 640k for a 40-dot
+      // argmin (~144 µs/row) is interpreted-evaluation territory, not
+      // arithmetic — if the join path wins big here, the literal path's
+      // plan is falling out of whole-stage codegen at this width.
+      if (only.exists(o => "trainer_assign_ab".contains(o))) {
+        val saved9 = only
+        only = Nil
+        try {
+          timeAction("assign_literal_g40_it2", n) {
+            Similarity.kmeansTrain(emb, "embedding", 40, 2, 64).collect()
+            ()
+          }
+          timeAction("assign_joinpath_g40_it2", n) {
+            Similarity.kmeansTrain(emb, "embedding", 40, 2, 64,
+              literalBudget = 0L).collect()
+            ()
+          }
+        } finally only = saved9
+      }
       // Decimal- vs double-precision centroid update A/B (VERDICT r11 #6):
       // the exact-decimal accumulation exists for the cross-engine bit
       // determinism the GATES need; a production trainer doesn't. Same-run
@@ -859,6 +883,120 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Compact-path A/B (VERDICT r11 #3): the r12 binary row-group
+      // concatenation (`ParquetFileWriter.appendFile`, what compact() now
+      // runs) against the r11 Group-API row decode/re-encode loop it
+      // replaced, SAME RUN over the SAME fragmented generation. The real
+      // compact runs FIRST (its reads warm the page cache for the row
+      // loop, biasing the comparison AGAINST the new path — conservative);
+      // the row loop then merges the superseded-but-retained generation
+      // into a throwaway directory through the exact shipped-in-r11 code
+      // shape (one task per partition dir, ExampleParquetWriter under the
+      // store's 4-field schema). Run with `compact_ab <n>`; n=16M is 1.02B
+      // points.
+      if (only.exists(o => "compact_ab".contains(o))) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-cab-$n").toString
+        val ns = TimeStore.namespace(root, "CAB")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val batches = 8
+        def batch(b: Int) = spark.range(rows)
+          .filter(pmod(col("id"), lit(batches.toLong)) === b)
+          .select(
+            (pmod(expr(s"id DIV $batches"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved8 = only
+        only = Nil
+        try {
+          timeAction(s"cab_write_${batches}batches", n) {
+            (0 until batches).foreach(b =>
+              TimeStore.writePoints(spark, ns, batch(b)))
+          }
+          val gen0 = TimeStore.livePointsPath(spark, ns).get
+          val sconf = new graft.sources.SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)
+          val gp = new org.apache.hadoop.fs.Path(gen0)
+          val hfs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val leaves = scala.collection.mutable.SortedSet.empty[String]
+          val walk0 = hfs.listFiles(gp, true)
+          while (walk0.hasNext) {
+            val st = walk0.next()
+            val nm = st.getPath.getName
+            if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+              val rel = st.getPath.getParent.toString
+                .stripPrefix(gen0).stripPrefix("/")
+              if (rel.nonEmpty) leaves += rel
+            }
+          }
+          val leafSeq = leaves.toSeq
+          def mergeAll(outRoot: String, useAppend: Boolean): Unit =
+            spark.sparkContext.parallelize(leafSeq, leafSeq.size)
+              .foreach { rel =>
+                probeMerge(sconf.conf,
+                  new org.apache.hadoop.fs.Path(s"$gen0/$rel"),
+                  new org.apache.hadoop.fs.Path(
+                    s"$outRoot/$rel/compacted-0.parquet"), useAppend)
+              }
+          def rmOut(outRoot: String): Unit =
+            hfs.delete(new org.apache.hadoop.fs.Path(outRoot), true)
+          // SYMMETRIC probe-local merges over the SAME immutable generation,
+          // alternated twice. At ~24·n bytes the merge is an OS-WRITEBACK
+          // problem on a single-disk box: a pass that starts while the
+          // previous pass's dirty pages flush gets throttled by the flusher,
+          // not by its own work (the first cut of this probe recorded 53-100
+          // s swings that were pure writeback-queue order). Discipline:
+          // drain the queue (sync) before each timed region and INCLUDE the
+          // pass's own sync inside it — every number is then "merge + its
+          // full disk cost" from a drained start, comparable across shapes.
+          def drain(): Unit = {
+            val p = new ProcessBuilder("sync").start()
+            p.waitFor(); ()
+          }
+          def timed(body: => Unit): Double = {
+            val t0 = System.nanoTime(); body; drain()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val tRow = new scala.collection.mutable.ArrayBuffer[Double]
+          val tApp = new scala.collection.mutable.ArrayBuffer[Double]
+          for (pass <- 1 to 2) {
+            drain()
+            tRow += timed(mergeAll(s"$root/out-row-$pass", useAppend = false))
+            drain()
+            tApp += timed(mergeAll(s"$root/out-app-$pass", useAppend = true))
+            if (pass == 1) { rmOut(s"$root/out-row-1"); rmOut(s"$root/out-app-1") }
+          }
+          // parity: both merge shapes carry the full corpus
+          val rowRows = spark.read
+            .parquet(s"$root/out-row-2/kind=simple/*/*").count()
+          val appRows = spark.read
+            .parquet(s"$root/out-app-2/kind=simple/*/*").count()
+          rmOut(s"$root/out-row-2"); rmOut(s"$root/out-app-2")
+          // and the real protocol compact (generation swap + retirement),
+          // which now runs the appendFile path internally — same drained
+          // start, same sync-inclusive timing
+          drain()
+          val tProto = timed(TimeStore.compact(spark, ns))
+          def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+          println(f"""{"op":"compact_ab_detail","n":$n,"rows":$rows,""" +
+            f""""rowloop_sec":${arr(tRow.toSeq)},""" +
+            f""""appendfile_sec":${arr(tApp.toSeq)},""" +
+            f""""protocol_compact_sec":$tProto%.1f,""" +
+            f""""rowloop_rows":$rowRows,"appendfile_rows":$appRows}""")
+        } finally {
+          only = saved8
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // DSv2 reader A/B (VERDICT r10 #4): the SQL-table scan
       // (format("graft") — single-footer-open direct ColumnReader decode +
       // row-group stats skipping) against Spark's VECTORIZED parquet reader
@@ -928,5 +1066,112 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** The `compact_ab` probe's two merge shapes over one partition dir:
+    * useAppend=true replicates the r12 binary row-group concatenation
+    * (what `TimeStore.compact` now runs), useAppend=false the r11
+    * Group-API row decode/re-encode it replaced — both probe-local so the
+    * A/B runs symmetric passes over the same immutable generation. */
+  private def probeMerge(conf: org.apache.hadoop.conf.Configuration,
+                         srcDir: org.apache.hadoop.fs.Path,
+                         dstFile: org.apache.hadoop.fs.Path,
+                         useAppend: Boolean): Unit =
+    if (useAppend) appendMerge(conf, srcDir, dstFile)
+    else rowLoopMerge(conf, srcDir, dstFile)
+
+  private def listMergeFiles(conf: org.apache.hadoop.conf.Configuration,
+                             srcDir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    srcDir.getFileSystem(conf).listStatus(srcDir).toSeq
+      .filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+
+  private def appendMerge(conf: org.apache.hadoop.conf.Configuration,
+                          srcDir: org.apache.hadoop.fs.Path,
+                          dstFile: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val f = srcDir.getFileSystem(conf)
+    val files = listMergeFiles(conf, srcDir)
+    if (files.isEmpty) return
+    f.mkdirs(dstFile.getParent)
+    if (files.sizeIs == 1) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, files.head.getPath, f, dstFile, false, true, conf)
+      return
+    }
+    val inputs = files.map(st => HadoopInputFile.fromStatus(st, conf))
+    val meta = {
+      val r = ParquetFileReader.open(inputs.head)
+      try r.getFooter.getFileMetaData finally r.close()
+    }
+    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(dstFile, conf),
+      meta.getSchema, ParquetFileWriter.Mode.OVERWRITE,
+      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+    w.start()
+    inputs.foreach(w.appendFile)
+    w.end(meta.getKeyValueMetaData)
+  }
+
+  /** The r11 compact merge path, preserved verbatim for the `compact_ab`
+    * probe: Group-API row-at-a-time decode of every source file re-encoded
+    * through an ExampleParquetWriter under the store's 4-field schema —
+    * the code shape `ParquetFileWriter.appendFile` replaced in r12. */
+  private def rowLoopMerge(conf: org.apache.hadoop.conf.Configuration,
+                           srcDir: org.apache.hadoop.fs.Path,
+                           dstFile: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int64 address;
+        |  required int64 time;
+        |  required int64 payload;
+        |  optional binary value;
+        |}""".stripMargin)
+    val f = srcDir.getFileSystem(conf)
+    val files = f.listStatus(srcDir).toSeq
+      .filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) return
+    f.mkdirs(dstFile.getParent)
+    if (files.sizeIs == 1) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, files.head.getPath, f, dstFile, false, true, conf)
+      return
+    }
+    val writer = ExampleParquetWriter.builder(dstFile)
+      .withConf(conf).withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try files.foreach { st =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val out = factory.newGroup()
+          out.append("address", g.getLong("address", 0))
+          out.append("time", g.getLong("time", 0))
+          out.append("payload", g.getLong("payload", 0))
+          if (g.getType.containsField("value") &&
+              g.getFieldRepetitionCount("value") > 0)
+            out.append("value", g.getBinary("value", 0))
+          writer.write(out)
+          g = reader.read()
+        }
+      } finally reader.close()
+    } finally writer.close()
   }
 }

@@ -147,6 +147,28 @@ object Similarity {
     * stays comfortably under Janino's 64 KB method ceiling. */
   private[graft] val CellLiteralBudget = 8192L
 
+  /** Row-count ceiling for the literal-codebook assignment PLAN (the
+    * companion of [[CellLiteralBudget]], which caps the plan's SIZE): the
+    * k-struct literal argmin compiles into generated methods large enough
+    * to fall out of JIT / whole-stage codegen at a few thousand terms, and
+    * on a big corpus that evaluates per row at interpreter speed — the
+    * r12 probe measured the g=40 literal argmin at **25× slower** than the
+    * broadcast-codebook join on 640k rows (265.8 vs 10.4 s full-trainer,
+    * SCALE.md trainer_assign_ab) for BIT-IDENTICAL output. The join path
+    * carries a small fixed cost (cache + count + broadcast + exchange)
+    * that only amortizes past ~10⁴ rows, so below this ceiling the literal
+    * plan stays (the fixture gates' sub-second latency), above it the join
+    * strategy takes over regardless of k·dim. */
+  private[graft] val LiteralAssignMaxRows = 16384L
+
+  /** One cheap count decides literal vs broadcast-join assignment; the two
+    * strategies are bit-identical by construction and HASH-GATED against
+    * the same oracle (`ann_ivf_trained_joinpath`), so this is purely a
+    * physical-plan choice. */
+  private def literalAssignFits(corpus: DataFrame, k: Long, dim: Int,
+                                literalBudget: Long): Boolean =
+    k * dim <= literalBudget && corpus.count() <= LiteralAssignMaxRows
+
   /** Ascending-index self-dot — the same fold order as the codegen'd [[dot]]
     * kernel, so a driver-side constant is bit-identical to the in-plan one. */
   private def selfDot(c: Array[Double]): Double = {
@@ -365,7 +387,7 @@ object Similarity {
     val dim = cents.headOption.map(_.length).getOrElse(0)
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
-      if (cells.toLong * dim <= literalBudget)
+      if (literalAssignFits(corpus, cells.toLong, dim, literalBudget))
         v.withColumn("__sc", cellScoreArrayOf(col("v"), cents))
           .withColumn("cell",
             (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
@@ -932,7 +954,7 @@ object Similarity {
     // only stable across the multiple plans that reference it because the
     // cache materializes it exactly once (and each iteration then reads
     // from memory rather than re-scanning source).
-    val joinPath = k.toLong * dim > literalBudget
+    val joinPath = !literalAssignFits(corpus, k.toLong, dim, literalBudget)
     lazy val vid = {
       val f = graft.CacheScope.cache(
         v.withColumn("__vid", monotonically_increasing_id()))
@@ -965,17 +987,8 @@ object Similarity {
       }: _*)
       v.select(col("v"), array_min(scored).getField("cell").as("cell"))
     }
-    def update(assigned: DataFrame): DataFrame = {
-      val sx =
-        if (exactUpdate) sum(col("x").cast("decimal(20,8)")).cast("double")
-        else sum(col("x"))
-      assigned.select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(count(lit(1)).as("n_members"), sx.as("sx"))
-        .select(col("cell"), col("d"), col("n_members"),
-          (floor(col("sx") / col("n_members") * 1e6 + 0.5)
-            / 1e6).as("c_val"))
-    }
+    def update(assigned: DataFrame): DataFrame =
+      trainerUpdate(assigned, dim, exactUpdate)
     var cents = Array.tabulate(k, dim)((c, d) => init(c, d))
     for (_ <- 1 until iters) {
       val next = cents.map(_.clone)
@@ -984,6 +997,9 @@ object Similarity {
       }
       cents = next
     }
+    // (update shape note: see [[trainerUpdate]] — ONE wide aggregate over n
+    // rows, not a posexplode fan-out of n·dim rows; measured 2-4× on the
+    // full trainer at 640k×64, bit-identical sums either way)
     val fin = update(assign(cents))
     import spark.implicits._
     val spine = (for (c <- 0 until k; d <- 0 until dim)
@@ -993,6 +1009,38 @@ object Similarity {
         coalesce(col("c_val"), col("c_prev")).as("c_val"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
       .orderBy(col("cell"), col("d"))
+  }
+
+  /** The Lloyd's UPDATE step shared by [[kmeansTrain]] and [[imiTrain]]:
+    * per-cell member count and per-dimension sums → 1e-6-rounded means.
+    * Shape: ONE wide hash aggregate over the n assigned rows — `count(1)`
+    * plus `dim` per-component sums read straight off the vector — then a
+    * k-row posexplode to (cell, d) rows. The r11 shape exploded FIRST
+    * (n·dim narrow rows through the aggregate, keyed (cell, d)); both
+    * shapes ship the same bounded k·dim partials (map-side combine), but
+    * the exploded one pays the aggregate's per-row overhead n·dim times —
+    * the `trainer_precision_ab` probe showed that fan-out, NOT the decimal
+    * arithmetic, is what dominates the trainer at 640k×64 (swapping
+    * decimal→double moved nothing; collapsing the fan-out moved the whole
+    * hot stage). Sums are order-independent either way (decimal default),
+    * so the trained model is bit-identical across shapes — the k-means /
+    * IMI gates hash-pin that.
+    *
+    * Input must carry (cell, v); returns (cell, d, n_members, c_val). */
+  private def trainerUpdate(assigned: DataFrame, dim: Int,
+                            exactUpdate: Boolean): DataFrame = {
+    def sx(d: Int): Column =
+      if (exactUpdate)
+        sum(col("v").getItem(d).cast("decimal(20,8)")).cast("double")
+      else sum(col("v").getItem(d))
+    val aggs = (0 until dim).map(d => sx(d).as(s"__sx$d"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), aggs: _*)
+      .select(col("cell"), col("n_members"),
+        posexplode(array((0 until dim).map(d => col(s"__sx$d")): _*))
+          .as(Seq("d", "sx")))
+      .select(col("cell"), col("d"), col("n_members"),
+        (floor(col("sx") / col("n_members") * 1e6 + 0.5) / 1e6).as("c_val"))
   }
 
   /** End-to-end trained IVF: [[kmeansTrain]] the codebook on the corpus,
@@ -1098,16 +1146,9 @@ object Similarity {
             col("cc")).as("dist"), col("cell"))
         .groupBy(col("__vid"))
         .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-      val sx =
-        if (exactUpdate) sum(col("x").cast("decimal(20,8)")).cast("double")
-        else sum(col("x"))
-      routed.join(best, Seq("__vid"))
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(count(lit(1)).as("n_members"), sx.as("sx"))
-        .select(col("cell"), col("d"),
-          (floor(col("sx") / col("n_members") * 1e6 + 0.5)
-            / 1e6).as("c_val"))
+      trainerUpdate(routed.join(best, Seq("__vid"))
+          .select(col("cell"), col("v")), dim, exactUpdate)
+        .select(col("cell"), col("d"), col("c_val"))
         .collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"),
           r.getAs[Double]("c_val")))
@@ -1334,22 +1375,48 @@ object Similarity {
                 subs: Int = 8, ksub: Int = 4,
                 literalBudget: Long = CellLiteralBudget): DataFrame = {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
-    val spark = corpus.sparkSession
     val (coarse, fine) =
       imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
     // corpus index: trained two-level cell + packed PQ code, pinned to its
     // own stage (see pqTopK's CollapseProject note)
+    val corpusIdx = graft.CacheScope.cache(
+      imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize, subs,
+        ksub, dim, literalBudget))
+    corpusIdx.count()
+    imiPqServe(probes, idCol, vecCol, corpusIdx, k, coarse, fine, groupSize,
+      nprobeGroups, nprobeCells, subs, ksub, dim)
+  }
+
+  /** The (nbr_id, cell, pq_code) corpus index rows shared by [[imiPqTopK]]
+    * (cached in-invocation) and [[imiPqIndexWrite]] (persisted): trained
+    * two-level cell assignment joined to the row-local packed PQ code. */
+  private def imiPqIndexRows(corpus: DataFrame, idCol: String,
+                             vecCol: String, coarse: Array[Array[Double]],
+                             fine: Array[Array[Double]], groupSize: Int,
+                             subs: Int, ksub: Int, dim: Int,
+                             literalBudget: Long): DataFrame = {
     val cells2 = semanticAssign2Level(corpus, idCol, vecCol, fine,
         groupSize, literalBudget, Some(coarse))
       .select(col("vec_id"), col("cell"))
     val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
       .select(col("vec_id").as("__cid"), col("pq_code"))
-    val corpusIdx = graft.CacheScope.cache(
-      cells2.join(codes, col("vec_id") === col("__cid"))
-        .select(col("vec_id").as("nbr_id"), col("cell"), col("pq_code")))
-    corpusIdx.count()
-    // probes: the IMI group/cell fan-out of imiTrainedTopK, carrying the
-    // broadcast ADC table instead of the full-precision vector
+    cells2.join(codes, col("vec_id") === col("__cid"))
+      .select(col("vec_id").as("nbr_id"), col("cell"), col("pq_code"))
+  }
+
+  /** The IMI+PQ SERVING tail shared by [[imiPqTopK]] (model trained
+    * in-invocation) and [[imiPqIndexSearch]] (model + code table reloaded
+    * from a persisted index): the IMI group/cell fan-out of
+    * [[imiTrainedTopK]], with each probe carrying its broadcast ADC table
+    * instead of the full-precision vector into the pruned code scan.
+    * `corpusIdx` must carry (nbr_id, cell, pq_code). */
+  private def imiPqServe(probes: DataFrame, idCol: String, vecCol: String,
+                         corpusIdx: DataFrame, k: Int,
+                         coarse: Array[Array[Double]],
+                         fine: Array[Array[Double]], groupSize: Int,
+                         nprobeGroups: Int, nprobeCells: Int,
+                         subs: Int, ksub: Int, dim: Int): DataFrame = {
+    val spark = probes.sparkSession
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"),
           asDouble(col(vecCol)).as("pv"),
@@ -1381,6 +1448,68 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
     adcTopK(scored, k)
+  }
+
+  /** Persist a trained IMI+PQ composed index ([[imiPqTopK]]'s structure,
+    * [[imiIndexWrite]]'s lifecycle): `coarse/` + `fine/` hold the
+    * two-level IMI codebooks, `codes/` the (nbr_id, cell, pq_code) corpus
+    * index — cell for the probe-pruned scan, the packed 2-byte word for
+    * the ADC scoring; the original vectors never ship. The PQ codebook
+    * itself is the deterministic authoring-time literal ([[pqComponent]])
+    * shared with [[pqCodes]], so only the trained IMI levels need
+    * persisting. This is the canonical billion-vector serving index
+    * (FAISS "IMI2xN,PQM") written once and searched many times. */
+  def imiPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, groups: Int, groupSize: Int, iters: Int,
+                      dim: Int, subs: Int = 8, ksub: Int = 4,
+                      literalBudget: Long = CellLiteralBudget): Unit = {
+    require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (coarse, fine) =
+      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    def dump(m: Array[Array[Double]], name: String): Unit =
+      spark.createDataset(
+          for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
+        .toDF("cell", "d", "comp")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
+    dump(coarse, "coarse")
+    dump(fine, "fine")
+    imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize, subs,
+        ksub, dim, literalBudget)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append NEW vectors to an [[imiPqIndexWrite]]-persisted index without
+    * retraining: the frozen two-level model assigns the batch's cells, the
+    * literal PQ codebook packs its code words — an ordinary parquet append
+    * to `codes/`, the same steady-state contract as [[pqIndexAppend]] /
+    * [[imiIndexAppend]]. */
+  def imiPqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, idCol: String, vecCol: String,
+                       path: String, groupSize: Int, dim: Int,
+                       subs: Int = 8, ksub: Int = 4,
+                       literalBudget: Long = CellLiteralBudget): Unit = {
+    val (coarse, fine) = imiIndexModel(spark, path)
+    imiPqIndexRows(batch, idCol, vecCol, coarse, fine, groupSize, subs,
+        ksub, dim, literalBudget)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Serve top-k from an [[imiPqIndexWrite]]-persisted index: reload the
+    * IMI levels (bounded k×dim doubles), ADC-scan only the probed cells'
+    * stored code words — [[imiPqTopK]]'s serving shape with the training
+    * cost paid once at write time. */
+  def imiPqIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                       probes: DataFrame, idCol: String, vecCol: String,
+                       path: String, k: Int, groupSize: Int,
+                       nprobeGroups: Int, nprobeCells: Int, dim: Int,
+                       subs: Int = 8, ksub: Int = 4): DataFrame = {
+    val (coarse, fine) = imiIndexModel(spark, path)
+    val corpusIdx = spark.read.parquet(s"$path/codes")
+      .select(col("nbr_id"), col("cell"), col("pq_code"))
+    imiPqServe(probes, idCol, vecCol, corpusIdx, k, coarse, fine, groupSize,
+      nprobeGroups, nprobeCells, subs, ksub, dim)
   }
 
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
@@ -1430,7 +1559,7 @@ object Similarity {
     val groups = coarse.length
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
-      if (cells.toLong * dim <= literalBudget) {
+      if (literalAssignFits(corpus, cells.toLong, dim, literalBudget)) {
         val withGrp = v
           .withColumn("__cs", cellScoreArrayOf(col("v"), coarse))
           .withColumn("__grp",

@@ -419,14 +419,14 @@ private object LshOracleSql {
     * probed cells' members score by the bit-sliced ADC CASE. */
   def imiPqTopK(k: Int, groups: Int, groupSize: Int, iters: Int, dim: Int,
                 nprobeGroups: Int, nprobeCells: Int, subs: Int,
-                ksub: Int): String = {
+                ksub: Int, trainPred: String = ""): String = {
     val shift = Integer.numberOfTrailingZeros(ksub)
     val adc = (0 until subs).map { s =>
       val whens = (0 until ksub)
         .map(c => s"WHEN $c THEN d_${s}_$c").mkString(" ")
       s"(CASE ((pq_code >> ${s * shift}) & ${ksub - 1}) $whens END)"
     }.mkString("\n      + ")
-    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim)},
+    s"""WITH ${imiModelCtes(groups, groupSize, iters, dim, trainPred)},
        |corpus_cells AS (SELECT vec_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
@@ -1946,6 +1946,52 @@ object NorthStar {
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
     trainPred = "vec_id % 10 != 0")
 
+  /** Persisted IMI+PQ composed index round-trip — the serving split for
+    * the canonical billion-vector structure ([[annImiPq]]'s composition,
+    * [[annImiIndexRoundtrip]]'s lifecycle): [[Similarity.imiPqIndexWrite]]
+    * trains the two IMI levels once and lands codebooks + the
+    * (nbr_id, cell, pq_code) corpus index as parquet;
+    * [[Similarity.imiPqIndexSearch]] reloads the frozen model and
+    * ADC-scans only the probed cells' STORED code words — the original
+    * vectors never reload. Same twin as `ann_imi_pq`. */
+  def annImiPqIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imipq-index")
+    Similarity.imiPqIndexWrite(emb, "vec_id", "embedding", path,
+      groups = 4, groupSize = 4, iters = 2, dim = 64, subs = 8, ksub = 4)
+    Similarity.imiPqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4, dim = 64, subs = 8, ksub = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiPqIndexRoundtripSql: String = annImiPqSql
+
+  /** Append-without-retrain on the persisted IMI+PQ index: the IMI levels
+    * train on 90% of the corpus, the held-out 10% is cell-assigned by the
+    * frozen RELOADED model and PQ-coded by the shared literal codebook
+    * (parquet append to the code table); search serves the union. The twin
+    * trains its IMI CTE chains on the same 90% predicate but codes and
+    * probes everything. */
+  def annImiPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imipq-index-append")
+    Similarity.imiPqIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 2,
+      dim = 64, subs = 8, ksub = 4)
+    Similarity.imiPqIndexAppend(s,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
+      path, groupSize = 4, dim = 64, subs = 8, ksub = 4)
+    Similarity.imiPqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4, dim = 64, subs = 8, ksub = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiPqIndexAppendSql: String = LshOracleSql.imiPqTopK(k = 5,
+    groups = 4, groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2,
+    nprobeCells = 4, subs = 8, ksub = 4, trainPred = "vec_id % 10 != 0")
+
   /** [[annIvfTrained]] with `literalBudget = 0`: BOTH k-means training and
     * search assignment forced through the broadcast-codebook JOIN path —
     * the production large-k strategy. Declared against the SAME oracle SQL
@@ -2552,6 +2598,8 @@ object NorthStar {
     "ann_pq_index_append" -> annPqIndexAppend,
     "ann_imi_index_roundtrip" -> annImiIndexRoundtrip,
     "ann_imi_index_append" -> annImiIndexAppend,
+    "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtrip,
+    "ann_imipq_index_append" -> annImiPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
@@ -2621,6 +2669,8 @@ object NorthStar {
     "ann_pq_index_append" -> annPqIndexAppendSql,
     "ann_imi_index_roundtrip" -> annImiIndexRoundtripSql,
     "ann_imi_index_append" -> annImiIndexAppendSql,
+    "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtripSql,
+    "ann_imipq_index_append" -> annImiPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "dedup_ngram_jaccard" -> JaccardSql,
     "dedup_containment" -> dedupContainmentSql,
