@@ -474,6 +474,41 @@ object ScaleProbe {
           }
         } finally only = saved6
       }
+      // Persisted-IMI serving amortization (the r12 index gates' point,
+      // measured at scale): imiIndexWrite pays training + list
+      // materialization ONCE; imiIndexSearch serves every query from the
+      // frozen parquet model; imiTrainedTopK (the pre-index shape) retrains
+      // inside each invocation. The write/search/retrain split is the
+      // amortization a production ANN deployment lives on.
+      if (only.exists(o => "imi_index_ab".contains(o))) {
+        val k = 2560; val g = 64; val groups = k / g
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imiidx-$n").toString
+        val probesDf = emb.filter(col("vec_id") < 100)
+        val saved10 = only
+        only = Nil
+        try {
+          timeAction(s"imiidx_write_k$k", n) {
+            Similarity.imiIndexWrite(emb, "vec_id", "embedding", root,
+              groups = groups, groupSize = g, iters = 2, dim = 64)
+          }
+          time(s"imiidx_search_k$k", n) {
+            Similarity.imiIndexSearch(spark, probesDf, "vec_id", "embedding",
+              root, k = 10, groupSize = g, nprobeGroups = 4, nprobeCells = 32)
+          }
+          time(s"imiidx_retrain_query_k$k", n) {
+            Similarity.imiTrainedTopK(emb, probesDf, "vec_id", "embedding",
+              k = 10, groups = groups, groupSize = g, iters = 2, dim = 64,
+              nprobeGroups = 4, nprobeCells = 32)
+          }
+        } finally {
+          only = saved10
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // Assignment-strategy A/B: the literal-codebook argmin (array of
       // k (dist, cell) structs over per-cell literal arrays — the default
       // under CellLiteralBudget) vs the broadcast-codebook JOIN path
