@@ -1234,6 +1234,37 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        fine: Array[Array[Double]], groupSize: Int,
                        nprobeGroups: Int, nprobeCells: Int): DataFrame = {
+    val probedCells = imiProbedCells(spark, probes, idCol, vecCol, coarse,
+      fine, groupSize, nprobeGroups, nprobeCells)
+    imiRank(corpusCells, probedCells, k)
+  }
+
+  /** The exact-cosine re-rank tail over the probed cells' inverted-list
+    * members (probe side broadcasts — the corpus/list side never
+    * shuffles). */
+  private def imiRank(corpusCells: DataFrame, probedCells: DataFrame,
+                      k: Int): DataFrame = {
+    val scored = corpusCells.join(broadcast(probedCells), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+  }
+
+  /** The IMI probe fan-out shared by [[imiServe]] and [[imiIndexSearch]]'s
+    * partition pruning: top-`nprobeGroups` coarse groups per probe →
+    * top-`nprobeCells` fine cells within them, both levels over broadcast
+    * codebook rows, ranks per PINNED probe row. Returns
+    * (query_id, pv, cell). */
+  private def imiProbedCells(spark: org.apache.spark.sql.SparkSession,
+                             probes: DataFrame, idCol: String, vecCol: String,
+                             coarse: Array[Array[Double]],
+                             fine: Array[Array[Double]], groupSize: Int,
+                             nprobeGroups: Int, nprobeCells: Int): DataFrame = {
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
         .withColumn("__pid", monotonically_increasing_id()))
@@ -1251,21 +1282,12 @@ object Similarity {
       .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
     val wc = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("cell"))
-    val probedCells = probedGroups.join(broadcast(fineRows), Seq("grp"))
+    probedGroups.join(broadcast(fineRows), Seq("grp"))
       .select(col("__pid"), col("query_id"), col("pv"), col("cell"),
         dot(col("pv"), col("cent")).as("score"))
       .withColumn("__r", row_number().over(wc))
       .filter(col("__r") <= nprobeCells)
       .select(col("query_id"), col("pv"), col("cell"))
-    val scored = corpusCells.join(broadcast(probedCells), Seq("cell"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
   }
 
   /** Persist a trained IMI index as three plain parquet tables — the same
@@ -1294,10 +1316,38 @@ object Similarity {
         .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
-    semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
+    // cell-partitioned ADAPTIVELY — the index's analog of the store's
+    // bucket directories: when cells are file-sized (≥
+    // [[MinRowsPerCellPartition]] rows each), a search probing p of k
+    // cells reads ~p/k of the files via static partition pruning
+    // ([[imiIndexSearch]]); when cells are small the same layout is a
+    // tiny-file explosion (measured at 640k×2560 cells ≈ 250 rows/cell:
+    // write 51 → 343 s, search 4.7 → 26.6 s across 1753 file-tasks —
+    // SCALE.md imi_index_ab), so the lists land unpartitioned and the
+    // probed-cell predicate applies as an ordinary pushed filter instead
+    val rows = corpus.count()
+    val out = semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
         literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
-      .write.mode("overwrite").parquet(s"$path/lists")
+      .write.mode("overwrite")
+    val k = coarse.length.toLong * groupSize
+    (if (rows >= k * MinRowsPerCellPartition) out.partitionBy("cell") else out)
+      .parquet(s"$path/lists")
+  }
+
+  /** Rows-per-cell threshold above which a persisted index's list/code
+    * table partitions by cell (directory pruning at search); below it the
+    * layout would shatter into sub-file-sized partitions. ~4096 64-dim
+    * double rows ≈ a few MB per cell file. */
+  private[graft] val MinRowsPerCellPartition = 4096L
+
+  /** Whether a persisted list/code table was written cell-partitioned —
+    * appends must match the base layout. */
+  private def cellPartitioned(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
   }
 
   /** Reload a persisted IMI model ([[imiIndexWrite]]'s `coarse/` +
@@ -1330,10 +1380,12 @@ object Similarity {
                      path: String, groupSize: Int,
                      literalBudget: Long = CellLiteralBudget): Unit = {
     val (coarse, fine) = imiIndexModel(spark, path)
-    semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
+    val out = semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
         literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
-      .write.mode("append").parquet(s"$path/lists")
+      .write.mode("append")
+    (if (cellPartitioned(spark, s"$path/lists")) out.partitionBy("cell")
+     else out).parquet(s"$path/lists")
   }
 
   /** Serve top-k from an [[imiIndexWrite]]-persisted index: reload the
@@ -1347,10 +1399,22 @@ object Similarity {
                      path: String, k: Int, groupSize: Int,
                      nprobeGroups: Int, nprobeCells: Int): DataFrame = {
     val (coarse, fine) = imiIndexModel(spark, path)
+    // the probed-cell set is BOUNDED MODEL-SIZED state (≤ min(k cells,
+    // probes × nprobeCells) ints): collecting it turns the cell join's
+    // implicit restriction into a STATIC partition predicate the reader
+    // prunes directories with — the search then scans ~nprobe/k of the
+    // stored lists instead of every file (the store's targetObjs pattern
+    // applied to the ANN index)
+    val probedCells = graft.CacheScope.cache(
+      imiProbedCells(spark, probes, idCol, vecCol, coarse, fine, groupSize,
+        nprobeGroups, nprobeCells))
+    probedCells.count()
+    val cellSet = probedCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("nbr_id"), col("cv"), col("cell"))
-    imiServe(spark, probes, idCol, vecCol, lists, k, coarse, fine,
-      groupSize, nprobeGroups, nprobeCells)
+    imiRank(lists, probedCells, k)
   }
 
   /** IMI + PQ composed index — the canonical billion-vector serving
@@ -1416,6 +1480,19 @@ object Similarity {
                          fine: Array[Array[Double]], groupSize: Int,
                          nprobeGroups: Int, nprobeCells: Int,
                          subs: Int, ksub: Int, dim: Int): DataFrame = {
+    val probedCells = imiPqProbedCells(probes, idCol, vecCol, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
+    imiPqRank(corpusIdx, probedCells, k, subs, ksub)
+  }
+
+  /** [[imiProbedCells]]'s IMI+PQ variant: the same group/cell fan-out with
+    * each probe carrying its broadcast ADC table instead of the
+    * full-precision vector. Returns (query_id, dtab, cell). */
+  private def imiPqProbedCells(probes: DataFrame, idCol: String,
+                               vecCol: String, coarse: Array[Array[Double]],
+                               fine: Array[Array[Double]], groupSize: Int,
+                               nprobeGroups: Int, nprobeCells: Int,
+                               subs: Int, ksub: Int, dim: Int): DataFrame = {
     val spark = probes.sparkSession
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"),
@@ -1436,12 +1513,17 @@ object Similarity {
       .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
     val wc = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("cell"))
-    val probedCells = probedGroups.join(broadcast(fineRows), Seq("grp"))
+    probedGroups.join(broadcast(fineRows), Seq("grp"))
       .select(col("__pid"), col("query_id"), col("dtab"), col("cell"),
         dot(col("pv"), col("cent")).as("score"))
       .withColumn("__r", row_number().over(wc))
       .filter(col("__r") <= nprobeCells)
       .select(col("query_id"), col("dtab"), col("cell"))
+  }
+
+  /** The broadcast-ADC scoring tail over the probed cells' code words. */
+  private def imiPqRank(corpusIdx: DataFrame, probedCells: DataFrame,
+                        k: Int, subs: Int, ksub: Int): DataFrame = {
     val adc = adcSum(subs, ksub)
     val scored = corpusIdx.join(broadcast(probedCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -1475,9 +1557,16 @@ object Similarity {
         .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
-    imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize, subs,
-        ksub, dim, literalBudget)
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // adaptively cell-partitioned like [[imiIndexWrite]]'s lists — the
+    // probed-cell predicate prunes directories at search time when cells
+    // are file-sized, and applies as an ordinary pushed filter when not
+    val rows = corpus.count()
+    val out = imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize,
+        subs, ksub, dim, literalBudget)
+      .write.mode("overwrite")
+    val k = coarse.length.toLong * groupSize
+    (if (rows >= k * MinRowsPerCellPartition) out.partitionBy("cell") else out)
+      .parquet(s"$path/codes")
   }
 
   /** Append NEW vectors to an [[imiPqIndexWrite]]-persisted index without
@@ -1491,9 +1580,11 @@ object Similarity {
                        subs: Int = 8, ksub: Int = 4,
                        literalBudget: Long = CellLiteralBudget): Unit = {
     val (coarse, fine) = imiIndexModel(spark, path)
-    imiPqIndexRows(batch, idCol, vecCol, coarse, fine, groupSize, subs,
-        ksub, dim, literalBudget)
-      .write.mode("append").parquet(s"$path/codes")
+    val out = imiPqIndexRows(batch, idCol, vecCol, coarse, fine, groupSize,
+        subs, ksub, dim, literalBudget)
+      .write.mode("append")
+    (if (cellPartitioned(spark, s"$path/codes")) out.partitionBy("cell")
+     else out).parquet(s"$path/codes")
   }
 
   /** Serve top-k from an [[imiPqIndexWrite]]-persisted index: reload the
@@ -1506,10 +1597,19 @@ object Similarity {
                        nprobeGroups: Int, nprobeCells: Int, dim: Int,
                        subs: Int = 8, ksub: Int = 4): DataFrame = {
     val (coarse, fine) = imiIndexModel(spark, path)
+    // bounded probed-cell set → static partition predicate (see
+    // [[imiIndexSearch]]): the ADC scan touches ~nprobe/k of the stored
+    // code files
+    val probedCells = graft.CacheScope.cache(
+      imiPqProbedCells(probes, idCol, vecCol, coarse, fine, groupSize,
+        nprobeGroups, nprobeCells, subs, ksub, dim))
+    probedCells.count()
+    val cellSet = probedCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val corpusIdx = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("nbr_id"), col("cell"), col("pq_code"))
-    imiPqServe(probes, idCol, vecCol, corpusIdx, k, coarse, fine, groupSize,
-      nprobeGroups, nprobeCells, subs, ksub, dim)
+    imiPqRank(corpusIdx, probedCells, k, subs, ksub)
   }
 
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
