@@ -86,12 +86,20 @@ object ScaleProbe {
     }
   }
 
-  /** Non-numeric CLI args (other than "skew") select which ops run, by
-    * substring match on the label — e.g. `ScaleProbe centroid 80000`. */
+  /** Non-numeric CLI args (other than "skew"/"diskonly") select which ops
+    * run, by EXACT label match — e.g. `ScaleProbe emb_kmeans 80000`. Exact,
+    * not substring (ADVICE r11/r12): a short arg like "store" used to match
+    * several labels at once and could skip input caching for probes that do
+    * read docs/emb. */
   private var only: Seq[String] = Nil
 
+  /** Selector rule, extracted pure for the spec: an empty selector set runs
+    * everything; otherwise a probe runs iff its label is selected EXACTLY. */
+  private[graft] def selects(sel: Seq[String], label: String): Boolean =
+    sel.isEmpty || sel.contains(label)
+
   private def timeAction(label: String, n: Long)(body: => Unit): Unit = {
-    if (only.nonEmpty && !only.exists(label.contains(_))) return
+    if (!selects(only, label)) return
     val spark = SparkSession.active
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
@@ -146,16 +154,15 @@ object ScaleProbe {
       // points (store_decade at n=16-64M would otherwise pay tens of GB of
       // doc/embedding synthesis it never reads); the un-cached plans still
       // flow into the skipped time() thunks, which never force them
-      // explicit whitelist of the SELF-CONTAINED probe selectors (ops that
-      // synthesize their own points and never read docs/emb) — an arg is
-      // store-family only if it selects within this list, so a future label
-      // that merely CONTAINS 'store'/'dsv2' but does read docs/emb gets its
-      // inputs cached like everything else (ADVICE r11: the old substring
-      // tokens would have silently timed input synthesis into such a probe)
+      // explicit whitelist of the SELF-CONTAINED probe labels (ops that
+      // synthesize their own points and never read docs/emb) — matched
+      // EXACTLY like every selector now, so a future label that reads
+      // docs/emb can never alias into this list (ADVICE r11/r12: the old
+      // substring tokens would have silently timed input synthesis into
+      // such a probe)
       val selfContained = Seq("kv_point_ops", "store_write",
         "store_read_pruned", "store_compact", "store_decade", "dsv2_ab")
-      val inputsNeeded = only.isEmpty ||
-        !only.forall(o => selfContained.exists(_.contains(o)))
+      val inputsNeeded = only.isEmpty || !only.forall(selfContained.contains)
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
         else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -364,7 +371,7 @@ object ScaleProbe {
       // at dim 64 halving the pair dots is a wash against the generator
       // repackage (measured 40.8/66.5 vs 29.1/70.1 across adjacent runs);
       // this block re-asks at dim 256 where the dot term dominates
-      if (only.exists(o => "hard_negatives_dim".contains(o))) {
+      if (only.contains("hard_negatives_dim")) {
         val emb256 = CacheScope.cache(synthEmbeddings(spark, n, dim = 256), lvl)
         emb256.count()
         val l256 = emb256.withColumn("label",
@@ -404,7 +411,7 @@ object ScaleProbe {
       // in the same fine cell (co-cell is what makes SemDeDup/mining see a
       // pair at all), with flat rank-1 over the same fine book as the
       // exact-assignment reference.
-      if (only.exists(o => "imi_ab".contains(o))) {
+      if (only.contains("imi_ab")) {
         val k = 2560; val g = 64; val groups = k / g
         val saved3 = only
         only = Nil
@@ -455,7 +462,7 @@ object ScaleProbe {
       // deltas (1 vs 2 iters) and full-train deltas isolate the per-
       // iteration cost that is NOT scoring (the exploded exact-decimal
       // centroid update, routing, plan/cache fixed costs)
-      if (only.exists(o => "imi_parts".contains(o))) {
+      if (only.contains("imi_parts")) {
         val k = 2560; val g = 64; val groups = k / g
         val saved6 = only
         only = Nil
@@ -480,7 +487,7 @@ object ScaleProbe {
       // frozen parquet model; imiTrainedTopK (the pre-index shape) retrains
       // inside each invocation. The write/search/retrain split is the
       // amortization a production ANN deployment lives on.
-      if (only.exists(o => "imi_index_ab".contains(o))) {
+      if (only.contains("imi_index_ab")) {
         val k = 2560; val g = 64; val groups = k / g
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-probe-imiidx-$n").toString
@@ -509,6 +516,82 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Post-append maintenance A/B (VERDICT r12 #1): a steady append
+      // stream lands each batch as its own parquet file set, fragmenting
+      // the persisted lists into exactly the small-file layout imi_index_ab
+      // measured dominating search; indexCompact binary-merges each leaf
+      // back to one file in a new generation. Search timed FRAGMENTED vs
+      // COMPACTED on the same index, plus the serve-session model-cache
+      // split (VERDICT r12 #5): first search per session reloads the
+      // model (cold), subsequent ones hit the driver cache (warm).
+      if (only.contains("imi_index_compact_ab")) {
+        val k = 2560; val g = 64; val groups = k / g
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imicompact-$n").toString
+        val probesDf = emb.filter(col("vec_id") < 100)
+        val saved11 = only
+        only = Nil
+        try {
+          Similarity.imiIndexWrite(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", root, groups = groups, groupSize = g,
+            iters = 1, dim = 64)
+          timeAction(s"imiidx_append16_k$k", n) {
+            // 16 arrival batches: the odd half of the corpus in 16 slices
+            (0 until 16).foreach { i =>
+              Similarity.imiIndexAppend(spark,
+                emb.filter(pmod(col("vec_id"), lit(32)) === (2 * i + 1)),
+                "vec_id", "embedding", root, groupSize = g)
+            }
+          }
+          def search(): org.apache.spark.sql.DataFrame =
+            Similarity.imiIndexSearch(spark, probesDf, "vec_id", "embedding",
+              root, k = 10, groupSize = g, nprobeGroups = 4, nprobeCells = 32)
+          time(s"imiidx_search_fragmented_k$k", n) { search() }
+          timeAction(s"imiidx_compact_k$k", n) {
+            Similarity.indexCompact(spark, root)
+          }
+          timeAction(s"imiidx_serve_coldmodel_k$k", n) {
+            Similarity.clearModelCache()
+            search().write.format("noop").mode("overwrite").save()
+          }
+          time(s"imiidx_serve_warmmodel_k$k", n) { search() }
+        } finally {
+          only = saved11
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
+      // Index-build precision A/B (VERDICT r12 #6): the exactUpdate knob
+      // threaded through imiIndexWrite — decimal-exact training (the gated
+      // default, cross-engine bit determinism) vs double accumulation (the
+      // production knob, ≤1 ulp drift on a fraction of components).
+      if (only.contains("imi_index_exact_ab")) {
+        val k = 2560; val g = 64; val groups = k / g
+        val saved12 = only
+        only = Nil
+        val roots = Seq.fill(2)(java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imiexact-$n").toString)
+        try {
+          timeAction(s"imiidx_write_decimal_k$k", n) {
+            Similarity.imiIndexWrite(emb, "vec_id", "embedding", roots(0),
+              groups = groups, groupSize = g, iters = 2, dim = 64)
+          }
+          timeAction(s"imiidx_write_double_k$k", n) {
+            Similarity.imiIndexWrite(emb, "vec_id", "embedding", roots(1),
+              groups = groups, groupSize = g, iters = 2, dim = 64,
+              exactUpdate = false)
+          }
+        } finally {
+          only = saved12
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          roots.foreach(r => rm(new java.io.File(r)))
+        }
+      }
       // Assignment-strategy A/B: the literal-codebook argmin (array of
       // k (dist, cell) structs over per-cell literal arrays — the default
       // under CellLiteralBudget) vs the broadcast-codebook JOIN path
@@ -518,7 +601,7 @@ object ScaleProbe {
       // argmin (~144 µs/row) is interpreted-evaluation territory, not
       // arithmetic — if the join path wins big here, the literal path's
       // plan is falling out of whole-stage codegen at this width.
-      if (only.exists(o => "trainer_assign_ab".contains(o))) {
+      if (only.contains("trainer_assign_ab")) {
         val saved9 = only
         only = Nil
         try {
@@ -540,7 +623,7 @@ object ScaleProbe {
       // the resulting centroid drift (both paths round to 1e-6, so any
       // difference is a real accumulation-order/precision divergence, not
       // formatting).
-      if (only.exists(o => "trainer_precision_ab".contains(o))) {
+      if (only.contains("trainer_precision_ab")) {
         val k = 2560; val g = 64; val groups = k / g
         val saved7 = only
         only = Nil
@@ -756,8 +839,7 @@ object ScaleProbe {
       // The block fires when ANY token selects either store op; inside,
       // BOTH ops always run — a pruned read against a store the skipped
       // write left empty is a meaningless measurement (ADVICE r4).
-      if (only.exists(o =>
-          Seq("store_write", "store_read_pruned").exists(_.contains(o)))) {
+      if (Seq("store_write", "store_read_pruned").exists(only.contains)) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._
@@ -833,7 +915,7 @@ object ScaleProbe {
       // post-r8 code (generation swap + local point ops). Run with
       // `store_decade <n>` at n up to 16-64M (1-4B points), diskonly
       // irrelevant (the store lives on disk by construction).
-      if (only.exists(o => "store_decade".contains(o))) {
+      if (only.contains("store_decade")) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._
@@ -929,7 +1011,7 @@ object ScaleProbe {
       // shape (one task per partition dir, ExampleParquetWriter under the
       // store's 4-field schema). Run with `compact_ab <n>`; n=16M is 1.02B
       // points.
-      if (only.exists(o => "compact_ab".contains(o))) {
+      if (only.contains("compact_ab")) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._
@@ -1039,7 +1121,7 @@ object ScaleProbe {
       // predicates. Quantifies what delegating split reading to the
       // vectorized reader would buy; the store gates pin both paths to the
       // same rows.
-      if (only.exists(o => "dsv2_ab".contains(o))) {
+      if (only.contains("dsv2_ab")) {
         import graft.sources.{GraftScan, TimeStore}
         import graft.core.Point
         import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

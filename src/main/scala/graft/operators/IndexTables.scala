@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{ParquetConcat, SerializableHadoopConf, TimeStore}
+
+/** Generational storage for the persisted ANN index DATA tables (`lists/`,
+  * `codes/`) — the store's reader-safe compaction discipline
+  * ([[graft.sources.TimeStore.compact]]) applied to the index family
+  * (VERDICT r12 #1): a steady stream of [[Similarity.imiIndexAppend]]-style
+  * appends lands each batch as its own parquet file, fragmenting the table
+  * into exactly the small-file layout whose search cost SCALE.md's
+  * imi_index_ab measured (26.6 s across 1,753 file-tasks vs 4.7 s).
+  *
+  * Layout: a table is a directory of `gen-NNNNNN` generations. The LIVE
+  * generation is the newest one whose `_SUCCESS` committed (the marker
+  * lands atomically at Spark job commit, so the compaction swap is atomic
+  * from a reader's view — before commit readers resolve the old
+  * generation, after it the new one; never neither). Appends are ordinary
+  * parquet appends INTO the live generation. [[compactTable]] merges the
+  * live generation's accumulated files — one task per leaf directory,
+  * respecting `cell=` partitioning — into generation N+1 by binary
+  * row-group concatenation ([[graft.sources.ParquetConcat]]: raw page
+  * copy, no decode), then retires superseded generations only after
+  * [[graft.sources.TimeStore.LeaseTimeoutMs]], dated from a
+  * `_SUPERSEDED_AT` marker stamped at first observation (the superseder's
+  * own `_SUCCESS` mtime refreshes on every append, which would retain the
+  * old copy forever — the store's r4 lesson, reused unchanged).
+  *
+  * Reference analog: the rollover/compaction machinery that keeps bucket
+  * objects file-sized (rados-timestore `StoreHelpers.hs:194-221`).
+  */
+private[graft] object IndexTables {
+
+  def genName(g: Int): String = f"gen-$g%06d"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All on-disk generations of a table, ascending: (generation, path). */
+  private def generations(f: FileSystem, table: Path): Seq[(Int, Path)] =
+    if (!f.exists(table)) Seq.empty
+    else f.listStatus(table).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .flatMap(st => st.getPath.getName.stripPrefix("gen-").toIntOption
+        .map(g => (g, st.getPath)))
+      .sortBy(_._1)
+
+  private def isComplete(f: FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_SUCCESS"))
+
+  /** The directory a fresh base write lands in. */
+  def writeDir(table: String): String = s"$table/${genName(0)}"
+
+  /** The live generation — where reads resolve and appends land. Fails
+    * loudly on a table no complete write ever created ("invalid namespace"
+    * discipline, like the store's fetchIndex). */
+  def liveDir(spark: SparkSession, table: String): String = {
+    val f = fsOf(spark, table)
+    generations(f, new Path(table)).filter(g => isComplete(f, g._2))
+      .lastOption.map(_._2.toString)
+      .getOrElse(throw new IllegalStateException(
+        s"no complete generation under $table — index never written?"))
+  }
+
+  /** Whether the live generation is `cell=` partitioned — appends must
+    * match the base layout. */
+  def cellPartitioned(spark: SparkSession, table: String): Boolean = {
+    val live = new Path(liveDir(spark, table))
+    fsOf(spark, table).listStatus(live)
+      .exists(_.getPath.getName.startsWith("cell="))
+  }
+
+  /** Compact a table's live generation into one file per leaf directory
+    * (the `cell=` partitions when present, else the generation root) as
+    * generation N+1. One executor task per leaf — the merge is IO-bound
+    * and a retried task overwrites its own output, so tasks are
+    * idempotent. Index writers all emit ONE physical schema by
+    * construction, so a mixed-schema leaf is corruption and fails loudly
+    * (no silent re-encode fallback here, unlike the store's evolving point
+    * schema). No-op on a table that does not exist (an index family
+    * without that data table). */
+  def compactTable(spark: SparkSession, table: String): Unit = {
+    val f = fsOf(spark, table)
+    val root = new Path(table)
+    val gens = generations(f, root)
+    gens.filter(g => isComplete(f, g._2)).lastOption.foreach {
+      case (cur, curPath) =>
+        val next = new Path(root, genName(cur + 1))
+        if (f.exists(next)) f.delete(next, true) // dead earlier attempt
+        val cells = f.listStatus(curPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .map(_.getPath.getName).sorted
+        val leaves = if (cells.isEmpty) Seq("") else cells
+        val sconf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val (curStr, nextStr) = (curPath.toString, next.toString)
+        spark.sparkContext.parallelize(leaves, leaves.size).foreach { rel =>
+          val conf = sconf.conf
+          val src = if (rel.isEmpty) new Path(curStr)
+                    else new Path(s"$curStr/$rel")
+          val dstDir = if (rel.isEmpty) nextStr else s"$nextStr/$rel"
+          val files = ParquetConcat.dataFiles(conf, src)
+          require(
+            ParquetConcat.mergeSameSchema(conf, files,
+              new Path(s"$dstDir/compacted-0.parquet")),
+            s"mixed physical schemas under $src — index writers emit one " +
+              "schema; refusing to guess a merge")
+        }
+        f.create(new Path(next, "_SUCCESS"), true).close()
+        retireable(f, generations(f, root), cur + 1)
+          .foreach(g => f.delete(g._2, true))
+    }
+  }
+
+  /** Superseded complete generations old enough to retire — see the
+    * object Scaladoc for why the clock is a first-observation marker, not
+    * the superseder's `_SUCCESS` mtime. */
+  private def retireable(f: FileSystem, gens: Seq[(Int, Path)],
+                         live: Int): Seq[(Int, Path)] = {
+    val complete = gens.filter(g => isComplete(f, g._2))
+    complete.filter(_._1 < live).filter { case (_, p) =>
+      val marker = new Path(p, "_SUPERSEDED_AT")
+      if (!f.exists(marker)) {
+        val out = f.create(marker, true)
+        try out.write(System.currentTimeMillis().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        false
+      } else {
+        val in = f.open(marker)
+        val at =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        System.currentTimeMillis() - at > TimeStore.LeaseTimeoutMs
+      }
+    }
+  }
+}

@@ -161,13 +161,30 @@ object Similarity {
     * strategy takes over regardless of k·dim. */
   private[graft] val LiteralAssignMaxRows = 16384L
 
-  /** One cheap count decides literal vs broadcast-join assignment; the two
-    * strategies are bit-identical by construction and HASH-GATED against
-    * the same oracle (`ann_ivf_trained_joinpath`), so this is purely a
-    * physical-plan choice. */
-  private def literalAssignFits(corpus: DataFrame, k: Long, dim: Int,
-                                literalBudget: Long): Boolean =
-    k * dim <= literalBudget && corpus.count() <= LiteralAssignMaxRows
+  /** One corpus row count computed AT MOST ONCE per entry-point invocation
+    * and shared across every strategy-decision site (ADVICE r12: each
+    * decision used to run its own count() job — one imiIndexWrite paid
+    * three extra corpus scans, and every composed trainer invocation paid
+    * one per assign entry point). Lazy: an entry whose k·dim already
+    * exceeds the literal budget never pays the count at all. Callers that
+    * know the cardinality (a catalog stat, an already-materialized count)
+    * seed it via `known`. */
+  private[graft] final class CorpusRows(corpus: => DataFrame,
+                                        known: Option[Long] = None) {
+    private var seeded: Option[Long] = known
+    /** Record an externally-obtained count (e.g. a cache materialization's
+      * return value) so later decision sites reuse it. No-op once known. */
+    def seed(m: Long): Unit = if (seeded.isEmpty) seeded = Some(m)
+    lazy val n: Long = seeded.getOrElse(corpus.count())
+  }
+
+  /** One (shared, lazy) count decides literal vs broadcast-join assignment;
+    * the two strategies are bit-identical by construction and HASH-GATED
+    * against the same oracle (`ann_ivf_trained_joinpath`), so this is
+    * purely a physical-plan choice. */
+  private def literalAssignFits(k: Long, dim: Int, literalBudget: Long,
+                                rows: CorpusRows): Boolean =
+    k * dim <= literalBudget && rows.n <= LiteralAssignMaxRows
 
   /** Ascending-index self-dot — the same fold order as the codegen'd [[dot]]
     * kernel, so a driver-side constant is bit-identical to the in-plan one. */
@@ -358,9 +375,11 @@ object Similarity {
   def semanticDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, cents: Array[Array[Double]],
                         maxCell: Int = Dedup.DefaultMaxBucket,
-                        literalBudget: Long = CellLiteralBudget): DataFrame =
+                        literalBudget: Long = CellLiteralBudget,
+                        nRows: Option[Long] = None): DataFrame =
     semanticPairTail(
-      semanticAssign(corpus, idCol, vecCol, cents, literalBudget),
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget,
+        new CorpusRows(corpus, nRows)),
       threshold, maxCell)
 
   /** Probe-only A/B twin of [[semanticDedupWith]] that runs the r7
@@ -374,7 +393,8 @@ object Similarity {
                         maxCell: Int = Dedup.DefaultMaxBucket,
                         literalBudget: Long = CellLiteralBudget): DataFrame =
     semanticPairTail(
-      semanticAssign(corpus, idCol, vecCol, cents, literalBudget),
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget,
+        new CorpusRows(corpus)),
       threshold, maxCell, windowCensus = true)
 
   /** Rank-1 cell assignment shared by the SemDeDup variants: literal
@@ -382,12 +402,13 @@ object Similarity {
     * `literalBudget` (see [[semanticDedupWith]]). */
   private def semanticAssign(corpus: DataFrame, idCol: String,
                              vecCol: String, cents: Array[Array[Double]],
-                             literalBudget: Long): DataFrame = {
+                             literalBudget: Long,
+                             rows: CorpusRows): DataFrame = {
     val cells = cents.length
     val dim = cents.headOption.map(_.length).getOrElse(0)
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
-      if (literalAssignFits(corpus, cells.toLong, dim, literalBudget))
+      if (literalAssignFits(cells.toLong, dim, literalBudget, rows))
         v.withColumn("__sc", cellScoreArrayOf(col("v"), cents))
           .withColumn("cell",
             (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
@@ -943,7 +964,21 @@ object Similarity {
                   // native width. Centroids still round to 1e-6 either way,
                   // so drift between the two paths is directly measurable
                   // (SCALE.md trainer_precision_ab row).
-                  exactUpdate: Boolean = true): DataFrame = {
+                  exactUpdate: Boolean = true,
+                  // cardinality hint (a catalog stat or an already-run
+                  // count) — skips the strategy-decision count job
+                  nRows: Option[Long] = None): DataFrame =
+    kmeansTrainRows(corpus, vecCol, k, iters, dim, literalBudget, init,
+      exactUpdate, new CorpusRows(corpus, nRows))
+
+  /** [[kmeansTrain]] with the shared per-invocation [[CorpusRows]] —
+    * composed trainers (imiTrain, the index writes) pass ONE instance
+    * through every decision site so the corpus is counted at most once
+    * per entry-point invocation (ADVICE r12). */
+  private[graft] def kmeansTrainRows(corpus: DataFrame, vecCol: String,
+                  k: Int, iters: Int, dim: Int, literalBudget: Long,
+                  init: (Int, Int) => Double, exactUpdate: Boolean,
+                  rows: CorpusRows): DataFrame = {
     require(iters >= 1)
     val spark = corpus.sparkSession
     val v = corpus.select(asDouble(col(vecCol)).as("v"))
@@ -954,11 +989,11 @@ object Similarity {
     // only stable across the multiple plans that reference it because the
     // cache materializes it exactly once (and each iteration then reads
     // from memory rather than re-scanning source).
-    val joinPath = !literalAssignFits(corpus, k.toLong, dim, literalBudget)
+    val joinPath = !literalAssignFits(k.toLong, dim, literalBudget, rows)
     lazy val vid = {
       val f = graft.CacheScope.cache(
         v.withColumn("__vid", monotonically_increasing_id()))
-      f.count() // materialize eagerly: two consumers per iteration
+      rows.seed(f.count()) // materialize eagerly: two consumers per iteration
       f
     }
     def assign(cents: Array[Array[Double]]): DataFrame = if (joinPath) {
@@ -988,7 +1023,7 @@ object Similarity {
       v.select(col("v"), array_min(scored).getField("cell").as("cell"))
     }
     def update(assigned: DataFrame): DataFrame =
-      trainerUpdate(assigned, dim, exactUpdate)
+      trainerUpdate(assigned, dim, exactUpdate, rows)
     var cents = Array.tabulate(k, dim)((c, d) => init(c, d))
     for (_ <- 1 until iters) {
       val next = cents.map(_.clone)
@@ -997,9 +1032,10 @@ object Similarity {
       }
       cents = next
     }
-    // (update shape note: see [[trainerUpdate]] — ONE wide aggregate over n
-    // rows, not a posexplode fan-out of n·dim rows; measured 2-4× on the
-    // full trainer at 640k×64, bit-identical sums either way)
+    // (update shape note: see [[trainerUpdate]] — size-adaptive: wide
+    // aggregate past the row crossover (measured 2-4× on the full trainer
+    // at 640k×64), exploded narrow shape at fixture scale where the wide
+    // plan's fixed cost dominates; bit-identical sums either way)
     val fin = update(assign(cents))
     import spark.implicits._
     val spine = (for (c <- 0 until k; d <- 0 until dim)
@@ -1013,35 +1049,53 @@ object Similarity {
 
   /** The Lloyd's UPDATE step shared by [[kmeansTrain]] and [[imiTrain]]:
     * per-cell member count and per-dimension sums → 1e-6-rounded means.
-    * Shape: ONE wide hash aggregate over the n assigned rows — `count(1)`
-    * plus `dim` per-component sums read straight off the vector — then a
-    * k-row posexplode to (cell, d) rows. The r11 shape exploded FIRST
-    * (n·dim narrow rows through the aggregate, keyed (cell, d)); both
-    * shapes ship the same bounded k·dim partials (map-side combine), but
-    * the exploded one pays the aggregate's per-row overhead n·dim times —
-    * the `trainer_precision_ab` probe showed that fan-out, NOT the decimal
-    * arithmetic, is what dominates the trainer at 640k×64 (swapping
-    * decimal→double moved nothing; collapsing the fan-out moved the whole
-    * hot stage). Sums are order-independent either way (decimal default),
-    * so the trained model is bit-identical across shapes — the k-means /
-    * IMI gates hash-pin that.
+    * TWO physical shapes, chosen by corpus size like the assignment path
+    * (the same [[LiteralAssignMaxRows]] crossover — both shapes compute
+    * the identical order-independent decimal sums, so the trained model is
+    * bit-identical either way; the k-means / IMI gates hash-pin that):
+    *
+    *   - BIG corpora: ONE wide hash aggregate over the n assigned rows —
+    *     `count(1)` plus `dim` per-component sums read straight off the
+    *     vector — then a k-row posexplode to (cell, d) rows. The r11 shape
+    *     exploded FIRST (n·dim narrow rows through the aggregate, keyed
+    *     (cell, d)); both ship the same bounded k·dim partials (map-side
+    *     combine), but the exploded one pays the aggregate's per-row
+    *     overhead n·dim times — the r12 `trainer_precision_ab` probe
+    *     showed that fan-out, NOT the decimal arithmetic, dominates the
+    *     trainer at 640k×64.
+    *   - SMALL corpora: the exploded narrow shape. The wide aggregate's
+    *     dim decimal-sum columns carry a fixed plan/codegen cost that
+    *     repeats per training iteration; at fixture scale that constant
+    *     outweighs the per-row saving (the r12 fixture regressions on
+    *     emb_kmeans / ann_imi_trained / ann_ivf_trained — VERDICT r12 #3).
     *
     * Input must carry (cell, v); returns (cell, d, n_members, c_val). */
   private def trainerUpdate(assigned: DataFrame, dim: Int,
-                            exactUpdate: Boolean): DataFrame = {
-    def sx(d: Int): Column =
-      if (exactUpdate)
-        sum(col("v").getItem(d).cast("decimal(20,8)")).cast("double")
-      else sum(col("v").getItem(d))
-    val aggs = (0 until dim).map(d => sx(d).as(s"__sx$d"))
-    assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"), aggs: _*)
-      .select(col("cell"), col("n_members"),
-        posexplode(array((0 until dim).map(d => col(s"__sx$d")): _*))
-          .as(Seq("d", "sx")))
-      .select(col("cell"), col("d"), col("n_members"),
-        (floor(col("sx") / col("n_members") * 1e6 + 0.5) / 1e6).as("c_val"))
-  }
+                            exactUpdate: Boolean,
+                            rows: CorpusRows): DataFrame =
+    if (rows.n <= LiteralAssignMaxRows) {
+      val sx =
+        if (exactUpdate) sum(col("x").cast("decimal(20,8)")).cast("double")
+        else sum(col("x"))
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(count(lit(1)).as("n_members"), sx.as("sx"))
+        .select(col("cell"), col("d"), col("n_members"),
+          (floor(col("sx") / col("n_members") * 1e6 + 0.5) / 1e6).as("c_val"))
+    } else {
+      def sx(d: Int): Column =
+        if (exactUpdate)
+          sum(col("v").getItem(d).cast("decimal(20,8)")).cast("double")
+        else sum(col("v").getItem(d))
+      val aggs = (0 until dim).map(d => sx(d).as(s"__sx$d"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), aggs: _*)
+        .select(col("cell"), col("n_members"),
+          posexplode(array((0 until dim).map(d => col(s"__sx$d")): _*))
+            .as(Seq("d", "sx")))
+        .select(col("cell"), col("d"), col("n_members"),
+          (floor(col("sx") / col("n_members") * 1e6 + 0.5) / 1e6).as("c_val"))
+    }
 
   /** End-to-end trained IVF: [[kmeansTrain]] the codebook on the corpus,
     * then [[ivfTopKWith]] it — train → index → search composed in-engine.
@@ -1108,15 +1162,26 @@ object Similarity {
                // see [[kmeansTrain]]'s exactUpdate — decimal (gated default)
                // vs double centroid accumulation, threaded through BOTH the
                // coarse k-means and the fine Lloyd's steps
-               exactUpdate: Boolean = true)
+               exactUpdate: Boolean = true,
+               nRows: Option[Long] = None)
+               : (Array[Array[Double]], Array[Array[Double]]) =
+    imiTrainRows(corpus, vecCol, groups, groupSize, iters, dim,
+      literalBudget, exactUpdate, new CorpusRows(corpus, nRows))
+
+  /** [[imiTrain]] with the shared per-invocation [[CorpusRows]] (see
+    * [[kmeansTrainRows]]). */
+  private[graft] def imiTrainRows(corpus: DataFrame, vecCol: String,
+               groups: Int, groupSize: Int, iters: Int, dim: Int,
+               literalBudget: Long, exactUpdate: Boolean,
+               rows: CorpusRows)
                : (Array[Array[Double]], Array[Array[Double]]) = {
     require(iters >= 1 && groups >= 1 && groupSize >= 1)
     val spark = corpus.sparkSession
     val k = groups * groupSize
 
     val coarse = Array.ofDim[Double](groups, dim)
-    kmeansTrain(corpus, vecCol, groups, iters, dim, literalBudget,
-        exactUpdate = exactUpdate)
+    kmeansTrainRows(corpus, vecCol, groups, iters, dim, literalBudget,
+        centroidComponent, exactUpdate, rows)
       .collect().foreach { r =>
         coarse(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
       }
@@ -1125,7 +1190,7 @@ object Similarity {
     val vid = graft.CacheScope.cache(
       corpus.select(asDouble(col(vecCol)).as("v"))
         .withColumn("__vid", monotonically_increasing_id()))
-    vid.count()
+    rows.seed(vid.count())
     val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
     val routed = graft.CacheScope.cache(
       vid.crossJoin(broadcast(coarseRows))
@@ -1147,7 +1212,7 @@ object Similarity {
         .groupBy(col("__vid"))
         .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
       trainerUpdate(routed.join(best, Seq("__vid"))
-          .select(col("cell"), col("v")), dim, exactUpdate)
+          .select(col("cell"), col("v")), dim, exactUpdate, rows)
         .select(col("cell"), col("d"), col("c_val"))
         .collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d"),
@@ -1209,12 +1274,13 @@ object Similarity {
                      nprobeCells: Int,
                      literalBudget: Long = CellLiteralBudget): DataFrame = {
     val spark = corpus.sparkSession
-    val (coarse, fine) =
-      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    val rows = new CorpusRows(corpus)
+    val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
+      iters, dim, literalBudget, exactUpdate = true, rows)
     // inverted lists: serve-time two-level rank-1 assignment — one cell
     // per corpus vector, so a (probe, corpus) pair meets at most once
     val corpusCells = semanticAssign2Level(corpus, idCol, vecCol, fine,
-        groupSize, literalBudget, Some(coarse))
+        groupSize, literalBudget, Some(coarse), Some(rows))
       .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("cell"))
     imiServe(spark, probes, idCol, vecCol, corpusCells, k, coarse, fine,
       groupSize, nprobeGroups, nprobeCells)
@@ -1234,17 +1300,39 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        fine: Array[Array[Double]], groupSize: Int,
                        nprobeGroups: Int, nprobeCells: Int): DataFrame = {
-    val probedCells = imiProbedCells(spark, probes, idCol, vecCol, coarse,
-      fine, groupSize, nprobeGroups, nprobeCells)
-    imiRank(corpusCells, probedCells, k)
+    val (probedCells, nProbes) = imiProbedCells(spark, probes, idCol,
+      vecCol, coarse, fine, groupSize, nprobeGroups, nprobeCells)
+    val dim = fine.headOption.map(_.length).getOrElse(0)
+    imiRank(corpusCells, probedCells, k,
+      imiProbeRowBytes(dim) * nProbes * nprobeCells)
   }
 
+  /** Estimated serialized bytes of one (query_id, pv, cell) probe-fan-out
+    * row: the dim-length double array plus keys and row overhead. */
+  private def imiProbeRowBytes(dim: Int): Long = dim.toLong * 8 + 64
+
+  /** One ADC-table probe row: subs×ksub doubles plus keys and overhead. */
+  private def adcProbeRowBytes(subs: Int, ksub: Int): Long =
+    subs.toLong * ksub * 8 + 64
+
+  /** Ceiling on the estimated probe-fan-out size before the broadcast
+    * hint is dropped (ADVICE r12): probedCells is probes × nprobeCells
+    * rows, each carrying the full probe vector (or its ADC table) — a
+    * bounded online batch broadcasts (the corpus side never shuffles), but
+    * a bulk probe set past this ceiling would exceed the broadcast limit
+    * where the unhinted plan can fall back to a shuffle join. */
+  private[graft] val MaxProbeBroadcastBytes = 64L << 20
+
+  private def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= MaxProbeBroadcastBytes) broadcast(df) else df
+
   /** The exact-cosine re-rank tail over the probed cells' inverted-list
-    * members (probe side broadcasts — the corpus/list side never
-    * shuffles). */
+    * members (probe side broadcasts under [[MaxProbeBroadcastBytes]] — the
+    * corpus/list side never shuffles). */
   private def imiRank(corpusCells: DataFrame, probedCells: DataFrame,
-                      k: Int): DataFrame = {
-    val scored = corpusCells.join(broadcast(probedCells), Seq("cell"))
+                      k: Int, estProbeBytes: Long): DataFrame = {
+    val scored = corpusCells
+      .join(maybeBroadcast(probedCells, estProbeBytes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
@@ -1258,17 +1346,19 @@ object Similarity {
   /** The IMI probe fan-out shared by [[imiServe]] and [[imiIndexSearch]]'s
     * partition pruning: top-`nprobeGroups` coarse groups per probe →
     * top-`nprobeCells` fine cells within them, both levels over broadcast
-    * codebook rows, ranks per PINNED probe row. Returns
-    * (query_id, pv, cell). */
+    * codebook rows, ranks per PINNED probe row. Returns the
+    * (query_id, pv, cell) frame plus the probe count (the broadcast-size
+    * estimate's input — already materialized by the cache, free). */
   private def imiProbedCells(spark: org.apache.spark.sql.SparkSession,
                              probes: DataFrame, idCol: String, vecCol: String,
                              coarse: Array[Array[Double]],
                              fine: Array[Array[Double]], groupSize: Int,
-                             nprobeGroups: Int, nprobeCells: Int): DataFrame = {
+                             nprobeGroups: Int, nprobeCells: Int)
+                             : (DataFrame, Long) = {
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
         .withColumn("__pid", monotonically_increasing_id()))
-    pid.count()
+    val nProbes = pid.count()
     val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
     val wg = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("grp"))
@@ -1282,12 +1372,13 @@ object Similarity {
       .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
     val wc = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("cell"))
-    probedGroups.join(broadcast(fineRows), Seq("grp"))
+    val out = probedGroups.join(broadcast(fineRows), Seq("grp"))
       .select(col("__pid"), col("query_id"), col("pv"), col("cell"),
         dot(col("pv"), col("cent")).as("score"))
       .withColumn("__r", row_number().over(wc))
       .filter(col("__r") <= nprobeCells)
       .select(col("query_id"), col("pv"), col("cell"))
+    (out, nProbes)
   }
 
   /** Persist a trained IMI index as three plain parquet tables — the same
@@ -1304,11 +1395,16 @@ object Similarity {
   def imiIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, groups: Int, groupSize: Int, iters: Int,
                     dim: Int,
-                    literalBudget: Long = CellLiteralBudget): Unit = {
+                    literalBudget: Long = CellLiteralBudget,
+                    // production knob (see [[kmeansTrain]]): double centroid
+                    // accumulation — ≤1 ulp drift, measurably cheaper builds
+                    // (SCALE.md); the gated default stays decimal-exact
+                    exactUpdate: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (coarse, fine) =
-      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    val sharedRows = new CorpusRows(corpus)
+    val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
+      iters, dim, literalBudget, exactUpdate, sharedRows)
     def dump(m: Array[Array[Double]], name: String): Unit =
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
@@ -1325,15 +1421,33 @@ object Similarity {
     // write 51 → 343 s, search 4.7 → 26.6 s across 1753 file-tasks —
     // SCALE.md imi_index_ab), so the lists land unpartitioned and the
     // probed-cell predicate applies as an ordinary pushed filter instead
-    val rows = corpus.count()
     val out = semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
-        literalBudget, Some(coarse))
+        literalBudget, Some(coarse), Some(sharedRows))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
       .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
-    (if (rows >= k * MinRowsPerCellPartition) out.partitionBy("cell") else out)
-      .parquet(s"$path/lists")
+    (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
+     else out).parquet(IndexTables.writeDir(s"$path/lists"))
   }
+
+  /** Compact a persisted index's DATA tables (`lists/` and/or `codes/`)
+    * after appends (VERDICT r12 #1): every [[imiIndexAppend]] /
+    * [[imiPqIndexAppend]] / [[pqIndexAppend]] batch lands as its own
+    * parquet file, and a steady append stream fragments the table into
+    * exactly the small-file layout whose search cost SCALE.md's
+    * imi_index_ab measured (26.6 s across 1,753 file-tasks vs 4.7 s). This
+    * applies the store's generational binary-concat merge to the index —
+    * one file per leaf directory (per `cell=` partition when present),
+    * raw row-group copy, reader-safe atomic generation swap, superseded
+    * generations retired after the lease horizon. See [[IndexTables]].
+    * Model tables (`coarse/`, `fine/`, `books/`) never fragment — they are
+    * rewritten whole at [[imiIndexWrite]] time and appends never touch
+    * them — so only the data tables compact. Idempotent; run it on the
+    * maintenance cadence of the append stream. */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit =
+    Seq("lists", "codes").foreach(t =>
+      IndexTables.compactTable(spark, s"$path/$t"))
 
   /** Rows-per-cell threshold above which a persisted index's list/code
     * table partitions by cell (directory pruning at search); below it the
@@ -1341,33 +1455,77 @@ object Similarity {
     * double rows ≈ a few MB per cell file. */
   private[graft] val MinRowsPerCellPartition = 4096L
 
-  /** Whether a persisted list/code table was written cell-partitioned —
-    * appends must match the base layout. */
-  private def cellPartitioned(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
+
+  /** Serving-session MODEL cache (VERDICT r12 #5): a driver-side LRU of
+    * reloaded persisted-index models keyed by their model directories,
+    * invalidated by those directories' (name, length, mtime) fingerprint —
+    * one cheap `listStatus` per directory per search replaces a parquet
+    * read + collect + array rebuild of the SAME frozen model on every
+    * query batch of a serving session. Bounded: ≤ [[ModelCacheMax]]
+    * entries, each k×dim (or subs×ksub×ds) doubles — model state, never
+    * data. A retrain rewrites the model files (new lengths/mtimes) and
+    * misses; appends never touch model directories, so their hits are
+    * exactly the frozen-model contract. */
+  private val ModelCacheMax = 16
+  private val modelCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, AnyRef)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, AnyRef)]): Boolean =
+          size() > ModelCacheMax
+      })
+
+  /** Test/probe hook: drop every cached model (the "cold serve" arm of the
+    * SCALE.md repeated-serve A/B). */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
+  private def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
+                             dirs: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) s"$d=absent"
+      else f.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(s"$d=[", ",", "]")
+    }.mkString("|")
+  }
+
+  private def cachedModel[T <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String])(load: => T): T = {
+    val key = dirs.mkString(",")
+    val fp = dirFingerprint(spark, dirs)
+    val hit = modelCache.get(key)
+    if (hit != null && hit._1 == fp) hit._2.asInstanceOf[T]
+    else {
+      val m = load
+      modelCache.put(key, (fp, m))
+      m
+    }
   }
 
   /** Reload a persisted IMI model ([[imiIndexWrite]]'s `coarse/` +
     * `fine/`): bounded k×dim state, shape inferred from the stored
-    * indices. */
+    * indices; served from the session [[modelCache]] when the stored
+    * model is unchanged. */
   private def imiIndexModel(spark: org.apache.spark.sql.SparkSession,
                             path: String)
-      : (Array[Array[Double]], Array[Array[Double]]) = {
-    def load(name: String): Array[Array[Double]] = {
-      val rows = spark.read.parquet(s"$path/$name").collect()
-      val cells = rows.iterator.map(_.getAs[Int]("cell")).max + 1
-      val dim = rows.iterator.map(_.getAs[Int]("d")).max + 1
-      val m = Array.ofDim[Double](cells, dim)
-      rows.foreach { r =>
-        m(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("comp")
+      : (Array[Array[Double]], Array[Array[Double]]) =
+    cachedModel(spark, Seq(s"$path/coarse", s"$path/fine")) {
+      def load(name: String): Array[Array[Double]] = {
+        val rows = spark.read.parquet(s"$path/$name").collect()
+        val cells = rows.iterator.map(_.getAs[Int]("cell")).max + 1
+        val dim = rows.iterator.map(_.getAs[Int]("d")).max + 1
+        val m = Array.ofDim[Double](cells, dim)
+        rows.foreach { r =>
+          m(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("comp")
+        }
+        m
       }
-      m
+      (load("coarse"), load("fine"))
     }
-    (load("coarse"), load("fine"))
-  }
 
   /** Append NEW vectors to an [[imiIndexWrite]]-persisted index WITHOUT
     * retraining — the steady-state maintenance path (codebooks stay frozen
@@ -1384,8 +1542,10 @@ object Similarity {
         literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
       .write.mode("append")
-    (if (cellPartitioned(spark, s"$path/lists")) out.partitionBy("cell")
-     else out).parquet(s"$path/lists")
+    val live = IndexTables.liveDir(spark, s"$path/lists")
+    (if (IndexTables.cellPartitioned(spark, s"$path/lists"))
+       out.partitionBy("cell")
+     else out).parquet(live)
   }
 
   /** Serve top-k from an [[imiIndexWrite]]-persisted index: reload the
@@ -1407,14 +1567,16 @@ object Similarity {
     // applied to the ANN index)
     val probedCells = graft.CacheScope.cache(
       imiProbedCells(spark, probes, idCol, vecCol, coarse, fine, groupSize,
-        nprobeGroups, nprobeCells))
-    probedCells.count()
+        nprobeGroups, nprobeCells)._1)
+    val nProbed = probedCells.count()
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/lists"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("nbr_id"), col("cv"), col("cell"))
-    imiRank(lists, probedCells, k)
+    val dim = fine.headOption.map(_.length).getOrElse(0)
+    imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
   }
 
   /** IMI + PQ composed index — the canonical billion-vector serving
@@ -1439,13 +1601,14 @@ object Similarity {
                 subs: Int = 8, ksub: Int = 4,
                 literalBudget: Long = CellLiteralBudget): DataFrame = {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
-    val (coarse, fine) =
-      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    val rows = new CorpusRows(corpus)
+    val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
+      iters, dim, literalBudget, exactUpdate = true, rows)
     // corpus index: trained two-level cell + packed PQ code, pinned to its
     // own stage (see pqTopK's CollapseProject note)
     val corpusIdx = graft.CacheScope.cache(
       imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize, subs,
-        ksub, dim, literalBudget))
+        ksub, dim, literalBudget, Some(rows)))
     corpusIdx.count()
     imiPqServe(probes, idCol, vecCol, corpusIdx, k, coarse, fine, groupSize,
       nprobeGroups, nprobeCells, subs, ksub, dim)
@@ -1458,9 +1621,10 @@ object Similarity {
                              vecCol: String, coarse: Array[Array[Double]],
                              fine: Array[Array[Double]], groupSize: Int,
                              subs: Int, ksub: Int, dim: Int,
-                             literalBudget: Long): DataFrame = {
+                             literalBudget: Long,
+                             sharedRows: Option[CorpusRows] = None): DataFrame = {
     val cells2 = semanticAssign2Level(corpus, idCol, vecCol, fine,
-        groupSize, literalBudget, Some(coarse))
+        groupSize, literalBudget, Some(coarse), sharedRows)
       .select(col("vec_id"), col("cell"))
     val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
       .select(col("vec_id").as("__cid"), col("pq_code"))
@@ -1480,9 +1644,10 @@ object Similarity {
                          fine: Array[Array[Double]], groupSize: Int,
                          nprobeGroups: Int, nprobeCells: Int,
                          subs: Int, ksub: Int, dim: Int): DataFrame = {
-    val probedCells = imiPqProbedCells(probes, idCol, vecCol, coarse, fine,
-      groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
-    imiPqRank(corpusIdx, probedCells, k, subs, ksub)
+    val (probedCells, nProbes) = imiPqProbedCells(probes, idCol, vecCol,
+      coarse, fine, groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
+    imiPqRank(corpusIdx, probedCells, k, subs, ksub,
+      adcProbeRowBytes(subs, ksub) * nProbes * nprobeCells)
   }
 
   /** [[imiProbedCells]]'s IMI+PQ variant: the same group/cell fan-out with
@@ -1492,14 +1657,15 @@ object Similarity {
                                vecCol: String, coarse: Array[Array[Double]],
                                fine: Array[Array[Double]], groupSize: Int,
                                nprobeGroups: Int, nprobeCells: Int,
-                               subs: Int, ksub: Int, dim: Int): DataFrame = {
+                               subs: Int, ksub: Int, dim: Int)
+                               : (DataFrame, Long) = {
     val spark = probes.sparkSession
     val pid = graft.CacheScope.cache(
       probes.select(col(idCol).as("query_id"),
           asDouble(col(vecCol)).as("pv"),
           pqDistTable(vecCol, subs, ksub, dim).as("dtab"))
         .withColumn("__pid", monotonically_increasing_id()))
-    pid.count()
+    val nProbes = pid.count()
     val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
     val wg = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("grp"))
@@ -1513,19 +1679,23 @@ object Similarity {
       .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
     val wc = Window.partitionBy(col("__pid"))
       .orderBy(col("score").desc, col("cell"))
-    probedGroups.join(broadcast(fineRows), Seq("grp"))
+    val out = probedGroups.join(broadcast(fineRows), Seq("grp"))
       .select(col("__pid"), col("query_id"), col("dtab"), col("cell"),
         dot(col("pv"), col("cent")).as("score"))
       .withColumn("__r", row_number().over(wc))
       .filter(col("__r") <= nprobeCells)
       .select(col("query_id"), col("dtab"), col("cell"))
+    (out, nProbes)
   }
 
-  /** The broadcast-ADC scoring tail over the probed cells' code words. */
+  /** The broadcast-ADC scoring tail over the probed cells' code words
+    * (probe side broadcasts under [[MaxProbeBroadcastBytes]]). */
   private def imiPqRank(corpusIdx: DataFrame, probedCells: DataFrame,
-                        k: Int, subs: Int, ksub: Int): DataFrame = {
+                        k: Int, subs: Int, ksub: Int,
+                        estProbeBytes: Long): DataFrame = {
     val adc = adcSum(subs, ksub)
-    val scored = corpusIdx.join(broadcast(probedCells), Seq("cell"))
+    val scored = corpusIdx
+      .join(maybeBroadcast(probedCells, estProbeBytes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (floor(adc * 1e6 + 0.5) / 1e6).as("adc_dist"))
@@ -1544,12 +1714,15 @@ object Similarity {
   def imiPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, groups: Int, groupSize: Int, iters: Int,
                       dim: Int, subs: Int = 8, ksub: Int = 4,
-                      literalBudget: Long = CellLiteralBudget): Unit = {
+                      literalBudget: Long = CellLiteralBudget,
+                      // production knob, see [[imiIndexWrite]]
+                      exactUpdate: Boolean = true): Unit = {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (coarse, fine) =
-      imiTrain(corpus, vecCol, groups, groupSize, iters, dim, literalBudget)
+    val sharedRows = new CorpusRows(corpus)
+    val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
+      iters, dim, literalBudget, exactUpdate, sharedRows)
     def dump(m: Array[Array[Double]], name: String): Unit =
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
@@ -1560,13 +1733,12 @@ object Similarity {
     // adaptively cell-partitioned like [[imiIndexWrite]]'s lists — the
     // probed-cell predicate prunes directories at search time when cells
     // are file-sized, and applies as an ordinary pushed filter when not
-    val rows = corpus.count()
     val out = imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize,
-        subs, ksub, dim, literalBudget)
+        subs, ksub, dim, literalBudget, Some(sharedRows))
       .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
-    (if (rows >= k * MinRowsPerCellPartition) out.partitionBy("cell") else out)
-      .parquet(s"$path/codes")
+    (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
+     else out).parquet(IndexTables.writeDir(s"$path/codes"))
   }
 
   /** Append NEW vectors to an [[imiPqIndexWrite]]-persisted index without
@@ -1583,8 +1755,10 @@ object Similarity {
     val out = imiPqIndexRows(batch, idCol, vecCol, coarse, fine, groupSize,
         subs, ksub, dim, literalBudget)
       .write.mode("append")
-    (if (cellPartitioned(spark, s"$path/codes")) out.partitionBy("cell")
-     else out).parquet(s"$path/codes")
+    val live = IndexTables.liveDir(spark, s"$path/codes")
+    (if (IndexTables.cellPartitioned(spark, s"$path/codes"))
+       out.partitionBy("cell")
+     else out).parquet(live)
   }
 
   /** Serve top-k from an [[imiPqIndexWrite]]-persisted index: reload the
@@ -1602,14 +1776,16 @@ object Similarity {
     // code files
     val probedCells = graft.CacheScope.cache(
       imiPqProbedCells(probes, idCol, vecCol, coarse, fine, groupSize,
-        nprobeGroups, nprobeCells, subs, ksub, dim))
-    probedCells.count()
+        nprobeGroups, nprobeCells, subs, ksub, dim)._1)
+    val nProbed = probedCells.count()
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpusIdx = spark.read.parquet(s"$path/codes")
+    val corpusIdx = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("nbr_id"), col("cell"), col("pq_code"))
-    imiPqRank(corpusIdx, probedCells, k, subs, ksub)
+    imiPqRank(corpusIdx, probedCells, k, subs, ksub,
+      adcProbeRowBytes(subs, ksub) * nProbed)
   }
 
   /** Two-level (hierarchical) SemDeDup assignment — the escape hatch for
@@ -1646,8 +1822,10 @@ object Similarity {
                               vecCol: String,
                               cents: Array[Array[Double]], groupSize: Int,
                               literalBudget: Long = CellLiteralBudget,
-                              coarseOverride: Option[Array[Array[Double]]] = None)
+                              coarseOverride: Option[Array[Array[Double]]] = None,
+                              sharedRows: Option[CorpusRows] = None)
                               : DataFrame = {
+    val rows = sharedRows.getOrElse(new CorpusRows(corpus))
     val cells = cents.length
     require(cells % groupSize == 0, "cells must divide into equal groups")
     val dim = cents.headOption.map(_.length).getOrElse(0)
@@ -1659,7 +1837,7 @@ object Similarity {
     val groups = coarse.length
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
-      if (literalAssignFits(corpus, cells.toLong, dim, literalBudget)) {
+      if (literalAssignFits(cells.toLong, dim, literalBudget, rows)) {
         val withGrp = v
           .withColumn("__cs", cellScoreArrayOf(col("v"), coarse))
           .withColumn("__grp",
@@ -1744,9 +1922,11 @@ object Similarity {
                     // form stays probe-measurable for future re-asks
                     // (wider dims, costlier kernels).
                     orderedPairs: Boolean = true): DataFrame = {
+    val rows = new CorpusRows(corpus)
     val assigned0 = groupSize.fold(
-      semanticAssign(corpus, idCol, vecCol, cents, literalBudget))(g =>
-      semanticAssign2Level(corpus, idCol, vecCol, cents, g, literalBudget))
+      semanticAssign(corpus, idCol, vecCol, cents, literalBudget, rows))(g =>
+      semanticAssign2Level(corpus, idCol, vecCol, cents, g, literalBudget,
+        sharedRows = Some(rows)))
     // labels ride a key-narrow join — the wide v array never re-shuffles
     val labeled = assigned0.join(
       corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label")),
@@ -1828,12 +2008,15 @@ object Similarity {
                            maxCell: Int = Dedup.DefaultMaxBucket,
                            literalBudget: Long = CellLiteralBudget): DataFrame = {
     val cents = Array.ofDim[Double](cells, dim)
-    kmeansTrain(corpus, vecCol, cells, iters, dim,
-        literalBudget = literalBudget).collect().foreach { r =>
+    val rows = new CorpusRows(corpus)
+    kmeansTrainRows(corpus, vecCol, cells, iters, dim, literalBudget,
+        centroidComponent, exactUpdate = true, rows).collect().foreach { r =>
       cents(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("c_val")
     }
+    // rows.n is known by here at zero extra cost: either the literal-fit
+    // check or the join path's cache materialization resolved it
     semanticDedupWith(corpus, idCol, vecCol, threshold, cents, maxCell,
-      literalBudget)
+      literalBudget, Some(rows.n))
   }
 
   /** Per-subspace k-means PQ codebook training, FUSED: all `subs`
@@ -1924,11 +2107,14 @@ object Similarity {
                                             subs: Int, ksub: Int, iters: Int,
                                             dim: Int): Array[Array[Array[Double]]] = {
     val ds = dim / subs
+    // all subs slices share the corpus cardinality — one decision count,
+    // not subs of them (ADVICE r12)
+    lazy val n = corpus.count()
     Array.tabulate(subs) { s =>
       val sub = corpus.select(slice(col(vecCol), s * ds + 1, ds).as("subv"))
       val book = Array.tabulate(ksub, ds)((c, d) => pqComponent(s, c, d))
       kmeansTrain(sub, "subv", ksub, iters, ds,
-          init = (c, d) => pqComponent(s, c, d)).collect()
+          init = (c, d) => pqComponent(s, c, d), nRows = Some(n)).collect()
         .foreach { r =>
           book(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
             r.getAs[Double]("c_val")
@@ -2026,7 +2212,8 @@ object Similarity {
     val ds = dim / subs
     corpus.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite")
+      .parquet(IndexTables.writeDir(s"$path/codes"))
   }
 
   /** Append NEW vectors to a [[pqIndexWrite]]-persisted index WITHOUT
@@ -2042,14 +2229,11 @@ object Similarity {
                     path: String, subs: Int = 8, ksub: Int = 4,
                     dim: Int = 64): Unit = {
     val ds = dim / subs
-    val books = Array.ofDim[Double](subs, ksub, ds)
-    spark.read.parquet(s"$path/books").collect().foreach { r =>
-      books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
-        r.getAs[Double]("comp")
-    }
+    val books = pqIndexModel(spark, path, subs, ksub, ds)
     batch.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append")
+      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
   }
 
   /** Serve top-k from a [[pqIndexWrite]]-persisted index: reload the
@@ -2057,17 +2241,28 @@ object Similarity {
     * with each probe's broadcast ADC distance table. The search never
     * touches the original vectors — the serving cost is the code scan,
     * exactly [[pqTopK]]'s shape with the index read from disk. */
+  /** Reload a persisted PQ codebook ([[pqIndexWrite]]'s `books/`) —
+    * bounded subs×ksub×ds state, session-cached like [[imiIndexModel]]. */
+  private def pqIndexModel(spark: org.apache.spark.sql.SparkSession,
+                           path: String, subs: Int, ksub: Int,
+                           ds: Int): Array[Array[Array[Double]]] =
+    cachedModel(spark, Seq(s"$path/books")) {
+      val books = Array.ofDim[Double](subs, ksub, ds)
+      spark.read.parquet(s"$path/books").collect().foreach { r =>
+        books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
+          r.getAs[Double]("comp")
+      }
+      books
+    }
+
   def pqIndexSearch(spark: org.apache.spark.sql.SparkSession,
                     probes: DataFrame, idCol: String, vecCol: String,
                     path: String, k: Int, subs: Int = 8, ksub: Int = 4,
                     dim: Int = 64): DataFrame = {
     val ds = dim / subs
-    val books = Array.ofDim[Double](subs, ksub, ds)
-    spark.read.parquet(s"$path/books").collect().foreach { r =>
-      books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
-        r.getAs[Double]("comp")
-    }
-    val codes = spark.read.parquet(s"$path/codes")
+    val books = pqIndexModel(spark, path, subs, ksub, ds)
+    val codes = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
     val p = probes.select(col(idCol).as("query_id"),
       trainedDtab(books, ds, subs, ksub)(col(vecCol)).as("dtab"))
     val adc = adcSum(subs, ksub)

@@ -1924,10 +1924,15 @@ object NorthStar {
     * of the corpus (vec_id % 10 ≠ 0), the held-out 10% arrives LATER and
     * is assigned by the frozen, RELOADED codebooks
     * ([[Similarity.imiIndexAppend]] — an ordinary parquet append to the
-    * inverted lists); search serves the union. The twin trains its coarse
-    * k-means + fine Lloyd's chains on the same 90% predicate but assigns
-    * and probes everything, so a drifted codebook, a re-assignment of the
-    * base lists, or a mis-assigned appended batch all break the hash. */
+    * inverted lists); the fragmented table is then COMPACTED
+    * ([[Similarity.indexCompact]] — binary row-group merge into a new
+    * generation, VERDICT r12 #1) and search serves the union from the
+    * compacted generation, so the gate hash-pins the whole
+    * write → append → compact → search maintenance lifecycle. The twin
+    * trains its coarse k-means + fine Lloyd's chains on the same 90%
+    * predicate but assigns and probes everything: a drifted codebook, a
+    * re-assignment of the base lists, a mis-assigned appended batch, or a
+    * row lost/duplicated by compaction all break the hash. */
   def annImiIndexAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val path = Streaming.tempWorkspace("graft-imi-index-append")
@@ -1936,6 +1941,7 @@ object NorthStar {
       dim = 64)
     Similarity.imiIndexAppend(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0),
       "vec_id", "embedding", path, groupSize = 4)
+    Similarity.indexCompact(s, path)
     Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
         nprobeCells = 4)
@@ -1970,9 +1976,11 @@ object NorthStar {
   /** Append-without-retrain on the persisted IMI+PQ index: the IMI levels
     * train on 90% of the corpus, the held-out 10% is cell-assigned by the
     * frozen RELOADED model and PQ-coded by the shared literal codebook
-    * (parquet append to the code table); search serves the union. The twin
-    * trains its IMI CTE chains on the same 90% predicate but codes and
-    * probes everything. */
+    * (parquet append to the code table); the fragmented code table is then
+    * COMPACTED ([[Similarity.indexCompact]]) and search serves the union
+    * from the compacted generation — the full maintenance lifecycle under
+    * one hash. The twin trains its IMI CTE chains on the same 90%
+    * predicate but codes and probes everything. */
   def annImiPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val path = Streaming.tempWorkspace("graft-imipq-index-append")
@@ -1982,6 +1990,7 @@ object NorthStar {
     Similarity.imiPqIndexAppend(s,
       emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
       path, groupSize = 4, dim = 64, subs = 8, ksub = 4)
+    Similarity.indexCompact(s, path)
     Similarity.imiPqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
         nprobeCells = 4, dim = 64, subs = 8, ksub = 4)
@@ -2044,10 +2053,12 @@ object NorthStar {
     * 90% of the corpus ([[Similarity.pqIndexWrite]] over vec_id % 10 ≠ 0),
     * then the held-out 10% arrives LATER and is encoded by the frozen,
     * RELOADED model ([[Similarity.pqIndexAppend]] — an ordinary parquet
-    * append); search serves the union. The twin trains its unrolled
-    * k-means chains on the same 90% predicate but codes/probes everything,
-    * so a drifted codebook, a re-encode of the base, or a mis-encoded
-    * appended batch all break the hash. */
+    * append); the code table is then COMPACTED
+    * ([[Similarity.indexCompact]]) and search serves the union from the
+    * compacted generation. The twin trains its unrolled k-means chains on
+    * the same 90% predicate but codes/probes everything, so a drifted
+    * codebook, a re-encode of the base, a mis-encoded appended batch, or a
+    * row lost/duplicated by compaction all break the hash. */
   def annPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val path = Streaming.tempWorkspace("graft-pq-index-append")
@@ -2055,6 +2066,7 @@ object NorthStar {
       "vec_id", "embedding", path, subs = 8, ksub = 4, iters = 2, dim = 64)
     Similarity.pqIndexAppend(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0),
       "vec_id", "embedding", path, subs = 8, ksub = 4, dim = 64)
+    Similarity.indexCompact(s, path)
     Similarity.pqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", path, k = 5, subs = 8, ksub = 4, dim = 64)
       .orderBy(col("query_id"), col("rnk"))

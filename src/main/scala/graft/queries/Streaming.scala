@@ -197,6 +197,59 @@ object Streaming {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ONLINE retrieval from a FROZEN persisted index — the production
+    * serving shape at 100 TB (VERDICT r12 #2): [[streamAnnServe]]
+    * brute-forces the full corpus per micro-batch, which is correct and
+    * exact at fixture scale but a non-starter when the corpus is the big
+    * side; here the corpus is trained + persisted ONCE as an IMI index
+    * ([[graft.operators.Similarity.imiIndexWrite]]) BEFORE the stream
+    * starts, and each arriving probe micro-batch is served by
+    * [[graft.operators.Similarity.imiIndexSearch]] — model reload from the
+    * session cache, probed-cell pruning into the STORED inverted lists,
+    * exact re-rank — inside `foreachBatch` with a batchId-keyed idempotent
+    * sink (the same at-least-once discipline as every foreachBatch gate
+    * here). Per-batch cost is the probe fan-out + the probed cells' list
+    * scan: independent of arrival history, sub-linear in the corpus.
+    *
+    * The gate pins ONLINE = OFFLINE on the index path: results accumulated
+    * across micro-batch arrivals must hash-equal the `ann_imi_index_
+    * roundtrip` twin's one-shot retrieval (the full IMI training
+    * trajectory + stored-list serve recomputed by DuckDB). */
+  def streamAnnIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val tmp = tempWorkspace("graft-stream-imi-index")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val staged = s"$tmp/staged"
+    val idxPath = s"$tmp/index"
+    val corpus = Tables.embeddings(s, dir)
+    // train + persist ONCE, before any probe arrives — the serving split
+    Similarity.imiIndexWrite(corpus, "vec_id", "embedding", idxPath,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    val probes = corpus.filter(col("vec_id") < 10)
+    probes.repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.imiIndexSearch(s, batch, "vec_id", "embedding", idxPath,
+            k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the persisted-IMI roundtrip oracle — online serving from the
+    * frozen index must be indistinguishable from the one-shot batch
+    * retrieval against the same trained model. */
+  val streamAnnIndexServeSql: String = NorthStar.annImiIndexRoundtripSql
+
   /** Twin: the one-shot batch retrieval over the same probe set — the
     * online path must be indistinguishable from it. */
   val streamAnnServeSql: String =
@@ -680,6 +733,7 @@ object Streaming {
     "stream_events_tumbling" -> streamEventsTumbling,
     "stream_topk" -> streamTopk,
     "stream_ann_serve" -> streamAnnServe,
+    "stream_ann_index_serve" -> streamAnnIndexServe,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
     "stream_attribution" -> streamAttribution,
@@ -693,6 +747,7 @@ object Streaming {
     "stream_events_tumbling" -> streamEventsTumblingSql,
     "stream_topk" -> streamTopkSql,
     "stream_ann_serve" -> streamAnnServeSql,
+    "stream_ann_index_serve" -> streamAnnIndexServeSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,

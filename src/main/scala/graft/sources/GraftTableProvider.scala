@@ -425,7 +425,14 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
         try total += r.getRecordCount finally r.close()
       }
       OptionalLong.of(total)
-    } catch { case _: Exception => OptionalLong.empty() }
+    } catch {
+      // statistics are advisory: degrade to bytes-only on any recoverable
+      // failure, but never swallow a planner interrupt — restore the flag
+      // so cancellation propagates (ADVICE r12)
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); OptionalLong.empty()
+      case scala.util.control.NonFatal(_) => OptionalLong.empty()
+    }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = plannedFiles.map(_.bytes).sum

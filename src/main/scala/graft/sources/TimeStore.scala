@@ -709,42 +709,17 @@ object TimeStore {
     import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetReader, ParquetWriter}
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
-    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
-    import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    val f = srcDir.getFileSystem(conf)
-    val files = f.listStatus(srcDir).toSeq
-      .filter { st =>
-        val nm = st.getPath.getName
-        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-      }
-      .sortBy(_.getPath.getName)
+    val files = ParquetConcat.dataFiles(conf, srcDir)
     if (files.isEmpty) return
-    f.mkdirs(dstFile.getParent)
-    if (files.sizeIs == 1) {
-      org.apache.hadoop.fs.FileUtil.copy(
-        f, files.head.getPath, f, dstFile, false, true, conf)
-      return
-    }
-    val inputs = files.map(st => HadoopInputFile.fromStatus(st, conf))
-    val metas = inputs.map { in =>
-      val r = ParquetFileReader.open(in)
-      try r.getFooter.getFileMetaData finally r.close()
-    }
-    val schemas = metas.map(_.getSchema)
-    if (schemas.forall(_ == schemas.head)) {
-      // row groups copy as raw bytes (pages, dictionaries, stats intact);
-      // the first file's key-value footer metadata carries over
-      val w = new ParquetFileWriter(HadoopOutputFile.fromPath(dstFile, conf),
-        schemas.head, ParquetFileWriter.Mode.OVERWRITE,
-        ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
-      w.start()
-      inputs.foreach(w.appendFile)
-      w.end(metas.head.getKeyValueMetaData)
-      return
-    }
+    // fast path: raw row-group concatenation ([[ParquetConcat]], shared
+    // with the ANN index compaction); false means a mixed-schema directory
+    if (ParquetConcat.mergeSameSchema(conf, files, dstFile)) return
     // loud-loss guard BEFORE any row moves: every source field must exist in
     // the merge schema with the same primitive type
-    schemas.zip(files).foreach { case (s, st) =>
+    files.foreach { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = ParquetFileReader.open(in)
+      val s = try r.getFooter.getFileMetaData.getSchema finally r.close()
       s.getFields.forEach { fld =>
         require(LocalFileSchema.containsField(fld.getName) &&
             LocalFileSchema.getType(Seq(fld.getName): _*).asPrimitiveType()
@@ -753,6 +728,7 @@ object TimeStore {
             s"(not in the merge schema) — refusing to lose data")
       }
     }
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val writer = ExampleParquetWriter.builder(dstFile)
       .withConf(conf).withType(LocalFileSchema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)

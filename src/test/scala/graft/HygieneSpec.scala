@@ -28,6 +28,18 @@ class HygieneSpec extends SparkSpec {
     }
   }
 
+  test("ScaleProbe selectors match labels EXACTLY, never by substring") {
+    // ADVICE r11/r12: "store" must select nothing (it is a prefix of several
+    // labels, the exact label of none), and a selected label runs only itself
+    assert(ScaleProbe.selects(Nil, "emb_kmeans"))
+    assert(ScaleProbe.selects(Seq("emb_kmeans"), "emb_kmeans"))
+    assert(!ScaleProbe.selects(Seq("emb"), "emb_kmeans"))
+    assert(!ScaleProbe.selects(Seq("store"), "store_write"))
+    assert(!ScaleProbe.selects(Seq("store_write_x"), "store_write"))
+    assert(!ScaleProbe.selects(Seq(""), "store_write"))
+    assert(ScaleProbe.selects(Seq("a", "store_write"), "store_write"))
+  }
+
   test("duplicateGroups runs exactly ONE driver action per round") {
     // star graph: round 1 relabels every leaf (changed=3), round 2 confirms
     // convergence (changed=0) -> exactly 2 rounds, so exactly 2 actions

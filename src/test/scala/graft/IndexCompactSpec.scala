@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Maintenance lifecycle of the persisted ANN index tables (VERDICT r12
+  * #1): appends fragment the data tables, [[Similarity.indexCompact]]
+  * merges each leaf directory back to one file via binary row-group
+  * concatenation into a NEW generation, results are row-identical across
+  * the swap, and the superseded generation survives the swap (age-based
+  * retirement — a reader that resolved it pre-swap keeps scanning). */
+class IndexCompactSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("0.001"))
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith("_") && !nm.startsWith("."))
+        out += st.getPath.toString
+    }
+    out.toSeq
+  }
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("imi index: append fragments, compact merges to one file per leaf, " +
+      "results identical, superseded generation retained") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 1,
+      dim = 64)
+    // three appends — each lands as its own file set in the live generation
+    (0 until 3).foreach { i =>
+      Similarity.imiIndexAppend(spark,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0 &&
+          pmod(col("vec_id"), lit(30)) === i * 10),
+        "vec_id", "embedding", path, groupSize = 4)
+    }
+    def search() = Similarity.imiIndexSearch(spark,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
+      k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
+    val before = resultSet(search())
+    val gen0Files = dataFiles(s"$path/lists/gen-000000")
+    assert(gen0Files.size > 3,
+      s"appends should fragment the live generation (got ${gen0Files.size})")
+
+    Similarity.indexCompact(spark, path)
+    val live = s"$path/lists/gen-000001"
+    assert(fs.exists(new Path(s"$live/_SUCCESS")),
+      "compaction must commit a complete new generation")
+    // one file per leaf: unpartitioned fixture layout -> exactly one file
+    assert(dataFiles(live).size === 1,
+      s"compacted generation should hold one file (got ${dataFiles(live)})")
+    assert(resultSet(search()) === before,
+      "search must be row-identical across the compaction swap")
+    // reader safety: the superseded generation is NOT deleted at swap time
+    assert(fs.exists(new Path(s"$path/lists/gen-000000")),
+      "superseded generation must survive until the lease horizon")
+    // idempotent: a second compact produces gen 2 with the same rows
+    Similarity.indexCompact(spark, path)
+    assert(resultSet(search()) === before)
+    fs.delete(new Path(path), true)
+  }
+
+  test("pq index: compact after appends is row-identical and single-file") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-compact-pq-spec").toString
+    Similarity.pqIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, subs = 8, ksub = 4, iters = 1, dim = 64)
+    Similarity.pqIndexAppend(spark,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", path, subs = 8, ksub = 4, dim = 64)
+    def search() = Similarity.pqIndexSearch(spark,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
+      k = 5, subs = 8, ksub = 4, dim = 64)
+    val before = resultSet(search())
+    assert(dataFiles(s"$path/codes/gen-000000").size > 1)
+    Similarity.indexCompact(spark, path)
+    assert(dataFiles(s"$path/codes/gen-000001").size === 1)
+    assert(resultSet(search()) === before)
+    fs.delete(new Path(path), true)
+  }
+}
