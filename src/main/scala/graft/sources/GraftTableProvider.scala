@@ -417,13 +417,23 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     else if (plannedFiles.length > GraftScan.MaxStatFooterReads) OptionalLong.empty()
     else try {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      var total = 0L
-      plannedFiles.foreach { fs =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(fs.path), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try total += r.getRecordCount finally r.close()
-      }
+      // footer opens are independent metadata reads — a small fixed pool
+      // hides per-file IO latency during planning (ADVICE r12; bounded by
+      // MaxStatFooterReads, so peak concurrency and total work stay capped)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, plannedFiles.length))
+      val total =
+        try plannedFiles.map { fs =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(fs.path), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }
+          })
+        }.map(_.get()).sum
+        finally pool.shutdown()
       OptionalLong.of(total)
     } catch {
       // statistics are advisory: degrade to bytes-only on any recoverable

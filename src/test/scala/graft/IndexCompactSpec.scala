@@ -75,6 +75,39 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("cell-partitioned layout: compact merges PER CELL directory and " +
+      "keeps the partition column readable") {
+    // the public writers only partition past MinRowsPerCellPartition
+    // (unreachable at fixture size by design), so exercise the partitioned
+    // compact branch on a directly-fabricated generational table — the
+    // same layout imiIndexWrite produces in the 100 TB regime
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-compact-cells-spec").toString
+    val table = s"$path/lists"
+    val gen0 = s"$table/gen-000000"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, i % 4, Seq(i * 1.0, i * 2.0)))
+        .toDF("nbr_id", "cell", "cv")
+    batch(0, 400).write.partitionBy("cell").parquet(gen0)
+    (1 to 3).foreach(b =>
+      batch(400 * b, 400 * (b + 1)).write.mode("append")
+        .partitionBy("cell").parquet(gen0))
+    val before = spark.read.parquet(gen0)
+      .collect().map(_.toSeq).toSet
+    assert(dataFiles(s"$gen0/cell=0").size > 1,
+      "appends should fragment each cell directory")
+    Similarity.indexCompact(spark, path)
+    val live = s"$table/gen-000001"
+    (0 until 4).foreach(c =>
+      assert(dataFiles(s"$live/cell=$c").size === 1,
+        s"cell=$c should compact to one file"))
+    val after = spark.read.parquet(live).collect().map(_.toSeq).toSet
+    assert(after === before,
+      "partitioned compact must preserve every row including the cell col")
+    fs.delete(new Path(path), true)
+  }
+
   test("pq index: compact after appends is row-identical and single-file") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-compact-pq-spec").toString
