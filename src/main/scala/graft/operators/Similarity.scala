@@ -1391,7 +1391,10 @@ object Similarity {
     * probe-pruned scan, the full-precision vector for the exact-cosine
     * re-rank (the IVFFlat/IMI-flat layout; the compressed-code variant is
     * [[imiPqTopK]]'s composition). No custom file format: the index IS a
-    * set of tables, inheriting partitioning + predicate pushdown. */
+    * set of tables, inheriting partitioning + predicate pushdown. The
+    * DATA table is generational ([[IndexTables]]): the base write lands
+    * as `lists/gen-000000`, appends accumulate in the live generation,
+    * [[indexCompact]] merges them reader-safely into the next. */
   def imiIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, groups: Int, groupSize: Int, iters: Int,
                     dim: Int,
@@ -1532,7 +1535,9 @@ object Similarity {
     * until a scheduled re-train, exactly [[pqIndexAppend]]'s contract):
     * the stored two-level model is reloaded and the batch is assigned by
     * the SAME rank-1 coarse-then-fine rule the original build used, landing
-    * as an ordinary parquet append to `lists/`. */
+    * as an ordinary parquet append to the live generation of `lists/`
+    * (run [[indexCompact]] on the maintenance cadence — appends fragment,
+    * SCALE.md imi_index_compact_ab). */
   def imiIndexAppend(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, idCol: String, vecCol: String,
                      path: String, groupSize: Int,
@@ -2196,7 +2201,10 @@ object Similarity {
     * through parquet, so a reloaded model scores identically), `codes/`
     * the 2-byte-code corpus as (nbr_id, pq_code). No custom file format:
     * the index IS a table, so it inherits partitioning, predicate
-    * pushdown, and every deployment path parquet already has. */
+    * pushdown, and every deployment path parquet already has. The code
+    * table is generational ([[IndexTables]]) like every index data table:
+    * appends accumulate in the live generation, [[indexCompact]] merges
+    * them reader-safely into the next. */
   def pqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                    path: String, subs: Int = 8, ksub: Int = 4,
                    iters: Int = 2, dim: Int = 64): Unit = {
