@@ -564,6 +564,41 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Tombstone-delete A/B (r13): serving through the tombstone
+      // anti-join (immediate takedown, zero rewrite) vs after indexVacuum
+      // (physical removal, generational rewrite) — the read-cost overhead
+      // a pending deletion batch adds, and what the vacuum costs to clear
+      // it. 10% of the corpus deleted.
+      if (only.contains("imi_index_delete_ab")) {
+        val k = 2560; val g = 64; val groups = k / g
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imidelete-$n").toString
+        val probesDf = emb.filter(col("vec_id") < 100)
+        val saved13 = only
+        only = Nil
+        try {
+          Similarity.imiIndexWrite(emb, "vec_id", "embedding", root,
+            groups = groups, groupSize = g, iters = 1, dim = 64)
+          def search(): org.apache.spark.sql.DataFrame =
+            Similarity.imiIndexSearch(spark, probesDf, "vec_id", "embedding",
+              root, k = 10, groupSize = g, nprobeGroups = 4, nprobeCells = 32)
+          time(s"imiidx_serve_clean_k$k", n) { search() }
+          Similarity.indexDelete(spark,
+            emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+              .select(col("vec_id")), "vec_id", root)
+          time(s"imiidx_serve_tombstoned_k$k", n) { search() }
+          timeAction(s"imiidx_vacuum_k$k", n) {
+            Similarity.indexVacuum(spark, root)
+          }
+          time(s"imiidx_serve_vacuumed_k$k", n) { search() }
+        } finally {
+          only = saved13
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // Index-build precision A/B (VERDICT r12 #6): the exactUpdate knob
       // threaded through imiIndexWrite — decimal-exact training (the gated
       // default, cross-engine bit determinism) vs double accumulation (the

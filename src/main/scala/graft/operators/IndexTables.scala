@@ -53,15 +53,31 @@ private[graft] object IndexTables {
   /** The directory a fresh base write lands in. */
   def writeDir(table: String): String = s"$table/${genName(0)}"
 
+  /** The live generation when the table exists: the newest complete one. */
+  def liveGenOpt(spark: SparkSession, table: String): Option[(Int, Path)] = {
+    val f = fsOf(spark, table)
+    generations(f, new Path(table)).filter(g => isComplete(f, g._2))
+      .lastOption
+  }
+
   /** The live generation — where reads resolve and appends land. Fails
     * loudly on a table no complete write ever created ("invalid namespace"
     * discipline, like the store's fetchIndex). */
-  def liveDir(spark: SparkSession, table: String): String = {
-    val f = fsOf(spark, table)
-    generations(f, new Path(table)).filter(g => isComplete(f, g._2))
-      .lastOption.map(_._2.toString)
+  def liveDir(spark: SparkSession, table: String): String =
+    liveGenOpt(spark, table).map(_._2.toString)
       .getOrElse(throw new IllegalStateException(
         s"no complete generation under $table — index never written?"))
+
+  /** Stamp/retire generations superseded by the current live one under the
+    * lease-horizon rule — shared by [[compactTable]] and
+    * [[graft.operators.Similarity.indexVacuum]]'s rewrite. */
+  def retireSuperseded(spark: SparkSession, table: String): Unit = {
+    val f = fsOf(spark, table)
+    val gens = generations(f, new Path(table))
+    gens.filter(g => isComplete(f, g._2)).lastOption.foreach {
+      case (live, _) =>
+        retireable(f, gens, live).foreach(g => f.delete(g._2, true))
+    }
   }
 
   /** Whether the live generation is `cell=` partitioned — appends must

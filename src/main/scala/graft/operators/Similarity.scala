@@ -1452,6 +1452,80 @@ object Similarity {
     Seq("lists", "codes").foreach(t =>
       IndexTables.compactTable(spark, s"$path/$t"))
 
+  /** Tombstone-delete vectors from a persisted index WITHOUT rewriting it —
+    * the takedown/decontamination path a training-data pipeline needs
+    * against a built index (remove opted-out or contaminated documents;
+    * retraining or re-encoding the corpus for a deletion batch is neither
+    * possible nor wanted, exactly the append contract mirrored): the ids
+    * land as an ordinary append to a small `tombstones/` parquet table and
+    * every `*IndexSearch` anti-joins the stored lists/codes against it.
+    * Tombstones are ids ONLY (8 bytes/row on disk), so the anti-join
+    * broadcasts until [[indexVacuum]] folds them in physically; the
+    * broadcast hint is size-gated like the probe fan-out
+    * ([[MaxProbeBroadcastBytes]] against the table's on-disk size). */
+  def indexDelete(spark: org.apache.spark.sql.SparkSession,
+                  ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** On-disk byte size of a directory's data files (0 when absent) — the
+    * cheap planner-side stand-in for a count when gating a broadcast. */
+  private def dirDataBytes(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Long =
+    graft.sources.ParquetConcat.dataFiles(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir)).map(_.getLen).sum
+
+  /** Anti-join a stored data table against the index's tombstones (no-op
+    * when none exist). The tombstone side broadcasts while its on-disk
+    * size stays under [[MaxProbeBroadcastBytes]]; past that the planner
+    * picks its own strategy — and the operator is overdue for
+    * [[indexVacuum]]. */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String, df: DataFrame): DataFrame = {
+    val dir = s"$path/tombstones"
+    val bytes = dirDataBytes(spark, dir)
+    if (bytes == 0L) df
+    else df.join(
+      maybeBroadcast(spark.read.parquet(dir).select(col("nbr_id")), bytes),
+      Seq("nbr_id"), "left_anti")
+  }
+
+  /** Physically fold the tombstones into the index DATA tables: each
+    * table's live generation is rewritten WITHOUT the tombstoned rows as
+    * generation N+1 (same reader-safe `_SUCCESS` swap and lease-horizon
+    * retirement as [[indexCompact]]; the base layout — `cell=`
+    * partitioning or flat — is preserved), then exactly the tombstone
+    * files that were applied are removed. Unlike compaction this is a
+    * relational rewrite, not a byte copy — the price of row removal — so
+    * run [[indexCompact]] after it if the rewrite fans out into small
+    * files. Single-maintainer discipline like append/compact: no
+    * concurrent deletes during a vacuum. */
+  def indexVacuum(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = {
+    val tombDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val applied = graft.sources.ParquetConcat.dataFiles(conf,
+      new org.apache.hadoop.fs.Path(tombDir))
+    if (applied.isEmpty) return
+    val tomb = spark.read
+      .parquet(applied.map(_.getPath.toString): _*)
+      .select(col("nbr_id"))
+    Seq("lists", "codes").foreach { t =>
+      val table = s"$path/$t"
+      IndexTables.liveGenOpt(spark, table).foreach { case (g, livePath) =>
+        val kept = spark.read.parquet(livePath.toString)
+          .join(maybeBroadcast(tomb, dirDataBytes(spark, tombDir)),
+            Seq("nbr_id"), "left_anti")
+        val out = kept.write.mode("overwrite")
+        (if (IndexTables.cellPartitioned(spark, table)) out.partitionBy("cell")
+         else out).parquet(s"$table/${IndexTables.genName(g + 1)}")
+        IndexTables.retireSuperseded(spark, table)
+      }
+    }
+    val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
+    applied.foreach(st => f.delete(st.getPath, false))
+  }
+
   /** Rows-per-cell threshold above which a persisted index's list/code
     * table partitions by cell (directory pruning at search); below it the
     * layout would shatter into sub-file-sized partitions. ~4096 64-dim
@@ -1541,11 +1615,35 @@ object Similarity {
   def imiIndexAppend(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, idCol: String, vecCol: String,
                      path: String, groupSize: Int,
-                     literalBudget: Long = CellLiteralBudget): Unit = {
+                     literalBudget: Long = CellLiteralBudget): Unit =
+    imiIndexAppendAssigned(spark,
+      imiIndexAssign(spark, batch, idCol, vecCol, path, groupSize,
+        literalBudget), path)
+
+  /** The COMPUTE step of [[imiIndexAppend]], exposed for streaming ingest:
+    * frozen-model rank-1 cell assignment of an arrival batch, returning
+    * (nbr_id, cell, cv). Per-micro-batch assignment is the idempotently
+    * restageable part (overwrite a batchId-keyed staging directory under
+    * foreachBatch's at-least-once contract); publication
+    * ([[imiIndexAppendAssigned]]) stays one transactional append of the
+    * staged rows — the stage-then-publish split every exactly-once ingest
+    * into an append-only table uses. */
+  def imiIndexAssign(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, idCol: String, vecCol: String,
+                     path: String, groupSize: Int,
+                     literalBudget: Long = CellLiteralBudget): DataFrame = {
     val (coarse, fine) = imiIndexModel(spark, path)
-    val out = semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
+    semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
         literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
+  }
+
+  /** The IO step of [[imiIndexAppend]]: publish already-assigned
+    * (nbr_id, cell, cv) rows to the live `lists/` generation, matching
+    * the base layout. */
+  def imiIndexAppendAssigned(spark: org.apache.spark.sql.SparkSession,
+                             assigned: DataFrame, path: String): Unit = {
+    val out = assigned.select(col("nbr_id"), col("cell"), col("cv"))
       .write.mode("append")
     val live = IndexTables.liveDir(spark, s"$path/lists")
     (if (IndexTables.cellPartitioned(spark, s"$path/lists"))
@@ -1576,10 +1674,10 @@ object Similarity {
     val nProbed = probedCells.count()
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read
+    val lists = applyTombstones(spark, path, spark.read
       .parquet(IndexTables.liveDir(spark, s"$path/lists"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
-      .select(col("nbr_id"), col("cv"), col("cell"))
+      .select(col("nbr_id"), col("cv"), col("cell")))
     val dim = fine.headOption.map(_.length).getOrElse(0)
     imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
   }
@@ -1785,10 +1883,10 @@ object Similarity {
     val nProbed = probedCells.count()
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpusIdx = spark.read
+    val corpusIdx = applyTombstones(spark, path, spark.read
       .parquet(IndexTables.liveDir(spark, s"$path/codes"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
-      .select(col("nbr_id"), col("cell"), col("pq_code"))
+      .select(col("nbr_id"), col("cell"), col("pq_code")))
     imiPqRank(corpusIdx, probedCells, k, subs, ksub,
       adcProbeRowBytes(subs, ksub) * nProbed)
   }
@@ -2269,8 +2367,8 @@ object Similarity {
                     dim: Int = 64): DataFrame = {
     val ds = dim / subs
     val books = pqIndexModel(spark, path, subs, ksub, ds)
-    val codes = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
+    val codes = applyTombstones(spark, path, spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/codes")))
     val p = probes.select(col(idCol).as("query_id"),
       trainedDtab(books, ds, subs, ksub)(col(vecCol)).as("dtab"))
     val adc = adcSum(subs, ksub)

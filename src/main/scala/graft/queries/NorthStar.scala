@@ -386,12 +386,18 @@ private object LshOracleSql {
     * probed cells' members re-rank by the shared exact-cosine rule. */
   def imiTopK(k: Int, groups: Int, groupSize: Int, iters: Int, dim: Int,
               nprobeGroups: Int, nprobeCells: Int,
-              trainPred: String = ""): String =
+              trainPred: String = "",
+              // servePred restricts the SERVED corpus only (the index's
+              // tombstone-delete contract): training, lists assignment and
+              // probes are unchanged — exactly what indexDelete leaves
+              // frozen — and the deleted rows just stop being candidates
+              servePred: String = ""): String = {
+    val serveFilter = if (servePred.isEmpty) "" else s" AND ($servePred)"
     s"""WITH ${imiModelCtes(groups, groupSize, iters, dim, trainPred)},
        |corpus_cells AS (SELECT vec_id AS nbr_id, cell FROM (
        |  SELECT vec_id, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1$serveFilter),
        |pg AS (SELECT query_id, grp FROM (
        |  SELECT vec_id AS query_id, grp, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY score DESC, grp) AS rn
@@ -411,6 +417,7 @@ private object LshOracleSql {
        |    PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Twin of [[Similarity.imiPqTopK]] with probe set vec_id < 10: the
     * [[imiModelCtes]] chain recomputes the trained IMI, the corpus index
@@ -1952,6 +1959,35 @@ object NorthStar {
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
     trainPred = "vec_id % 10 != 0")
 
+  /** Tombstone-delete against the persisted IMI index — the takedown /
+    * decontamination lifecycle step ([[Similarity.indexDelete]]): the
+    * index is built on the FULL corpus, a deletion batch (vec_id % 7 = 3)
+    * lands as an ids-only tombstone table, and search anti-joins the
+    * stored lists against it — model, lists and probe fan-out stay
+    * frozen, the deleted vectors just stop being candidates. The twin
+    * serves the identical trained trajectory with the deleted ids
+    * filtered from the corpus lists, so a tombstone missed by the
+    * anti-join (or one applied to the wrong side) breaks the hash.
+    * IndexDeleteSpec pins that [[Similarity.indexVacuum]] then folds the
+    * tombstones in physically with bit-identical results. */
+  def annImiIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imi-index-delete")
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", path,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    Similarity.indexDelete(s,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+      "vec_id", path)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiIndexDeleteSql: String = LshOracleSql.imiTopK(k = 5, groups = 4,
+    groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
+    servePred = "vec_id % 7 != 3")
+
   /** Persisted IMI+PQ composed index round-trip — the serving split for
     * the canonical billion-vector structure ([[annImiPq]]'s composition,
     * [[annImiIndexRoundtrip]]'s lifecycle): [[Similarity.imiPqIndexWrite]]
@@ -2610,6 +2646,7 @@ object NorthStar {
     "ann_pq_index_append" -> annPqIndexAppend,
     "ann_imi_index_roundtrip" -> annImiIndexRoundtrip,
     "ann_imi_index_append" -> annImiIndexAppend,
+    "ann_imi_index_delete" -> annImiIndexDelete,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtrip,
     "ann_imipq_index_append" -> annImiPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
@@ -2681,6 +2718,7 @@ object NorthStar {
     "ann_pq_index_append" -> annPqIndexAppendSql,
     "ann_imi_index_roundtrip" -> annImiIndexRoundtripSql,
     "ann_imi_index_append" -> annImiIndexAppendSql,
+    "ann_imi_index_delete" -> annImiIndexDeleteSql,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtripSql,
     "ann_imipq_index_append" -> annImiPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,

@@ -250,6 +250,57 @@ object Streaming {
     * retrieval against the same trained model. */
   val streamAnnIndexServeSql: String = NorthStar.annImiIndexRoundtripSql
 
+  /** Streaming ingest INTO the persisted index — the write side of the
+    * online story ([[streamAnnIndexServe]] is the read side): the index
+    * trains on 90% of the corpus, the held-out 10% ARRIVES as 4 real
+    * micro-batches, and each batch is cell-assigned by the frozen RELOADED
+    * model in-stream ([[graft.operators.Similarity.imiIndexAssign]]) into
+    * a batchId-keyed staging directory — the idempotently-overwritable
+    * step under foreachBatch's at-least-once contract (a blind in-stream
+    * append would double rows on a retry). The staged assignments then
+    * publish in ONE transactional append
+    * ([[graft.operators.Similarity.imiIndexAppendAssigned]] — the
+    * stage-then-publish split every exactly-once ingest into an
+    * append-only table uses), the fragmented table compacts, and search
+    * serves the union — hash-equal to the `ann_imi_index_append` twin, so
+    * a dropped batch, a doubled retry, a mis-assigned arrival, or a
+    * compaction fault all break the hash. */
+  def streamAnnIndexIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val tmp = tempWorkspace("graft-stream-imi-ingest")
+    val staged = s"$tmp/staged"
+    val arrivals = s"$tmp/arrivals"
+    val idxPath = s"$tmp/index"
+    val emb = Tables.embeddings(s, dir)
+    Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", idxPath, groups = 4, groupSize = 4, iters = 2,
+      dim = 64)
+    val late = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    late.repartition(4).write.parquet(arrivals)
+    val src = s.readStream.schema(late.schema)
+      .option("maxFilesPerTrigger", 1).parquet(arrivals)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.imiIndexAssign(s, batch, "vec_id", "embedding", idxPath,
+            groupSize = 4)
+          .write.mode("overwrite").parquet(s"$staged/batch=$id")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Similarity.imiIndexAppendAssigned(s, s.read.parquet(staged), idxPath)
+    Similarity.indexCompact(s, idxPath)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", idxPath, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the append-lifecycle oracle — streaming stage-then-publish
+    * ingest must be indistinguishable from the batch append. */
+  val streamAnnIndexIngestSql: String = NorthStar.annImiIndexAppendSql
+
   /** Twin: the one-shot batch retrieval over the same probe set — the
     * online path must be indistinguishable from it. */
   val streamAnnServeSql: String =
@@ -734,6 +785,7 @@ object Streaming {
     "stream_topk" -> streamTopk,
     "stream_ann_serve" -> streamAnnServe,
     "stream_ann_index_serve" -> streamAnnIndexServe,
+    "stream_ann_index_ingest" -> streamAnnIndexIngest,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
     "stream_attribution" -> streamAttribution,
@@ -748,6 +800,7 @@ object Streaming {
     "stream_topk" -> streamTopkSql,
     "stream_ann_serve" -> streamAnnServeSql,
     "stream_ann_index_serve" -> streamAnnIndexServeSql,
+    "stream_ann_index_ingest" -> streamAnnIndexIngestSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,

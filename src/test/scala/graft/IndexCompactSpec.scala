@@ -108,6 +108,30 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("a compaction that died mid-write never becomes live and the next " +
+      "compact recovers") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-compact-crash-spec").toString
+    Similarity.imiIndexWrite(emb.filter(col("vec_id") < 300), "vec_id",
+      "embedding", path, groups = 2, groupSize = 2, iters = 1, dim = 64)
+    def search() = Similarity.imiIndexSearch(spark,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", path,
+      k = 3, groupSize = 2, nprobeGroups = 1, nprobeCells = 2)
+    val before = resultSet(search())
+    // simulate a compact that crashed after writing data but before its
+    // _SUCCESS commit: an incomplete newest generation with garbage
+    val dead = new Path(s"$path/lists/gen-000001")
+    fs.mkdirs(dead)
+    fs.create(new Path(dead, "garbage.parquet"), true).close()
+    assert(resultSet(search()) === before,
+      "readers must resolve the old complete generation, never the dead one")
+    // the next compact deletes the dead attempt and commits a real gen 1
+    Similarity.indexCompact(spark, path)
+    assert(fs.exists(new Path(s"$path/lists/gen-000001/_SUCCESS")))
+    assert(resultSet(search()) === before)
+    fs.delete(new Path(path), true)
+  }
+
   test("pq index: compact after appends is row-identical and single-file") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-compact-pq-spec").toString

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Tombstone-delete + vacuum lifecycle of the persisted ANN indexes:
+  * deletes serve immediately through the anti-join, [[Similarity
+  * .indexVacuum]] folds them in physically with IDENTICAL results, the
+  * applied tombstones are cleared, and the vacuumed generation no longer
+  * contains the deleted ids at all. */
+class IndexDeleteSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("0.001"))
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("imi index: tombstone serve == vacuumed serve; tombstones clear; " +
+      "rows physically gone") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-delete-spec").toString
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", path,
+      groups = 4, groupSize = 4, iters = 1, dim = 64)
+    def search() = Similarity.imiIndexSearch(spark,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
+      k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
+    val full = resultSet(search())
+    val delPred = pmod(col("vec_id"), lit(7)) === 3
+    Similarity.indexDelete(spark,
+      emb.filter(delPred).select(col("vec_id")), "vec_id", path)
+    val tombstoned = resultSet(search())
+    assert(tombstoned !== full,
+      "fixture should lose at least one neighbor to the deletion batch")
+    assert(!tombstoned.exists(r => r(2).asInstanceOf[Long] % 7 == 3),
+      "no deleted id may appear as a neighbor")
+
+    Similarity.indexVacuum(spark, path)
+    assert(resultSet(search()) === tombstoned,
+      "vacuum must not change served results")
+    // applied tombstones are cleared (data files removed)
+    assert(graft.sources.ParquetConcat.dataFiles(
+      spark.sparkContext.hadoopConfiguration,
+      new Path(s"$path/tombstones")).isEmpty)
+    // physically gone from the live generation
+    val live = graft.operators.IndexTables.liveDir(spark, s"$path/lists")
+    assert(spark.read.parquet(live)
+      .filter(pmod(col("nbr_id"), lit(7)) === 3).count() === 0,
+      "vacuumed generation must not contain deleted rows")
+    // a later append still lands and serves
+    Similarity.imiIndexAppend(spark,
+      emb.filter(delPred && col("vec_id") > 100), "vec_id", "embedding",
+      path, groupSize = 4)
+    val after = resultSet(search())
+    assert(after.nonEmpty)
+    fs.delete(new Path(path), true)
+  }
+
+  test("pq index: tombstoned codes drop from ADC serving and vacuum is " +
+      "identical") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-delete-pq-spec").toString
+    Similarity.pqIndexWrite(emb, "vec_id", "embedding", path,
+      subs = 8, ksub = 4, iters = 1, dim = 64)
+    def search() = Similarity.pqIndexSearch(spark,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
+      k = 5, subs = 8, ksub = 4, dim = 64)
+    Similarity.indexDelete(spark,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", path)
+    val tombstoned = resultSet(search())
+    assert(!tombstoned.exists(r => r(2).asInstanceOf[Long] % 5 == 2))
+    Similarity.indexVacuum(spark, path)
+    assert(resultSet(search()) === tombstoned)
+    fs.delete(new Path(path), true)
+  }
+}
