@@ -189,6 +189,103 @@ object Dedup {
     verifyCandidates(shI.union(shC), candidates, threshold)
   }
 
+  /** Persist the dedup SIGNATURE INDEX for a held corpus — the
+    * dedup-family analog of the ANN index lifecycle, making
+    * [[minhashLshPairsCross]]'s "corpus-side signatures are computed once
+    * and reused across batches" literal: `buckets/` stores the banded
+    * minhash buckets (doc, band, bh) for candidate generation,
+    * `shingles/` the xxhash64'd DISTINCT shingle sets (doc, sh64) for
+    * exact verification — 8 bytes per shingle instead of the string;
+    * Jaccard over hashed shingles equals Jaccard over shingles up to
+    * 2⁻⁶⁴-probability collisions (a count off by one at birthday scale,
+    * the standard trade). Both tables are generational
+    * ([[IndexTables]]): appends land in the live generation,
+    * [[dedupIndexCompact]] folds the fragments. The hot-bucket cap
+    * applies per written batch (a degenerate band is dropped at ingest);
+    * re-asserting it globally belongs to the same maintenance cadence as
+    * compaction. */
+  def dedupIndexWrite(sh: DataFrame, path: String, k: Int, r: Int,
+                      maxBucket: Int = DefaultMaxBucket): Unit = {
+    val shc = CacheScope.cache(sh)
+    shc.count() // two consumers below
+    bandedBuckets(shc, k, r, maxBucket)
+      .write.mode("overwrite")
+      .parquet(IndexTables.writeDir(s"$path/buckets"))
+    shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+      .write.mode("overwrite")
+      .parquet(IndexTables.writeDir(s"$path/shingles"))
+    // per-doc set sizes persist WITH the index so a check never has to
+    // re-aggregate the full stored shingle table (one tiny row per doc)
+    shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(IndexTables.writeDir(s"$path/sizes"))
+  }
+
+  /** Append a new batch's signatures/shingles to a persisted dedup index
+    * WITHOUT touching the held rows — an ordinary parquet append into each
+    * table's live generation (the [[Similarity.imiIndexAppend]]
+    * contract). */
+  def dedupIndexAppend(sh: DataFrame, path: String, k: Int, r: Int,
+                       maxBucket: Int = DefaultMaxBucket): Unit = {
+    val spark = sh.sparkSession
+    val shc = CacheScope.cache(sh)
+    shc.count()
+    bandedBuckets(shc, k, r, maxBucket)
+      .write.mode("append")
+      .parquet(IndexTables.liveDir(spark, s"$path/buckets"))
+    shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+      .write.mode("append")
+      .parquet(IndexTables.liveDir(spark, s"$path/shingles"))
+    shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      .write.mode("append")
+      .parquet(IndexTables.liveDir(spark, s"$path/sizes"))
+  }
+
+  /** Merge a dedup index's append-fragmented tables —
+    * [[Similarity.indexCompact]]'s generational binary row-group merge
+    * over `buckets/` and `shingles/`. */
+  def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    Seq("buckets", "shingles", "sizes").foreach(t =>
+      IndexTables.compactTable(spark, s"$path/$t"))
+
+  /** Near-dup pairs of an incoming batch against a PERSISTED dedup index —
+    * [[minhashLshPairsCross]] with the corpus side read from the stored
+    * tables instead of recomputed: the band join is incoming × stored
+    * buckets (candidate volume tracks the BATCH), verification joins the
+    * incoming batch's hashed shingles against only the candidate docs'
+    * stored sets. Per-batch cost is independent of how many batches came
+    * before — the decontamination gate a continuous ingest runs against
+    * 100 TB of held history. Doc ids must be disjoint across sides.
+    * Returns (i = incoming, j = held, jac ≥ threshold). */
+  def dedupIndexCheck(spark: org.apache.spark.sql.SparkSession,
+                      shIncoming: DataFrame, path: String, k: Int, r: Int,
+                      threshold: Double,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val shI = CacheScope.cache(shIncoming)
+    shI.count()
+    val stored = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/buckets"))
+    val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
+      .join(stored.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+    val shIH = shI.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+    val storedSh = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/shingles"))
+    val sizes = shI.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
+      .union(spark.read
+        .parquet(IndexTables.liveDir(spark, s"$path/sizes"))
+        .select(col("doc").as("d"), col("n")))
+    val common = candidates
+      .join(shIH.as("sa"), col("sa.doc") === col("i"))
+      .join(storedSh.as("sb"),
+        col("sb.doc") === col("j") && col("sb.sh64") === col("sa.sh64"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+    jaccardOf(common, sizes, threshold)
+  }
+
   /** Band buckets larger than this are excluded from self-joins by default.
     * Far above anything a healthy corpus produces per (band, hash) bucket,
     * far below the million-document degenerate buckets that turn a band

@@ -1019,6 +1019,37 @@ object NorthStar {
       |FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j
       |WHERE CAST(c AS DOUBLE)/(si.n+sj.n-c) >= 0.5 ORDER BY i, j""".stripMargin
 
+  /** [[dedupCross]] against a PERSISTED signature index — the dedup
+    * family's write-once/check-many lifecycle ([[Dedup.dedupIndexWrite]] /
+    * `Append` / `Compact` / `Check`): the held corpus's banded buckets,
+    * hashed shingle sets and per-doc sizes persist as generational parquet
+    * tables; half the corpus writes the base index, the other half appends
+    * (its signatures computed once, at arrival), the fragmented tables
+    * compact, and the incoming 20% batch checks against the STORED tables
+    * — per-batch cost tracks the batch, not the history. Same corpus
+    * split, parameters and recall argument as `dedup_cross`, so the twin
+    * is IDENTICAL — a signature drifted through the parquet round-trip, a
+    * batch lost by append or compaction, or a verification against stale
+    * sizes all break the hash. */
+  def dedupCrossIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val held = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val base = held.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val late = held.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = Streaming.tempWorkspace("graft-dedup-index")
+    Dedup.dedupIndexWrite(Dedup.shingles(base, "doc_id", "text", 3), path,
+      k = 64, r = 4)
+    Dedup.dedupIndexAppend(Dedup.shingles(late, "doc_id", "text", 3), path,
+      k = 64, r = 4)
+    Dedup.dedupIndexCompact(s, path)
+    Dedup.dedupIndexCheck(s, Dedup.shingles(incoming, "doc_id", "text", 3),
+        path, k = 64, r = 4, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val dedupCrossIndexSql: String = dedupCrossSql
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.5)
@@ -2657,6 +2688,7 @@ object NorthStar {
     "dedup_groups" -> dedupGroups,
     "dedup_groups_star" -> dedupGroupsStar,
     "dedup_cross" -> dedupCross,
+    "dedup_cross_index" -> dedupCrossIndex,
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -2729,6 +2761,7 @@ object NorthStar {
     "dedup_groups" -> dedupGroupsSql,
     "dedup_groups_star" -> dedupGroupsSql,
     "dedup_cross" -> dedupCrossSql,
+    "dedup_cross_index" -> dedupCrossIndexSql,
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -132,6 +132,36 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("dedup signature index: stored-table check equals the recomputed " +
+      "cross pairs, across append + compact") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf("0.001"))
+    val held = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-index-spec").toString
+    Dedup.dedupIndexWrite(Dedup.shingles(
+        held.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", 3),
+      path, k = 64, r = 4)
+    Dedup.dedupIndexAppend(Dedup.shingles(
+        held.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 3),
+      path, k = 64, r = 4)
+    Dedup.dedupIndexCompact(spark, path)
+    val shI = Dedup.shingles(incoming, "doc_id", "text", 3)
+    val fromIndex = resultSet(
+      Dedup.dedupIndexCheck(spark, shI, path, k = 64, r = 4, threshold = 0.5))
+    val recomputed = resultSet(
+      Dedup.minhashLshPairsCross(shI,
+        Dedup.shingles(held, "doc_id", "text", 3), k = 64, r = 4,
+        threshold = 0.5))
+    assert(fromIndex === recomputed,
+      "persisted-index check must reproduce the recomputed cross pairs")
+    // buckets / shingles / sizes all compacted to one file each
+    Seq("buckets", "shingles", "sizes").foreach(t =>
+      assert(dataFiles(s"$path/$t/gen-000001").size === 1, t))
+    fs.delete(new Path(path), true)
+  }
+
   test("pq index: compact after appends is row-identical and single-file") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-compact-pq-spec").toString
