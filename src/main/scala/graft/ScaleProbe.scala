@@ -564,6 +564,42 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Persisted dedup-index A/B (r13): incremental near-dup check of a
+      // 20% arrival batch against STORED signatures vs recomputing the
+      // held corpus's signatures in-invocation (minhashLshPairsCross).
+      // The stored path's point: per-batch cost tracks the batch — the
+      // held side costs one write, amortized over every future batch.
+      if (only.contains("dedup_index_ab")) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-dedupidx-$n").toString
+        val saved14 = only
+        only = Nil
+        try {
+          val held = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          timeAction("dedupidx_write", n) {
+            Dedup.dedupIndexWrite(
+              Dedup.shingles(held, "doc_id", "text", 3), root, k = 64, r = 4)
+          }
+          time("dedupidx_check_stored", n) {
+            Dedup.dedupIndexCheck(spark,
+              Dedup.shingles(incoming, "doc_id", "text", 3), root,
+              k = 64, r = 4, threshold = 0.5)
+          }
+          time("dedupidx_check_recompute", n) {
+            Dedup.minhashLshPairsCross(
+              Dedup.shingles(incoming, "doc_id", "text", 3),
+              Dedup.shingles(held, "doc_id", "text", 3),
+              k = 64, r = 4, threshold = 0.5)
+          }
+        } finally {
+          only = saved14
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // Tombstone-delete A/B (r13): serving through the tombstone
       // anti-join (immediate takedown, zero rewrite) vs after indexVacuum
       // (physical removal, generational rewrite) — the read-cost overhead
