@@ -249,6 +249,28 @@ object Dedup {
     Seq("buckets", "shingles", "sizes").foreach(t =>
       IndexTables.compactTable(spark, s"$path/$t"))
 
+  /** Re-assert the hot-bucket cap GLOBALLY over the stored band buckets —
+    * the maintenance step the per-batch cap can't provide: each
+    * write/append caps within its own batch, so a degenerate (band, bh)
+    * bucket can cross the cap only by ACCUMULATING across batches, and
+    * until this runs such a bucket inflates every incoming batch's
+    * candidate join. A relational rewrite into generation N+1 (same
+    * reader-safe swap as [[Similarity.indexVacuum]]); after it the stored
+    * side's cap semantics are exactly [[minhashLshPairsCross]]'s
+    * whole-corpus cap. Run with [[dedupIndexCompact]] on the maintenance
+    * cadence. */
+  def dedupIndexRecap(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      maxBucket: Int = DefaultMaxBucket): Unit = {
+    val table = s"$path/buckets"
+    IndexTables.liveGenOpt(spark, table).foreach { case (g, live) =>
+      capHotBuckets(spark.read.parquet(live.toString), maxBucket)
+        .write.mode("overwrite")
+        .parquet(s"$table/${IndexTables.genName(g + 1)}")
+      IndexTables.retireSuperseded(spark, table)
+    }
+  }
+
   /** Near-dup pairs of an incoming batch against a PERSISTED dedup index —
     * [[minhashLshPairsCross]] with the corpus side read from the stored
     * tables instead of recomputed: the band join is incoming × stored

@@ -301,6 +301,53 @@ object Streaming {
     * ingest must be indistinguishable from the batch append. */
   val streamAnnIndexIngestSql: String = NorthStar.annImiIndexAppendSql
 
+  /** Streaming near-dup check against the PERSISTED dedup signature index
+    * — decontamination AT INGEST: training documents arrive as 4 real
+    * micro-batches and each batch's shingles check against the STORED
+    * bands/shingles/sizes tables ([[graft.operators.Dedup
+    * .dedupIndexCheck]]) inside foreachBatch with a batchId-keyed
+    * idempotent sink. Candidates and verification are per-incoming-doc,
+    * so batching the incoming side partitions the output exactly — the
+    * union across micro-batches must hash-equal the one-shot
+    * `dedup_cross` twin. Per-batch cost tracks the batch (the held
+    * history costs one index write, before the stream starts) — the shape
+    * that lets a continuous crawl dedup against 100 TB of history at any
+    * arrival rate. */
+  def streamDedupIndexCheck(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val tmp = tempWorkspace("graft-stream-dedup-index")
+    val out = s"$tmp/out"
+    val staged = s"$tmp/arrivals"
+    val idxPath = s"$tmp/index"
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupIndexWrite(
+      Dedup.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", 3),
+      idxPath, k = 64, r = 4)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    incoming.repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Dedup.dedupIndexCheck(s,
+            Dedup.shingles(batch, "doc_id", "text", 3), idxPath,
+            k = 64, r = 4, threshold = 0.5)
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("i"), col("j"), col("jac"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Twin: the one-shot cross-corpus check — online per-batch
+    * decontamination must be indistinguishable from it. */
+  val streamDedupIndexCheckSql: String = NorthStar.dedupCrossSql
+
   /** Twin: the one-shot batch retrieval over the same probe set — the
     * online path must be indistinguishable from it. */
   val streamAnnServeSql: String =
@@ -786,6 +833,7 @@ object Streaming {
     "stream_ann_serve" -> streamAnnServe,
     "stream_ann_index_serve" -> streamAnnIndexServe,
     "stream_ann_index_ingest" -> streamAnnIndexIngest,
+    "stream_dedup_index_check" -> streamDedupIndexCheck,
     "stream_dedup_events" -> streamDedupEvents,
     "stream_sessionize" -> streamSessionize,
     "stream_attribution" -> streamAttribution,
@@ -801,6 +849,7 @@ object Streaming {
     "stream_ann_serve" -> streamAnnServeSql,
     "stream_ann_index_serve" -> streamAnnIndexServeSql,
     "stream_ann_index_ingest" -> streamAnnIndexIngestSql,
+    "stream_dedup_index_check" -> streamDedupIndexCheckSql,
     "stream_dedup_events" -> streamDedupEventsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,

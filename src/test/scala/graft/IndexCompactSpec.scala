@@ -162,6 +162,43 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("dedupIndexRecap re-asserts the hot-bucket cap globally across " +
+      "appended batches") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // identical texts -> identical signatures -> ONE degenerate bucket
+    // that stays under the cap per batch but crosses it by accumulation
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-recap-spec").toString
+    // three batches of 4, each under the cap of 5 — the bucket crosses
+    // the cap only by accumulation (12 members), exactly the window the
+    // per-batch cap can't see
+    Dedup.dedupIndexWrite(Dedup.shingles(mk(0, 4), "doc_id", "text", 3),
+      path, k = 8, r = 4, maxBucket = 5)
+    Seq((4, 8), (8, 12)).foreach { case (lo, hi) =>
+      Dedup.dedupIndexAppend(Dedup.shingles(mk(lo, hi), "doc_id", "text", 3),
+        path, k = 8, r = 4, maxBucket = 5)
+    }
+    val shI = Dedup.shingles(mk(100, 102), "doc_id", "text", 3)
+    def check() = Dedup.dedupIndexCheck(spark, shI, path, k = 8, r = 4,
+      threshold = 0.5, maxBucket = 5)
+    assert(check().count() > 0,
+      "the accumulated 12-doc bucket must still pair before recap")
+    Dedup.dedupIndexRecap(spark, path, maxBucket = 5)
+    val after = check()
+    assert(after.count() === 0,
+      "recap must drop the globally-over-cap bucket")
+    val cross = Dedup.minhashLshPairsCross(shI,
+      Dedup.shingles(mk(0, 12), "doc_id", "text", 3), k = 8, r = 4,
+      threshold = 0.5, maxBucket = 5)
+    assert(resultSet(after) === resultSet(cross),
+      "post-recap stored-side cap semantics == whole-corpus cross cap")
+    fs.delete(new Path(path), true)
+  }
+
   test("pq index: compact after appends is row-identical and single-file") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-compact-pq-spec").toString
