@@ -249,6 +249,68 @@ object Dedup {
     Seq("buckets", "shingles", "sizes").foreach(t =>
       IndexTables.compactTable(spark, s"$path/$t"))
 
+  /** Tombstone-delete documents from a persisted dedup index — the
+    * takedown path ([[Similarity.indexDelete]]'s contract applied to the
+    * dedup family: an opted-out or removed document must stop matching
+    * future arrival batches immediately, without rewriting the held
+    * tables): the ids land as an ordinary append to `tombstones/`, every
+    * [[dedupIndexCheck]] anti-joins the stored buckets against it (ids
+    * only — size-gated broadcast), and [[dedupIndexVacuum]] folds them in
+    * physically. */
+  def dedupIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                       ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically fold the tombstones into all three dedup-index tables —
+    * a relational rewrite of each live generation without the tombstoned
+    * docs into generation N+1 (the same reader-safe swap as
+    * [[Similarity.indexVacuum]]), then removal of exactly the applied
+    * tombstone files. */
+  def dedupIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val tombDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val applied = graft.sources.ParquetConcat.dataFiles(conf,
+      new org.apache.hadoop.fs.Path(tombDir))
+    if (applied.isEmpty) return
+    val tomb = spark.read
+      .parquet(applied.map(_.getPath.toString): _*)
+      .select(col("doc"))
+    Seq("buckets", "shingles", "sizes").foreach { t =>
+      val table = s"$path/$t"
+      IndexTables.liveGenOpt(spark, table).foreach { case (g, livePath) =>
+        spark.read.parquet(livePath.toString)
+          .join(tomb, Seq("doc"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$table/${IndexTables.genName(g + 1)}")
+        IndexTables.retireSuperseded(spark, table)
+      }
+    }
+    val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
+    applied.foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** Anti-join a stored dedup-index table against the tombstones (no-op
+    * when none exist); broadcast gated on the tombstone table's on-disk
+    * size like [[Similarity]]'s probe fan-outs. */
+  private def applyDocTombstones(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, df: DataFrame): DataFrame = {
+    val dir = s"$path/tombstones"
+    val files = graft.sources.ParquetConcat.dataFiles(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir))
+    if (files.isEmpty) df
+    else {
+      val tomb = spark.read.parquet(dir).select(col("doc"))
+      val hinted =
+        if (files.map(_.getLen).sum <= Similarity.MaxProbeBroadcastBytes)
+          broadcast(tomb)
+        else tomb
+      df.join(hinted, Seq("doc"), "left_anti")
+    }
+  }
+
   /** Re-assert the hot-bucket cap GLOBALLY over the stored band buckets —
     * the maintenance step the per-batch cap can't provide: each
     * write/append caps within its own batch, so a degenerate (band, bh)
@@ -286,8 +348,8 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val shI = CacheScope.cache(shIncoming)
     shI.count()
-    val stored = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/buckets"))
+    val stored = applyDocTombstones(spark, path, spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/buckets")))
     val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
       .join(stored.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

@@ -1050,6 +1050,46 @@ object NorthStar {
 
   val dedupCrossIndexSql: String = dedupCrossSql
 
+  /** [[dedupCrossIndex]] with a TAKEDOWN in the lifecycle
+    * ([[Dedup.dedupIndexDelete]]): a third of the held docs are
+    * tombstone-deleted after the index is built, and the incoming batch's
+    * check must stop matching them immediately — the held tables stay
+    * untouched (ids-only tombstones, anti-joined at check;
+    * [[Dedup.dedupIndexVacuum]] folds them in on the maintenance cadence,
+    * IndexDeleteSpec pins vacuum identity). The twin filters the deleted
+    * docs from the held side of the cross pairs. */
+  def dedupCrossIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val held = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = Streaming.tempWorkspace("graft-dedup-index-del")
+    Dedup.dedupIndexWrite(Dedup.shingles(held, "doc_id", "text", 3), path,
+      k = 64, r = 4)
+    Dedup.dedupIndexDelete(s,
+      held.filter(pmod(col("doc_id"), lit(3)) === 1).select(col("doc_id")),
+      "doc_id", path)
+    Dedup.dedupIndexCheck(s, Dedup.shingles(incoming, "doc_id", "text", 3),
+        path, k = 64, r = 4, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val dedupCrossIndexDeleteSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) s
+      |  FROM toks WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND b.doc_id % 3 <> 1
+      |  GROUP BY 1, 2)
+      |SELECT i, j, ROUND(CAST(c AS DOUBLE)/(si.n+sj.n-c), 6) jac
+      |FROM pairs JOIN sizes si ON si.doc_id=i JOIN sizes sj ON sj.doc_id=j
+      |WHERE CAST(c AS DOUBLE)/(si.n+sj.n-c) >= 0.5 ORDER BY i, j""".stripMargin
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.5)
@@ -2689,6 +2729,7 @@ object NorthStar {
     "dedup_groups_star" -> dedupGroupsStar,
     "dedup_cross" -> dedupCross,
     "dedup_cross_index" -> dedupCrossIndex,
+    "dedup_cross_index_delete" -> dedupCrossIndexDelete,
     "dedup_shrinkage" -> dedupShrinkage,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
@@ -2762,6 +2803,7 @@ object NorthStar {
     "dedup_groups_star" -> dedupGroupsSql,
     "dedup_cross" -> dedupCrossSql,
     "dedup_cross_index" -> dedupCrossIndexSql,
+    "dedup_cross_index_delete" -> dedupCrossIndexDeleteSql,
     "dedup_shrinkage" -> dedupShrinkageSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -60,6 +60,45 @@ class IndexDeleteSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("dedup index: deleted docs stop matching immediately and vacuum " +
+      "is identical") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf("0.001"))
+    val held = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-delete-spec").toString
+    Dedup.dedupIndexWrite(Dedup.shingles(held, "doc_id", "text", 3), path,
+      k = 64, r = 4)
+    val shI = Dedup.shingles(incoming, "doc_id", "text", 3)
+    def check() = Dedup.dedupIndexCheck(spark, shI, path, k = 64, r = 4,
+      threshold = 0.5)
+    val full = resultSet(check())
+    assert(full.nonEmpty)
+    // delete every held doc that currently matches something — after the
+    // delete the check must return NOTHING
+    val matchedJs = full.map(_(1).asInstanceOf[Long]).toSeq
+    Dedup.dedupIndexDelete(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(
+          matchedJs.map(org.apache.spark.sql.Row(_))),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long")),
+      "doc_id", path)
+    assert(resultSet(check()).isEmpty,
+      "tombstoned docs must stop matching immediately")
+    Dedup.dedupIndexVacuum(spark, path)
+    assert(resultSet(check()).isEmpty, "vacuum must not change the check")
+    assert(graft.sources.ParquetConcat.dataFiles(
+      spark.sparkContext.hadoopConfiguration,
+      new Path(s"$path/tombstones")).isEmpty,
+      "applied tombstones must clear")
+    val live = graft.operators.IndexTables.liveDir(spark, s"$path/shingles")
+    assert(spark.read.parquet(live)
+      .filter(col("doc").isin(matchedJs.map(Long.box): _*)).count() === 0,
+      "vacuumed shingle table must not contain deleted docs")
+    fs.delete(new Path(path), true)
+  }
+
   test("pq index: tombstoned codes drop from ADC serving and vacuum is " +
       "identical") {
     val path = java.nio.file.Files
