@@ -600,6 +600,60 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Persisted BM25 index A/B (r13): keyword retrieval from STORED
+      // postings/statistics vs recomputing the whole corpus's BM25 state
+      // per query batch — the lexical serving split. Then the maintenance
+      // story: 16 append batches fragment the postings, search re-times
+      // fragmented vs compacted.
+      if (only.contains("bm25_index_ab")) {
+        import graft.operators.TextIndex
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-bm25-$n").toString
+        val saved15 = only
+        only = Nil
+        try {
+          val qs = docs.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(Dedup.tokens(col("text")), 1, 6), " ")
+                .as("qtext"))
+          val held = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          val late = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          timeAction("bm25idx_write", n) {
+            TextIndex.bm25IndexWrite(held, "doc_id", "text", root)
+          }
+          time("bm25idx_search_stored", n) {
+            TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+              root, k = 10)
+          }
+          time("bm25idx_search_recompute", n) {
+            TextIndex.bm25TopK(held, qs, "doc_id", "text", "query_id",
+              "qtext", k = 10)
+          }
+          timeAction("bm25idx_append16", n) {
+            (0 until 16).foreach(b =>
+              TextIndex.bm25IndexAppend(spark,
+                late.filter(pmod(col("doc_id"), lit(32)) === (2 * b + 1)),
+                "doc_id", "text", root))
+          }
+          time("bm25idx_search_fragmented", n) {
+            TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+              root, k = 10)
+          }
+          timeAction("bm25idx_compact", n) {
+            TextIndex.bm25IndexCompact(spark, root)
+          }
+          time("bm25idx_search_compacted", n) {
+            TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+              root, k = 10)
+          }
+        } finally {
+          only = saved15
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // Tombstone-delete A/B (r13): serving through the tombstone
       // anti-join (immediate takedown, zero rewrite) vs after indexVacuum
       // (physical removal, generational rewrite) — the read-cost overhead

@@ -249,6 +249,18 @@ object Dedup {
     Seq("buckets", "shingles", "sizes").foreach(t =>
       IndexTables.compactTable(spark, s"$path/$t"))
 
+  /** Threshold-triggered [[dedupIndexCompact]]
+    * ([[graft.operators.Similarity.indexMaybeCompact]]'s contract): cheap
+    * to call after every append batch; compacts only the tables some leaf
+    * of which exceeds `maxFilesPerLeaf` fragments. Returns whether any
+    * table compacted. */
+  def dedupIndexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             maxFilesPerLeaf: Int = 16): Boolean =
+    Seq("buckets", "shingles", "sizes").map(t =>
+      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      .exists(identity)
+
   /** Tombstone-delete documents from a persisted dedup index — the
     * takedown path ([[Similarity.indexDelete]]'s contract applied to the
     * dedup family: an opted-out or removed document must stop matching

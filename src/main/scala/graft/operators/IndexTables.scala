@@ -130,6 +130,32 @@ private[graft] object IndexTables {
     }
   }
 
+  /** Threshold-triggered [[compactTable]] — the index family's
+    * `maybeRollover` (the store keeps bucket objects file-sized by
+    * checking a threshold on every append, `TimeStore.maybeRollover`;
+    * here the unit of fragmentation is files-per-leaf, the exact quantity
+    * SCALE.md's imi_index_ab measured dominating search). Call it after
+    * appends on whatever cadence the ingest runs; it compacts only when
+    * some leaf directory of the live generation holds more than
+    * `maxFilesPerLeaf` data files, so a quiet table costs one listing.
+    * Returns whether a compaction ran. */
+  def maybeCompactTable(spark: SparkSession, table: String,
+                        maxFilesPerLeaf: Int = 16): Boolean = {
+    val f = fsOf(spark, table)
+    val live = liveGenOpt(spark, table)
+    if (live.isEmpty) return false
+    val livePath = live.get._2
+    val cells = f.listStatus(livePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath)
+    val leaves = if (cells.isEmpty) Seq(livePath) else cells
+    val conf = spark.sparkContext.hadoopConfiguration
+    val over = leaves.exists(l =>
+      ParquetConcat.dataFiles(conf, l).size > maxFilesPerLeaf)
+    if (over) compactTable(spark, table)
+    over
+  }
+
   /** Superseded complete generations old enough to retire — see the
     * object Scaladoc for why the clock is a first-observation marker, not
     * the superseder's `_SUCCESS` mtime. */

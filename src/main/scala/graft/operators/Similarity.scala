@@ -1452,6 +1452,19 @@ object Similarity {
     Seq("lists", "codes").foreach(t =>
       IndexTables.compactTable(spark, s"$path/$t"))
 
+  /** Threshold-triggered [[indexCompact]] — run after every append batch
+    * (or on the ingest cadence): compacts a data table only once some
+    * leaf exceeds `maxFilesPerLeaf` fragments, so calling it
+    * unconditionally is cheap and the table self-maintains the
+    * file-sized-object invariant the whole store design rests on
+    * (rados-timestore StoreHelpers.hs:194-221's rollover check, applied
+    * to the index family). Returns whether any table compacted. */
+  def indexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String, maxFilesPerLeaf: Int = 16): Boolean =
+    Seq("lists", "codes").map(t =>
+      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      .exists(identity)
+
   /** Tombstone-delete vectors from a persisted index WITHOUT rewriting it —
     * the takedown/decontamination path a training-data pipeline needs
     * against a built index (remove opted-out or contaminated documents;

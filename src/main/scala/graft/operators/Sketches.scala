@@ -45,6 +45,58 @@ object Sketches {
       .groupBy(col("d"), bucket(col("d"), col("__key"), hexChars).as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007's unbiased (k−1)/U_(k) estimator): keep the k
+    * lexicographically smallest md5 hashes of the distinct keys; the kth
+    * smallest, read as a uniform fraction of the hash space, estimates
+    * the distinct count. Unlike HLL the sketch is EXACTLY mergeable by
+    * construction — the k smallest of a union is the k smallest of the
+    * per-part k-smallest — and exactly deterministic (same md5 idiom as
+    * the Count-Min twin, so DuckDB reproduces the estimate bit-for-bit,
+    * where `approx_count_distinct`'s HLL could never be gated).
+    *
+    * `kmvMins` is one distinct + one top-k: TakeOrdered ships k hashes
+    * per partition to the driver — k rows total out, never the key
+    * domain. Pass `shards` > 1 to force the per-shard partial → merged
+    * union shape (one window per shard side, identical result — the gate
+    * runs this form so mergeability itself is hash-pinned against the
+    * twin's direct form). */
+  def kmvMins(df: DataFrame, keyCol: String, k: Int,
+              shards: Int = 1): DataFrame = {
+    val hs = df.select(
+      md5(col(keyCol).cast("string").cast("binary")).as("h")).distinct()
+    val pooled = if (shards <= 1) hs
+    else {
+      // per-shard k-min via one window pass, then pool the ≤ k·shards
+      // survivors — the mergeable-accumulator path a 100 TB scan or a
+      // streaming fold uses (k·shards rows cross the merge, never keys)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(abs(hash(col("h"))) % shards)
+        .orderBy(col("h"))
+      hs.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .select(col("h"))
+    }
+    pooled.orderBy(col("h")).limit(k)
+  }
+
+  /** The estimate from a k-min set: (m−1) / U_(m) with U the kth-smallest
+    * hash's leading-12-hex-digit fraction of the hash space — every
+    * arithmetic step exact or correctly rounded identically in DuckDB
+    * (16^12 = 2^48 and (m−1)·2^48 are exact doubles). When fewer than k
+    * distinct hashes exist the sketch IS the distinct set and the answer
+    * is exact. */
+  def kmvEstimate(mins: DataFrame, k: Int): DataFrame =
+    mins
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .select(col("k_used"),
+        round(
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(
+              ((col("k_used") - 1L).cast("double") * lit(math.pow(16, 12))) /
+                conv(substring(col("kth"), 1, 12), 16, 10).cast("double")),
+          6).as("est_distinct"))
+
   /** Point estimates for the keys in `probes` (a SMALL frame with
     * `keyCol`): min over depth rows of the matching cell. The counter
     * matrix is depth×width rows — always broadcast. LEFT join + zero

@@ -1,0 +1,381 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted BM25 keyword-retrieval index — the lexical twin of the
+  * [[Similarity]] vector-index family, with the SAME storage lifecycle
+  * (generational tables under [[IndexTables]]: frozen-stats appends,
+  * binary-concat compaction, tombstone deletes + vacuum).
+  *
+  * A training-data pipeline needs keyword retrieval alongside embedding
+  * ANN (hybrid search, decontamination by query, targeted corpus audits —
+  * "show me every document matching these eval-set phrases"), and the
+  * reference engine's whole design is the same shape: a write-once,
+  * append-only store whose reads prune to the objects a query touches
+  * (rados-timestore `TimeStore.hs:139-156` bucket pruning;
+  * `StoreHelpers.hs:194-221` keeps objects file-sized). Here the "bucket"
+  * is a term's postings row-group.
+  *
+  * Layout under `path` (all generational, see [[IndexTables]]):
+  *   - `postings/` — (term64, doc, tf, dl): one row per distinct
+  *     (document, term). `dl` (the document's token length) is
+  *     DENORMALIZED into the postings so serving NEVER joins a
+  *     corpus-sized side table — the scan that feeds scoring already
+  *     carries everything per-row scoring needs. Written range-clustered
+  *     by `term64` so a query's pushed `term64 IN (…)` predicate skips
+  *     row groups by min/max stats — the store's `targetObjs` pruning
+  *     pattern applied to text.
+  *   - `vocab/` — (term64, df) document-frequency DELTAS: each
+  *     write/append batch contributes its own per-term distinct-doc
+  *     counts. Batches hold DISJOINT doc sets (the append contract, same
+  *     as [[Similarity.imiIndexAppend]]), so serving df is a plain SUM —
+  *     appends never read or rewrite held statistics.
+  *   - `doclens/` — (doc, dl) bookkeeping: lets a takedown capture the
+  *     deleted docs' length stats at delete time and lets vacuum
+  *     recompute globals; serving never touches it.
+  *   - `global/` — (n, len_sum) one delta row per batch; serving SUMs to
+  *     the corpus size and average document length.
+  *   - `tombstones/` — (doc, dl) pending deletes; see [[bm25IndexDelete]].
+  *
+  * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75, the canonical constants;
+  * Robertson/Sparck Jones idf in the +1 form that keeps every weight
+  * positive). Per-term contributions are rounded to 8 dp and summed as
+  * DECIMAL(20,8) — decimal sums are order-independent, so the score is
+  * deterministic under any partitioning and matches the DuckDB twin
+  * hash-exactly (the engine's standing decimal-determinism discipline).
+  * Query terms are DISTINCT per query (repeated query words score once).
+  *
+  * Terms are stored as `xxhash64` of the lowercased `\w+` token — 8 bytes
+  * per posting key instead of the string, the same trade as the dedup
+  * index's hashed shingles (`Dedup.dedupIndexWrite`): results differ from
+  * string-keyed scoring only on a 2⁻⁶⁴-probability hash collision.
+  *
+  * 100 TB shape: a query batch touches only its terms' postings (pushed
+  * In-filter → row-group skip; the scan is O(matched postings), not
+  * O(corpus)); the query side and per-term stats broadcast under the
+  * probe-size gate; the single shuffle is the per-(query, doc) partial
+  * aggregation of matched postings. Nothing corpus-sized ever shuffles
+  * or collects — the only driver-side state is the query batch's term-id
+  * set (the pushed predicate, bounded like [[Similarity]]'s probed-cell
+  * set) and per-table byte sizes for broadcast gating.
+  */
+object TextIndex {
+
+  // Okapi BM25 constants (Robertson et al., TREC-3): k1 = 1.2, b = 0.75.
+  // They appear as inline literals in [[scoreTopK]] so the Spark
+  // expression and the DuckDB twin parse the identical decimal strings.
+
+  private def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Per-document token rows with the doc length carried along:
+    * (doc, dl, term64). `explode` (not `_outer`) drops token-less docs
+    * here — they hold no postings — while [[lens]] keeps them in the
+    * corpus statistics. */
+  private def termRows(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).cast("long").as("doc"),
+        tokens(col(textCol)).as("ts"))
+      .select(col("doc"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("term"))
+      .select(col("doc"), col("dl"), xxhash64(col("term")).as("term64"))
+
+  /** (doc, dl) for EVERY doc of the batch — empty documents included
+    * (they count toward n and len_sum exactly as the twin's corpus
+    * statistics do). */
+  private def lens(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).cast("long").as("doc"),
+      size(tokens(col(textCol))).as("dl"))
+
+  /** (term64, doc, tf, dl) — tf by grouping the exploded rows; dl rides
+    * the grouping key (functionally dependent on doc) so no join ever
+    * re-attaches it. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String) =
+    termRows(docs, idCol, textCol)
+      .groupBy(col("term64"), col("doc"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term64"), col("doc"), col("tf"), col("dl"))
+
+  private def writeTables(docs: DataFrame, idCol: String, textCol: String,
+                          path: String, dir: String => String,
+                          mode: String): Unit = {
+    val d = graft.CacheScope.cache(docs)
+    d.count() // three consumers below
+    val p = graft.CacheScope.cache(postingsOf(d, idCol, textCol))
+    p.repartitionByRange(col("term64"))
+      .sortWithinPartitions(col("term64"), col("doc"))
+      .write.mode(mode).parquet(dir(s"$path/postings"))
+    p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(dir(s"$path/vocab"))
+    val l = lens(d, idCol, textCol)
+    l.write.mode(mode).parquet(dir(s"$path/doclens"))
+    l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+        .as("len_sum"))
+      .write.mode(mode).parquet(dir(s"$path/global"))
+  }
+
+  /** Build the persisted BM25 index from scratch — tokenize, hash, count,
+    * and land all four tables as generation 0. One shuffle each for the
+    * tf grouping and the range clustering; statistics are plain
+    * aggregates of the same cached posting rows. */
+  def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit =
+    writeTables(docs, idCol, textCol, path, IndexTables.writeDir,
+      mode = "overwrite")
+
+  /** Append a NEW batch of documents (doc ids disjoint from every held
+    * batch — the frozen-stats contract: df/global are additive deltas, so
+    * the held tables are never read or rewritten) into each table's live
+    * generation. Appends fragment; run [[bm25IndexCompact]] on the
+    * maintenance cadence. */
+  def bm25IndexAppend(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textCol: String, path: String): Unit =
+    writeTables(docs, idCol, textCol, path,
+      t => IndexTables.liveDir(spark, t), mode = "append")
+
+  /** Fold append fragments — [[IndexTables.compactTable]]'s binary
+    * row-group merge over every index table (reader-safe generation
+    * swap; each appended batch's row groups keep their own term64
+    * min/max stats, so pushed-predicate skipping survives the concat). */
+  def bm25IndexCompact(spark: SparkSession, path: String): Unit =
+    Seq("postings", "vocab", "doclens", "global").foreach(t =>
+      IndexTables.compactTable(spark, s"$path/$t"))
+
+  /** Threshold-triggered [[bm25IndexCompact]]
+    * ([[Similarity.indexMaybeCompact]]'s contract): cheap to call after
+    * every append; compacts only the tables some leaf of which exceeds
+    * `maxFilesPerLeaf` fragments. Returns whether any table compacted. */
+  def bm25IndexMaybeCompact(spark: SparkSession, path: String,
+                            maxFilesPerLeaf: Int = 16): Boolean =
+    Seq("postings", "vocab", "doclens", "global").map(t =>
+      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      .exists(identity)
+
+  /** Tombstone-delete documents (takedown/decontamination against a built
+    * index, [[Similarity.indexDelete]]'s contract): the ids semi-join the
+    * tiny `doclens/` table ONCE — at delete time, maintenance cadence —
+    * to capture each deleted doc's length, so SERVING can correct n,
+    * len_sum and per-term df from the tombstone rows and the postings it
+    * already scanned, without ever re-reading corpus-sized state. Unknown
+    * ids drop out at the semi-join; re-deletes are de-duplicated at
+    * serve. */
+  def bm25IndexDelete(spark: SparkSession, ids: DataFrame, idCol: String,
+                      path: String): Unit =
+    spark.read.parquet(IndexTables.liveDir(spark, s"$path/doclens"))
+      .join(broadcast(ids.select(col(idCol).cast("long").as("doc"))
+        .distinct()), Seq("doc"), "left_semi")
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically fold the tombstones in: `postings/` and `doclens/` live
+    * generations rewrite WITHOUT the tombstoned docs as generation N+1
+    * (same reader-safe swap as compaction), `vocab/` and `global/`
+    * RECOMPUTE from the surviving rows (df genuinely shrinks on delete —
+    * the additive-delta representation can't subtract, so vacuum rebuilds
+    * the statistics tables from their source of truth), then exactly the
+    * applied tombstone files are removed. */
+  def bm25IndexVacuum(spark: SparkSession, path: String): Unit = {
+    val tombDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val applied = graft.sources.ParquetConcat.dataFiles(conf,
+      new org.apache.hadoop.fs.Path(tombDir))
+    if (applied.isEmpty) return
+    val tomb = spark.read.parquet(applied.map(_.getPath.toString): _*)
+      .select(col("doc")).distinct()
+    val tombBytes = applied.map(_.getLen).sum
+    // data tables: anti-join rewrite, preserving the term64 clustering
+    Seq("postings", "doclens").foreach { t =>
+      val table = s"$path/$t"
+      IndexTables.liveGenOpt(spark, table).foreach { case (g, live) =>
+        val kept = spark.read.parquet(live.toString)
+          .join(maybeBroadcastTomb(tomb, tombBytes), Seq("doc"), "left_anti")
+        (if (t == "postings")
+           kept.repartitionByRange(col("term64"))
+             .sortWithinPartitions(col("term64"), col("doc"))
+         else kept)
+          .write.mode("overwrite")
+          .parquet(s"$table/${IndexTables.genName(g + 1)}")
+        IndexTables.retireSuperseded(spark, table)
+      }
+    }
+    // statistics tables: recompute from the surviving data tables
+    val p = spark.read.parquet(IndexTables.liveDir(spark, s"$path/postings"))
+    val (vg, vgGen) = (s"$path/vocab",
+      IndexTables.liveGenOpt(spark, s"$path/vocab").map(_._1).getOrElse(0))
+    p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .parquet(s"$vg/${IndexTables.genName(vgGen + 1)}")
+    IndexTables.retireSuperseded(spark, vg)
+    val l = spark.read.parquet(IndexTables.liveDir(spark, s"$path/doclens"))
+    val (gg, ggGen) = (s"$path/global",
+      IndexTables.liveGenOpt(spark, s"$path/global").map(_._1).getOrElse(0))
+    l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+        .as("len_sum"))
+      .write.mode("overwrite")
+      .parquet(s"$gg/${IndexTables.genName(ggGen + 1)}")
+    IndexTables.retireSuperseded(spark, gg)
+    val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
+    applied.foreach(st => f.delete(st.getPath, false))
+  }
+
+  private def maybeBroadcastTomb(df: DataFrame, bytes: Long): DataFrame =
+    if (bytes <= Similarity.MaxProbeBroadcastBytes) broadcast(df) else df
+
+  /** Top-k BM25 retrieval against the STORED index — the serving path.
+    * Queries tokenize exactly like documents; per-query terms are
+    * DISTINCT. The postings scan prunes to the batch's term set (a pushed
+    * In predicate over the range-clustered table — row groups whose
+    * term64 range misses the set never decompress); pending tombstones
+    * correct the statistics in-plan (see [[bm25IndexDelete]]). Output:
+    * (query_id, rnk, doc_id, score) with rnk 1..k by score DESC, doc_id
+    * ASC on rounding ties. */
+  def bm25IndexSearch(spark: SparkSession, queries: DataFrame,
+                      qidCol: String, qtextCol: String, path: String,
+                      k: Int): DataFrame = {
+    val qterms = graft.CacheScope.cache(
+      queries.select(col(qidCol).cast("long").as("query_id"),
+          explode(tokens(col(qtextCol))).as("term"))
+        .select(col("query_id"), xxhash64(col("term")).as("term64"))
+        .distinct())
+    // the pushed predicate: the batch's distinct term ids — bounded by the
+    // query batch's vocabulary, the text analog of the probed-cell set
+    val termIds = qterms.select(col("term64")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qBytes = 16L * termIds.length
+    val postings = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/postings"))
+      .filter(col("term64").isin(termIds: _*))
+    val dfSum = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/vocab"))
+      .filter(col("term64").isin(termIds: _*))
+      .groupBy(col("term64")).agg(sum(col("df")).as("df"))
+    val globals = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/global"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("len_sum")), lit(0L)).as("len_sum"))
+    // pending tombstones: drop their postings AND subtract their share of
+    // the statistics — all from rows already in hand (the tombstone table
+    // and the term-pruned scan), never a corpus-sized read
+    val tombDir = s"$path/tombstones"
+    val tombBytes = graft.sources.ParquetConcat.dataFiles(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(tombDir)).map(_.getLen).sum
+    val (livePostings, dfEff, gEff) =
+      if (tombBytes == 0L) (postings, dfSum, globals)
+      else {
+        val tomb = maybeBroadcastTomb(
+          spark.read.parquet(tombDir).distinct(), tombBytes)
+        val live = postings.join(tomb.select(col("doc")), Seq("doc"),
+          "left_anti")
+        val dfDel = postings.join(tomb.select(col("doc")), Seq("doc"),
+            "left_semi")
+          .groupBy(col("term64")).agg(count(lit(1)).as("df_del"))
+        val df2 = dfSum.join(dfDel, Seq("term64"), "left")
+          .select(col("term64"),
+            (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        val gDel = tomb.agg(count(lit(1)).as("n_del"),
+          coalesce(sum(col("dl")), lit(0L)).as("len_del"))
+        val g2 = globals.crossJoin(broadcast(gDel))
+          .select((col("n") - col("n_del")).as("n"),
+            (col("len_sum") - col("len_del")).as("len_sum"))
+        (live, df2, g2)
+      }
+    scoreTopK(livePostings, qterms, dfEff, gEff, k, qBytes)
+  }
+
+  /** One-shot BM25 top-k straight from a corpus DataFrame — the same
+    * scorer over in-plan statistics, no persistence (the batch twin the
+    * index gates hash against). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, qidCol: String, qtextCol: String,
+               k: Int): DataFrame = {
+    val d = graft.CacheScope.cache(docs)
+    val qterms = graft.CacheScope.cache(
+      queries.select(col(qidCol).cast("long").as("query_id"),
+          explode(tokens(col(qtextCol))).as("term"))
+        .select(col("query_id"), xxhash64(col("term")).as("term64"))
+        .distinct())
+    // prune postings to the query vocabulary BEFORE any statistics — df
+    // per term over the full corpus is unchanged by dropping the terms no
+    // query mentions, and everything downstream becomes O(matched
+    // postings) instead of O(corpus vocabulary)
+    val qset = qterms.select(col("term64")).distinct()
+    val p = graft.CacheScope.cache(postingsOf(d, idCol, textCol)
+      .join(broadcast(qset), Seq("term64"), "left_semi"))
+    val dfAgg = p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
+    val g = lens(d, idCol, textCol)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("len_sum"))
+    scoreTopK(p, qterms, dfAgg, g, k, estQBytes = 1L)
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a semantic ranking — hybrid
+    * retrieval's standard rank-level combiner (Cormack et al., SIGIR'09:
+    * score = Σ 1/(c + rank), c = 60): a document surfaced by EITHER
+    * ranking scores, one surfaced by both scores higher, and no score
+    * calibration between BM25 and cosine is needed because only ranks
+    * enter. Both inputs are (query_id, rnk, id, …) top-k frames — already
+    * bounded per query — so the fusion is a full outer join of two small
+    * sides plus one row-local arithmetic pass: at 100 TB the cost lives
+    * entirely in producing the two rankings, which is the point of
+    * fusing AFTER each index has pruned its own way. The two-term sum is
+    * one IEEE addition of two correctly-rounded divisions — deterministic
+    * without the decimal detour (nothing aggregates). */
+  def rrfFuse(lex: DataFrame, lexIdCol: String, sem: DataFrame,
+              semIdCol: String, k: Int, c: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col(lexIdCol).as("doc_id"),
+      col("rnk").as("lex_rnk"))
+    val s = sem.select(col("query_id"), col(semIdCol).as("doc_id"),
+      col("rnk").as("sem_rnk"))
+    val fused = l.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(c) + col("lex_rnk")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(c) + col("sem_rnk")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("rrf"), 8).as("rrf"))
+  }
+
+  /** The shared scorer. `globals` is a ONE-row (n, len_sum) frame — it
+    * broadcasts into the plan (never a driver collect), so avgdl is the
+    * same correctly-rounded double division the twin computes. Every
+    * floating-point step except ln() is IEEE-exact or correctly rounded
+    * identically in both engines; ln's possible final-ulp disagreement is
+    * cushioned by the 8 dp rounding before the order-independent decimal
+    * sum. */
+  private def scoreTopK(postings: DataFrame, qterms: DataFrame,
+                        dfAgg: DataFrame, globals: DataFrame, k: Int,
+                        estQBytes: Long): DataFrame = {
+    def mb(df: DataFrame, b: Long) =
+      if (b <= Similarity.MaxProbeBroadcastBytes) broadcast(df) else df
+    val avgdl = col("len_sum").cast("double") / col("n")
+    // literals appear EXACTLY as the twin's SQL spells them (2.2, 0.25 —
+    // never computed as K1+1.0 etc.): both engines parse the same decimal
+    // string to the same double, where a computed sum could land one ulp
+    // off the parsed literal
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl))
+    val contrib = round(idf * tfn, 8).cast(DecimalType(20, 8))
+    val scored = postings
+      .join(mb(qterms, estQBytes), Seq("term64"))
+      .join(mb(dfAgg, estQBytes), Seq("term64"))
+      .crossJoin(broadcast(globals))
+      .select(col("query_id"), col("doc"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("contrib")).as("score"))
+    // rank on the exact decimal; emit the score as the correctly-rounded
+    // double (the inventory's standing decimal-internal/double-out shape)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc").as("doc_id"),
+        col("score").cast("double").as("score"))
+  }
+}

@@ -488,7 +488,43 @@ object Aggregates {
       |FROM probe p LEFT JOIN counters c ON p.d = c.d AND p.b = c.b
       |GROUP BY p.user_id, p.exact_cnt ORDER BY p.user_id""".stripMargin
 
+  /** KMV distinct-count sketch over the event users (k = 64 minimum md5
+    * hashes), run in the 8-shard partial → merge form so MERGEABILITY is
+    * itself under the hash gate: the twin computes the direct global
+    * k-min, and they agree only because k-min-of-union ≡
+    * k-min-of-per-shard-k-mins. The estimate is the Beyer et al.
+    * (k−1)/U_(k) form over the kth hash's 12-hex-digit prefix — every
+    * step exact or correctly rounded identically in DuckDB (the gateable
+    * counterpart of `agg_approx_distinct`'s HLL bound check). At sf0.001
+    * there are fewer than k distinct users, so the exact-fallback branch
+    * (sketch = the distinct set) is the gated path at smoke scale and
+    * the estimator branch at sf0.01+. */
+  def aggKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.events(s, dir)
+    Sketches.kmvEstimate(
+      Sketches.kmvMins(ev, "user_id", k = 64, shards = 8), k = 64)
+  }
+
+  val aggKmvDistinctSql: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |mins AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+      |kth AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS h FROM mins),
+      |v AS (
+      |  SELECT k_used, h,
+      |    (SELECT SUM((strpos('0123456789abcdef', substr(kth.h, CAST(i AS INT), 1)) - 1)
+      |       * POWER(16e0, 12 - i))
+      |     FROM generate_series(1, 12) AS t(i)) AS val
+      |  FROM kth)
+      |SELECT k_used,
+      |  ROUND(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+      |    ELSE (CAST(k_used - 1 AS DOUBLE) * POWER(16e0, 12)) / val END,
+      |    6) AS est_distinct
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinct,
     "agg_countmin" -> aggCountmin,
     "agg_linear_fit" -> aggLinearFit,
     "agg_mode" -> aggMode,
@@ -510,6 +546,7 @@ object Aggregates {
     "agg_price_buckets" -> aggPriceBuckets)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinctSql,
     "agg_countmin" -> aggCountminSql,
     "agg_linear_fit" -> aggLinearFitSql,
     "agg_mode" -> aggModeSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextIndex}
 
 /** DuckDB SQL generators for the LSH oracles: the random hyperplanes are
   * deterministic literals ([[Similarity.planeComponent]]), so the twin can
@@ -2693,7 +2693,228 @@ object NorthStar {
       |  n_frames
       |FROM feat ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---- BM25 keyword retrieval (persisted text index family) ----
+
+  /** The retrieval gates' query batch: the first 8 documents' first 6
+    * tokens, re-joined as query text — derived from the fixture so the
+    * set scales with it, tokenizing back to exactly the sliced tokens
+    * (\w+ runs survive a space re-join). */
+  private[queries] def bm25GateQueries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 6),
+          " ").as("qtext"))
+
+  /** The BM25 DuckDB twin: full Okapi scoring (k1=1.2, b=0.75,
+    * +1-form idf) with per-term contributions rounded to 8 dp and summed
+    * as DECIMAL(20,8) — the same order-independent decimal discipline as
+    * [[graft.operators.TextIndex.bm25TopK]], literal-for-literal. The
+    * `e0` suffixes force DOUBLE literals (a bare 0.5 is DECIMAL in
+    * DuckDB, which would reshape the arithmetic). */
+  private def bm25Sql(docPred: String, k: Int = 5): String = {
+    val where = if (docPred.isEmpty) "" else s" WHERE $docPred"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts
+       |  FROM documents$where),
+       |lens AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(ts) AS term FROM corpus)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS len_sum FROM lens),
+       |qd AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM (
+       |    SELECT doc_id, unnest(ts[1:6]) AS term FROM (
+       |      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts
+       |      FROM documents WHERE doc_id < 8))),
+       |scored AS (
+       |  SELECT qd.query_id, tf.doc_id,
+       |    SUM(CAST(ROUND(
+       |      LN(1.0e0 + (g.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) *
+       |      ((tf.tf * 2.2e0) /
+       |       (tf.tf + 1.2e0 * (0.25e0 + (0.75e0 * lens.dl) /
+       |          (CAST(g.len_sum AS DOUBLE) / g.n)))), 8)
+       |      AS DECIMAL(20,8))) AS score
+       |  FROM qd
+       |  JOIN tf ON qd.term = tf.term
+       |  JOIN dfreq ON tf.term = dfreq.term
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, doc_id, CAST(score AS DOUBLE) AS score FROM (
+       |  SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** One-shot BM25 top-5 keyword retrieval over the documents corpus —
+    * lexical search alongside the ANN family (hybrid retrieval's other
+    * half, and the "find every document matching these phrases" audit
+    * query a training-data pipeline runs constantly). */
+  def textBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextIndex.bm25TopK(docs, bm25GateQueries(docs), "doc_id", "text",
+        "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val textBm25TopKSql: String = bm25Sql("")
+
+  /** Persisted BM25 index round-trip — the serving split for keyword
+    * retrieval ([[annImiIndexRoundtrip]]'s lexical analog): postings +
+    * statistics land as generational parquet tables, search serves from
+    * the STORED tables with a term-pruned scan. Hash-gated against the
+    * same twin as the one-shot compute, so a byte lost anywhere in
+    * tokenize → persist → reload → prune → score breaks the gate. Every
+    * invocation pays the real write + read. */
+  def textBm25IndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = Streaming.tempWorkspace("graft-bm25-index")
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", path)
+    TextIndex.bm25IndexSearch(s, bm25GateQueries(docs), "query_id", "qtext",
+        path, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val textBm25IndexRoundtripSql: String = bm25Sql("")
+
+  /** Append-without-rebuild on the persisted BM25 index: the base index
+    * holds 90% of the corpus (doc_id % 10 != 0), the held-out 10% arrives
+    * as a frozen-stats append (df/global are additive DELTAS over the
+    * disjoint doc sets — no held row is read or rewritten), the
+    * fragmented tables COMPACT (binary row-group merge), and search
+    * serves the union. The twin scores the full corpus from scratch: a
+    * double-counted df, a missed global delta, or a row lost/duplicated
+    * by compaction all break the hash. */
+  def textBm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = Streaming.tempWorkspace("graft-bm25-index-append")
+    TextIndex.bm25IndexWrite(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      "doc_id", "text", path)
+    TextIndex.bm25IndexAppend(s,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
+      path)
+    TextIndex.bm25IndexCompact(s, path)
+    TextIndex.bm25IndexSearch(s, bm25GateQueries(docs), "query_id", "qtext",
+        path, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val textBm25IndexAppendSql: String = bm25Sql("")
+
+  /** Tombstone-delete against the persisted BM25 index — takedown for
+    * keyword retrieval: a deletion batch (doc_id % 7 = 3) lands as
+    * tombstones (ids + captured lengths), and search drops the deleted
+    * docs' postings AND corrects n/avgdl/df in-plan from rows already in
+    * hand — BM25's statistics genuinely shift on delete, so the twin
+    * (scoring a corpus that never held the deleted docs) breaks the hash
+    * if any of the three corrections is missed. IndexDeleteSpec-style
+    * vacuum parity is pinned in BM25Spec. */
+  def textBm25IndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = Streaming.tempWorkspace("graft-bm25-index-delete")
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", path)
+    TextIndex.bm25IndexDelete(s,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", path)
+    TextIndex.bm25IndexSearch(s, bm25GateQueries(docs), "query_id", "qtext",
+        path, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val textBm25IndexDeleteSql: String = bm25Sql("doc_id % 7 != 3")
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-10
+    * and the exact-cosine semantic top-10 over the SAME query ids
+    * (documents 0-7's text prefixes / vectors 0-7) —
+    * [[graft.operators.TextIndex.rrfFuse]], the production shape every
+    * retrieval stack runs (each index prunes its own way, ranks fuse
+    * calibration-free). Both input rankings are independently
+    * oracle-gated (`text_bm25_topk`, `ann_bruteforce`); this gate pins
+    * the fusion arithmetic and the outer-join membership on top. */
+  def annHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lex = TextIndex.bm25TopK(docs, bm25GateQueries(docs), "doc_id",
+      "text", "query_id", "qtext", k = 10)
+    val sem = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    TextIndex.rrfFuse(lex, "doc_id", sem, "nbr_id", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annHybridRrfSql: String = {
+    // the bm25 CTE chain verbatim (k folded into the bm CTE), plus the
+    // ann_bruteforce scoring verbatim (vec_id < 8, k=10), fused by RRF
+    s"""WITH corpus AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(ts) AS term FROM corpus)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS len_sum FROM lens),
+       |qd AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM (
+       |    SELECT doc_id, unnest(ts[1:6]) AS term FROM (
+       |      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts
+       |      FROM documents WHERE doc_id < 8))),
+       |bm_scored AS (
+       |  SELECT qd.query_id, tf.doc_id,
+       |    SUM(CAST(ROUND(
+       |      LN(1.0e0 + (g.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) *
+       |      ((tf.tf * 2.2e0) /
+       |       (tf.tf + 1.2e0 * (0.25e0 + (0.75e0 * lens.dl) /
+       |          (CAST(g.len_sum AS DOUBLE) / g.n)))), 8)
+       |      AS DECIMAL(20,8))) AS score
+       |  FROM qd
+       |  JOIN tf ON qd.term = tf.term
+       |  JOIN dfreq ON tf.term = dfreq.term
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY 1, 2),
+       |bm AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |    FROM bm_scored)
+       |  WHERE rnk <= 10),
+       |ann_scored AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+       |      / (SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+       |       * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos_sim
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id < 8 AND c.vec_id != p.vec_id),
+       |ann AS (
+       |  SELECT query_id, doc_id, rnk AS sem_rnk FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rnk
+       |    FROM ann_scored)
+       |  WHERE rnk <= 10),
+       |fused AS (
+       |  SELECT COALESCE(bm.query_id, ann.query_id) AS query_id,
+       |    COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+       |    COALESCE(1.0e0 / (60 + bm.lex_rnk), 0.0e0) +
+       |    COALESCE(1.0e0 / (60 + ann.sem_rnk), 0.0e0) AS rrf
+       |  FROM bm FULL OUTER JOIN ann
+       |    ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id)
+       |SELECT query_id, rnk, doc_id, ROUND(rrf, 8) AS rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> textBm25TopK,
+    "text_bm25_index_roundtrip" -> textBm25IndexRoundtrip,
+    "text_bm25_index_append" -> textBm25IndexAppend,
+    "text_bm25_index_delete" -> textBm25IndexDelete,
+    "ann_hybrid_rrf" -> annHybridRrf,
     "text_ngram_freq" -> textNgramFreq,
     "text_pii" -> textPii,
     "text_contamination" -> textContamination,
@@ -2768,6 +2989,11 @@ object NorthStar {
     "media_features" -> mediaFeatures)
 
   def oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" -> textBm25TopKSql,
+    "text_bm25_index_roundtrip" -> textBm25IndexRoundtripSql,
+    "text_bm25_index_append" -> textBm25IndexAppendSql,
+    "text_bm25_index_delete" -> textBm25IndexDeleteSql,
+    "ann_hybrid_rrf" -> annHybridRrfSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii" -> textPiiSql,
     "text_contamination" -> textContaminationSql,

@@ -823,7 +823,98 @@ object Streaming {
       |WHERE z IS NOT NULL AND abs(z) > 2.5
       |ORDER BY user_id, ts_ns, value""".stripMargin
 
+  /** Online keyword retrieval from the FROZEN persisted BM25 index —
+    * [[streamAnnIndexServe]]'s lexical twin: the index builds once before
+    * any query arrives, query batches stream in as 4 real micro-batches,
+    * and each batch serves via a term-pruned scan of the stored postings
+    * inside foreachBatch with a batchId-keyed idempotent sink. Per-batch
+    * cost is O(the batch's matched postings) — never a corpus scan —
+    * and the union across micro-batches must hash-equal the one-shot
+    * roundtrip twin. */
+  def streamBm25IndexServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val tmp = tempWorkspace("graft-stream-bm25-index")
+    val out = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    val staged = s"$tmp/staged"
+    val idxPath = s"$tmp/index"
+    val docs = Tables.documents(s, dir)
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", idxPath)
+    val probeQs = NorthStar.bm25GateQueries(docs)
+    probeQs.repartition(4).write.parquet(staged)
+    val src = s.readStream.schema(probeQs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        TextIndex.bm25IndexSearch(s, batch, "query_id", "qtext", idxPath,
+            k = 5)
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the persisted-BM25 roundtrip oracle — online serving from the
+    * frozen index must be indistinguishable from the one-shot batch
+    * retrieval against the same stored statistics. */
+  val streamBm25IndexServeSql: String = NorthStar.textBm25IndexRoundtripSql
+
+  /** Streaming ingest INTO the persisted BM25 index — the write side of
+    * the lexical online story ([[streamAnnIndexServe]]/[[
+    * streamBm25IndexServe]] are the read sides): the index holds 90% of
+    * the corpus, the held-out documents ARRIVE as 4 real micro-batches,
+    * and each batch STAGES its raw documents into a batchId-keyed
+    * directory — the idempotently-overwritable step under foreachBatch's
+    * at-least-once contract (a blind in-stream `bm25IndexAppend` would
+    * double postings AND df/global deltas on a retry; the BM25 statistics
+    * are additive, which makes double-counting silent — exactly why the
+    * publish must be transactional). The staged union then publishes in
+    * ONE append, the fragmented tables self-maintain
+    * ([[graft.operators.TextIndex.bm25IndexMaybeCompact]]), and search
+    * serves the full corpus — hash-equal to the `text_bm25_index_append`
+    * twin, so a dropped batch, a doubled retry, or a lost statistics
+    * delta all break the hash. */
+  def streamBm25IndexIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val tmp = tempWorkspace("graft-stream-bm25-ingest")
+    val staged = s"$tmp/staged"
+    val arrivals = s"$tmp/arrivals"
+    val idxPath = s"$tmp/index"
+    val docs = Tables.documents(s, dir)
+    TextIndex.bm25IndexWrite(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      "doc_id", "text", idxPath)
+    val late = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    late.repartition(4).write.parquet(arrivals)
+    val src = s.readStream.schema(late.schema)
+      .option("maxFilesPerTrigger", 1).parquet(arrivals)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$staged/batch=$id")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TextIndex.bm25IndexAppend(s, s.read.parquet(staged), "doc_id", "text",
+      idxPath)
+    TextIndex.bm25IndexMaybeCompact(s, idxPath, maxFilesPerLeaf = 1)
+    TextIndex.bm25IndexSearch(s, NorthStar.bm25GateQueries(docs),
+        "query_id", "qtext", idxPath, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the append-lifecycle oracle — streaming stage-then-publish
+    * ingest must be indistinguishable from the batch append. */
+  val streamBm25IndexIngestSql: String = NorthStar.textBm25IndexAppendSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bm25_index_serve" -> streamBm25IndexServe,
+    "stream_bm25_index_ingest" -> streamBm25IndexIngest,
     "stream_ewma_serve" -> streamEwmaServe,
     "stream_anomaly_serve" -> streamAnomalyServe,
     "stream_latest_serve" -> streamLatestServe,
@@ -840,6 +931,8 @@ object Streaming {
     "stream_enrich" -> streamEnrich)
 
   def oracleSql: Map[String, String] = Map(
+    "stream_bm25_index_serve" -> streamBm25IndexServeSql,
+    "stream_bm25_index_ingest" -> streamBm25IndexIngestSql,
     "stream_ewma_serve" -> streamEwmaServeSql,
     "stream_anomaly_serve" -> streamAnomalyServeSql,
     "stream_latest_serve" -> streamLatestServeSql,

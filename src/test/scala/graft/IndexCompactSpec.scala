@@ -217,4 +217,37 @@ class IndexCompactSpec extends SparkSpec {
     assert(resultSet(search()) === before)
     fs.delete(new Path(path), true)
   }
+
+  test("maybeCompact: quiet below the threshold, fires above it, " +
+      "self-maintains under an append stream") {
+    import graft.operators.IndexTables
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-maybe-compact-spec").toString
+    Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 1,
+      dim = 64)
+    val baseFiles = dataFiles(s"$path/lists/gen-000000").size
+    // below threshold: no compaction, no new generation
+    assert(!Similarity.indexMaybeCompact(spark, path,
+      maxFilesPerLeaf = baseFiles + 64))
+    assert(IndexTables.liveDir(spark, s"$path/lists").endsWith("gen-000000"))
+    // an append stream with the check after every batch: whenever the live
+    // generation crosses the threshold the table folds itself back
+    (0 until 4).foreach { b =>
+      Similarity.imiIndexAppend(spark,
+        emb.filter(pmod(col("vec_id"), lit(8)) === (2 * b + 1)),
+        "vec_id", "embedding", path, groupSize = 4)
+      Similarity.indexMaybeCompact(spark, path, maxFilesPerLeaf = baseFiles)
+    }
+    val live = IndexTables.liveDir(spark, s"$path/lists")
+    assert(!live.endsWith("gen-000000"), "threshold crossings must compact")
+    assert(dataFiles(live).size <= baseFiles,
+      s"self-maintained table holds ${dataFiles(live).size} files")
+    // the maintained index serves the full union
+    val served = resultSet(Similarity.imiIndexSearch(spark,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
+      k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4))
+    assert(served.nonEmpty)
+    fs.delete(new Path(path), true)
+  }
 }

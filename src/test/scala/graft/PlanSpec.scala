@@ -604,4 +604,55 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "fuzzy join degraded to all-pairs")
   }
+
+  test("bm25IndexSearch pushes the query-term set into the postings scan " +
+      "and broadcasts the query/stats sides") {
+    import graft.operators.TextIndex
+    import org.apache.spark.sql.functions.{array_join, col, slice}
+    val docs = Tables.documents(spark, sf("0.001"))
+    val path = Files.createTempDirectory("graft-bm25-plan").toString
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", path)
+    val qs = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 6),
+          " ").as("qtext"))
+    val df = TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+      path, k = 5)
+    // the term predicate must reach parquet — at corpus scale this is the
+    // difference between O(matched postings) and a full postings scan
+    val pushed = scans(df).map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("In(term64")),
+      pushed.mkString("; "))
+    val stripped = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the corpus-sized side never shuffles raw: walking UP from the
+    // postings scan, both query/stats joins (broadcast) AND the partial
+    // score aggregate must appear BELOW the first exchange — so the only
+    // shuffled rows are the map-side-combined (query, doc) partials of
+    // MATCHED postings. (The tiny filtered-vocab df aggregate and the
+    // one-row globals frame each shuffle/broadcast their own
+    // ≤query-terms rows — bounded by the probe batch, not the corpus.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def chainTo(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case s: FileSourceScanExec
+          if s.metadata("Location").contains("/postings/") => Some(List(p))
+      case _ => p.children.view.flatMap(chainTo(_)).headOption.map(p :: _)
+    }
+    val chain = chainTo(stripped)
+      .getOrElse(fail("no postings scan in the plan"))
+    val belowFirstExchange = chain.reverse.takeWhile(!_.isInstanceOf[Exchange])
+    assert(belowFirstExchange.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      s"query/stats joins must broadcast below the shuffle:\n$stripped")
+    assert(belowFirstExchange.exists(_.isInstanceOf[HashAggregateExec]),
+      s"score aggregation must partial-combine before the shuffle:\n$stripped")
+    CacheScope.release(spark)
+    val fsys = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }
