@@ -741,6 +741,57 @@ object ScaleProbe {
           }
         } finally only = saved9
       }
+      // Global sequence packing A/B (r13): the two-stage distributed prefix
+      // sum vs the naive single-ordering window (the whole corpus in ONE
+      // window partition — Spark even warns "No Partition Defined"). Same
+      // output bit-for-bit (hash-asserted here before timing); the naive
+      // shape is the one-line version everyone writes first, and the probe
+      // records what it costs once the corpus outgrows one task.
+      if (only.contains("pack_ab")) {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val saved16 = only
+        only = Nil
+        try {
+          // isolate the PREFIX SUM itself: tokenize once to disk, both
+          // paths read the same narrow (doc_id, n_tokens) parquet — the
+          // timed difference is purely window strategy, not tokenization
+          // (timeAction clears caches between ops, so a shared cache
+          // can't level the field; a shared file does)
+          val toksPath = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-pack-$n").toString
+          docs.select(col("doc_id"),
+              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+            .filter(col("n_tokens") > 0)
+            .write.mode("overwrite").parquet(toksPath)
+          def toksD = spark.read.parquet(toksPath)
+          def naive = toksD
+            .withColumn("start_offset",
+              coalesce(sum(col("n_tokens")).over(W.orderBy(col("doc_id"))
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+            .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+              floor(col("start_offset") / 512).as("first_seq"),
+              floor((col("start_offset") + col("n_tokens") - 1) / 512)
+                .as("last_seq"))
+            .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+          def twoStage =
+            graft.queries.Pipeline.packOffsetsOver(toksD, 512)
+          def rowHash(df: DataFrame): (Long, String) = {
+            // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+            val r = df.agg(count(lit(1)),
+              coalesce(sum(xxhash64(col("doc_id"), col("n_tokens"),
+                col("start_offset"), col("first_seq"), col("last_seq"),
+                col("n_seqs")).cast("decimal(38,0)")),
+                lit(0).cast("decimal(38,0)"))).head
+            (r.getLong(0), r.getDecimal(1).toString)
+          }
+          val (hTwo, hNaive) = (rowHash(twoStage), rowHash(naive))
+          CacheScope.release(spark)
+          require(hTwo == hNaive,
+            s"pack two-stage $hTwo != naive window $hNaive")
+          time("pack_twostage", n) { twoStage }
+          time("pack_naive_window", n) { naive }
+        } finally only = saved16
+      }
       // Decimal- vs double-precision centroid update A/B (VERDICT r11 #6):
       // the exact-decimal accumulation exists for the cross-engine bit
       // determinism the GATES need; a production trainer doesn't. Same-run

@@ -412,7 +412,86 @@ object Pipeline {
       |FROM ranked r JOIN takes t ON r.domain = t.domain
       |WHERE r.rk <= t.take ORDER BY r.domain, r.rk""".stripMargin
 
+  /** Sequence packing for pretraining — the concat-and-chunk layout every
+    * autoregressive trainer uses: documents concatenate in a deterministic
+    * order (doc_id) into one token stream that is cut into fixed-length
+    * training sequences of `seqLen` tokens; each document reports the
+    * sequences it lands in (straddling a boundary ⇒ n_seqs > 1, the
+    * attention-masking cases a data card has to count).
+    *
+    * Distinct from `text_pack_bins` (TextAnalysis.packBins), which packs
+    * WITHIN a group key via an ordinary partitioned window — that shape
+    * cannot produce the single global stream (one window partition = the
+    * whole corpus in one task); this one exists precisely to do the
+    * global layout scalably.
+    *
+    * The global token offset is an exact prefix sum, and the naive window
+    * (`Window.orderBy(doc_id)` with no partition) would serialize the
+    * corpus into ONE task — the textbook 100 TB scale-killer. Instead the
+    * classic two-stage distributed prefix sum: range-partition by doc_id,
+    * per-partition running sums in parallel (window keyed on the partition
+    * id), one tiny per-partition-totals table (numPartitions rows) carries
+    * the cross-partition offsets through a driver-scale window, and a
+    * broadcast join adds them back. The partition-id column requires ONE
+    * materialization of the range exchange (scope-cached) — correctness
+    * does not depend on where the sampled range boundaries fall, only on
+    * ranges being sorted and disjoint, which RangePartitioner guarantees. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOver(Tables.documents(s, dir))
+
+  private[graft] def packSequencesOver(docs: DataFrame,
+                                       seqLen: Int = 512): DataFrame =
+    packOffsetsOver(
+      docs.select(col("doc_id"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      seqLen).orderBy(col("doc_id"))
+
+  /** The two-stage distributed prefix sum over a pre-tokenized
+    * (doc_id, n_tokens) frame — the packing core, unsorted. */
+  private[graft] def packOffsetsOver(toks: DataFrame,
+                                     seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withPid = graft.CacheScope.cache(
+      toks.repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val pidW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPid.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(pidW), lit(0L)))
+    // numPartitions rows: the single-ordering window here is over a table
+    // the size of the CLUSTER, not the corpus
+    val pidOff = withPid.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poff", coalesce(sum(col("ptot")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    local.join(broadcast(pidOff), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_off") + col("poff")).as("start_offset"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / seqLen).as("first_seq"),
+        floor((col("start_offset") + col("n_tokens") - 1) / seqLen)
+          .as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  val packSequencesSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '\w+')) n FROM documents),
+      |offs AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) soff
+      |  FROM toks WHERE n > 0)
+      |SELECT doc_id, n AS n_tokens, CAST(soff AS BIGINT) AS start_offset,
+      |  CAST(soff // 512 AS BIGINT) AS first_seq,
+      |  CAST((soff + n - 1) // 512 AS BIGINT) AS last_seq,
+      |  CAST((soff + n - 1) // 512 - soff // 512 + 1 AS BIGINT) AS n_seqs
+      |FROM offs ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_sequences" -> packSequences,
     "pipeline_mix_domains" -> mixDomains,
     "pipeline_data_card" -> pipelineDataCard,
     "sample_stratified" -> sampleStratified,
@@ -423,6 +502,7 @@ object Pipeline {
     "pipeline_clean_split" -> pipelineCleanSplit)
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_mix_domains" -> mixDomainsSql,
     "pipeline_data_card" -> pipelineDataCardSql,
     "sample_stratified" -> sampleStratifiedSql,
