@@ -1736,6 +1736,39 @@ object Similarity {
     imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * evaluation as an ENGINE operator, not a test assertion: the audit a
+    * serving pipeline publishes next to its nprobe/probe-depth knobs (the
+    * "measure, don't guess" view — recall is WHAT the IVF/IMI family
+    * trades for its scan fraction, so it belongs in the data card).
+    * Both inputs carry (query_id, nbr_id) rows (any of the top-k family's
+    * outputs); per query: hits = |approx ∩ exact|, recall = hits/k.
+    * One narrow join + one aggregate — both sides are k·probes rows, so
+    * the audit's cost is the two searches, never an extra corpus pass. */
+  def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("nbr_id"))
+      .join(approx.select(col("query_id"), col("nbr_id"),
+          lit(1L).as("hit")),
+        Seq("query_id", "nbr_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / k.toDouble, 6).as(s"recall_at_$k"))
+
+  /** Maintenance view of a persisted IMI index: live per-cell inverted-
+    * list sizes (tombstones applied) — the balance audit that decides
+    * when to retrain (skewed cells ⇒ the coarse quantizer no longer fits
+    * the data) vs merely compact. One aggregate over the pruned live
+    * generation; never loads vectors. */
+  def imiIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    applyTombstones(spark, path, spark.read
+        .parquet(IndexTables.liveDir(spark, s"$path/lists"))
+        .select(col("nbr_id"), col("cell")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+
   /** IMI + PQ composed index — the canonical billion-vector serving
     * structure (FAISS's "IMI2xN,PQM"): [[imiTrainedTopK]]'s trained
     * two-level coarse structure prunes the scan to the probed cells'

@@ -1958,6 +1958,32 @@ object NorthStar {
   val annImiTrainedSql: String = LshOracleSql.imiTopK(k = 5, groups = 4,
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4)
 
+  /** Recall@5 of the trained-IMI search against brute force — evaluation
+    * as an engine operator ([[Similarity.recallAudit]]): per probe, how
+    * many of the exact top-5 the probed cells actually contained. The twin
+    * recomputes BOTH searches (the full IMI training trajectory and the
+    * exact ranking) and intersects them independently — the audit itself
+    * is under the hash, not just its inputs. */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val imi = Similarity.imiTrainedTopK(emb, probes, "vec_id", "embedding",
+      k = 5, groups = 4, groupSize = 4, iters = 2, dim = 64,
+      nprobeGroups = 2, nprobeCells = 4)
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id",
+      "embedding", 5)
+    Similarity.recallAudit(imi, brute, 5).orderBy(col("query_id"))
+  }
+
+  val annRecallAuditSql: String =
+    s"""WITH imi AS (${annImiTrainedSql}),
+       |brute AS (${annBruteforceSql})
+       |SELECT b.query_id, COUNT(i.nbr_id) AS n_hits,
+       |  ROUND(COUNT(i.nbr_id) / 5.0, 6) AS recall_at_5
+       |FROM brute b LEFT JOIN imi i
+       |  ON b.query_id = i.query_id AND b.nbr_id = i.nbr_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   /** IMI + PQ composed index search (trained coarse structure × compressed
     * ADC scan — the canonical billion-vector serving composition); see
     * [[Similarity.imiPqTopK]]. Same IMI gate parameters as
@@ -2931,6 +2957,7 @@ object NorthStar {
     "emb_kmeans" -> embKmeans,
     "ann_imi_pq" -> annImiPq,
     "ann_imi_trained" -> annImiTrained,
+    "ann_recall_audit" -> annRecallAudit,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_joinpath" -> annIvfTrainedJoinpath,
     "ann_pq_trained" -> annPqTrained,
@@ -3010,6 +3037,7 @@ object NorthStar {
     "emb_kmeans" -> embKmeansSql,
     "ann_imi_pq" -> annImiPqSql,
     "ann_imi_trained" -> annImiTrainedSql,
+    "ann_recall_audit" -> annRecallAuditSql,
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_joinpath" -> annIvfTrainedSql,
     "ann_pq_trained" -> annPqTrainedSql,
