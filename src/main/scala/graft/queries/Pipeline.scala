@@ -478,6 +478,62 @@ object Pipeline {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** The per-SEQUENCE manifest over the same packing — the view the
+    * training dataloader actually consumes: for each fixed-length
+    * sequence, how many documents compose it, the token contribution sum
+    * (= seqLen except the final partial sequence), its first/last
+    * document, and whether its head/tail cut a document mid-stream (the
+    * attention-mask boundary flags). Derived from [[packOffsetsOver]] by a
+    * row-local explode of each document into the sequences it touches
+    * (bounded by n_seqs, almost always 1-2) + one keyed aggregate — no new
+    * scale machinery beyond the prefix sum it composes over. */
+  def packManifest(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512
+    val offs = packOffsetsOver(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      seqLen)
+    offs
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least((col("seq_id") + 1) * seqLen,
+            col("start_offset") + col("n_tokens")) -
+          greatest(col("seq_id") * seqLen, col("start_offset")))
+          .as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max(when(col("start_offset") < col("seq_id") * seqLen, 1L)
+          .otherwise(0L)).as("head_straddles"),
+        max(when(col("start_offset") + col("n_tokens") >
+            (col("seq_id") + 1) * seqLen, 1L)
+          .otherwise(0L)).as("tail_straddles"))
+      .orderBy(col("seq_id"))
+  }
+
+  val packManifestSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '\w+')) n FROM documents),
+      |offs AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |  soff FROM toks WHERE n > 0),
+      |spans AS (SELECT doc_id, n, soff,
+      |  unnest(generate_series(soff // 512, (soff + n - 1) // 512)) s
+      |  FROM offs)
+      |SELECT s AS seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(LEAST((s+1)*512, soff+n) - GREATEST(s*512, soff))
+      |    AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(MAX(CASE WHEN soff < s*512 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS head_straddles,
+      |  CAST(MAX(CASE WHEN soff+n > (s+1)*512 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tail_straddles
+      |FROM spans GROUP BY s ORDER BY seq_id""".stripMargin
+
   val packSequencesSql: String =
     """WITH toks AS (SELECT doc_id,
       |  len(regexp_extract_all(lower(text), '\w+')) n FROM documents),
@@ -492,6 +548,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack_sequences" -> packSequences,
+    "pipeline_pack_manifest" -> packManifest,
     "pipeline_mix_domains" -> mixDomains,
     "pipeline_data_card" -> pipelineDataCard,
     "sample_stratified" -> sampleStratified,
@@ -503,6 +560,7 @@ object Pipeline {
 
   def oracleSql: Map[String, String] = Map(
     "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_pack_manifest" -> packManifestSql,
     "pipeline_mix_domains" -> mixDomainsSql,
     "pipeline_data_card" -> pipelineDataCardSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -40,4 +40,28 @@ class PackSequencesSpec extends SparkSpec {
     // so the n_seqs > 1 branch is load-bearing
     assert(out.exists(_._6 > 1))
   }
+
+  test("the per-sequence manifest is the exact inverse view: every full " +
+      "sequence holds seqLen tokens, totals and straddles agree") {
+    val man = Pipeline.packManifest(spark, sf("0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6)))
+      .sortBy(_._1)
+    // contiguous sequence ids from 0
+    assert(man.map(_._1).toSeq === (0L until man.length).toSeq)
+    // every sequence except the last is exactly full
+    man.init.foreach { case (_, _, toks, _, _) => assert(toks === 512L) }
+    // token totals agree with the per-doc view
+    assert(man.map(_._3).sum === out.map(_._2).sum)
+    // a sequence whose head cuts a document must be preceded by one whose
+    // tail cuts a document (the same cut seen from both sides)
+    man.sliding(2).foreach {
+      case Array(prev, curr) => assert(curr._4 === prev._5)
+      case _ =>
+    }
+    // doc straddle count (n_seqs − 1 summed) equals the manifest's
+    // tail-cut count
+    assert(out.map(_._6 - 1).sum === man.map(_._5).sum)
+  }
 }
