@@ -2935,8 +2935,55 @@ object NorthStar {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Hybrid retrieval over BOTH frozen persisted indexes — the production
+    * serving composition (`ann_hybrid_rrf` is the same fusion with both
+    * sides recomputed in-invocation; here the BM25 postings and the IMI
+    * inverted lists each build ONCE and the query batch serves from the
+    * stored tables — term-pruned postings scan + probed-cell-pruned list
+    * scan — then RRF-fuses). The lexical query set is doc_id < 8, the
+    * semantic probe set vec_id < 10: the asymmetry makes the fusion's
+    * one-sided coalesce load-bearing on queries 8-9. The twin recomputes
+    * the full-scoring BM25 chain and the full IMI trajectory from scratch
+    * (k=10 each) and fuses with the same 1/(60+rnk) rule — an index row
+    * lost to fragmentation, a stale df after append, or a rank drift in
+    * either stored search breaks the hash. */
+  def annHybridIndexRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val bmPath = Streaming.tempWorkspace("graft-hybrid-bm25-index")
+    val imiPath = Streaming.tempWorkspace("graft-hybrid-imi-index")
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", bmPath)
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", imiPath,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    val lex = TextIndex.bm25IndexSearch(s, bm25GateQueries(docs),
+      "query_id", "qtext", bmPath, k = 10)
+    val sem = Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", imiPath, k = 10, groupSize = 4,
+      nprobeGroups = 2, nprobeCells = 4)
+    TextIndex.rrfFuse(lex, "doc_id", sem, "nbr_id", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annHybridIndexRrfSql: String =
+    s"""WITH lex AS (${bm25Sql("", k = 10)}),
+       |sem AS (${LshOracleSql.imiTopK(k = 10, groups = 4, groupSize = 4,
+      iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4)}),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.doc_id, s.nbr_id) AS doc_id,
+       |    COALESCE(1.0e0 / (60 + l.rnk), 0.0e0) +
+       |    COALESCE(1.0e0 / (60 + s.rnk), 0.0e0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.nbr_id)
+       |SELECT query_id, rnk, doc_id, ROUND(rrf, 8) AS rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> textBm25TopK,
+    "ann_hybrid_index_rrf" -> annHybridIndexRrf,
     "text_bm25_index_roundtrip" -> textBm25IndexRoundtrip,
     "text_bm25_index_append" -> textBm25IndexAppend,
     "text_bm25_index_delete" -> textBm25IndexDelete,
@@ -3021,6 +3068,7 @@ object NorthStar {
     "text_bm25_index_append" -> textBm25IndexAppendSql,
     "text_bm25_index_delete" -> textBm25IndexDeleteSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    "ann_hybrid_index_rrf" -> annHybridIndexRrfSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii" -> textPiiSql,
     "text_contamination" -> textContaminationSql,
