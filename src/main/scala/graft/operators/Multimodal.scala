@@ -79,6 +79,14 @@ object Multimodal {
       else if (isAudio(r.content)) decodeAudio(r)
       else StubCodec.decode(r)
 
+    /** Resize dispatch: real bilinear resize for JDK-decodable images
+      * (falling back to the stub on decode failure, like [[decode]]),
+      * stub arithmetic for everything else. */
+    def resize(r: MediaRecord, maxDim: Int): ResizedMedia =
+      if (isImage(r.content))
+        resizeReal(r, maxDim).getOrElse(resizeStub(r, maxDim))
+      else resizeStub(r, maxDim)
+
     private def decodeImage(r: MediaRecord): MediaFeatures =
       try {
         // avoid ImageIO's disk-backed cache in executor threads
@@ -139,5 +147,76 @@ object Multimodal {
     parts.select(col("media_id"), col("media_type"), col("content"))
       .as[MediaRecord]
       .mapPartitions(_.map(MediaCodec.decode))
+  }
+
+  /** A resize result: source + target dimensions and the hash of the
+    * resized content (the thumbnail a vision encoder ingests). */
+  final case class ResizedMedia(media_id: Long, media_type: String,
+                                src_width: Int, src_height: Int,
+                                width: Int, height: Int,
+                                content_hash: String)
+
+  /** Aspect-preserving downscale arithmetic shared by the real and stub
+    * paths (and re-spelled by the SQL twin): the longer side shrinks to
+    * `maxDim`, integer division, floor 1; never upscales. */
+  private[graft] def targetDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val long = math.max(w, h)
+    if (long <= maxDim || long == 0) (w, h)
+    else (math.max(1, w * maxDim / long), math.max(1, h * maxDim / long))
+  }
+
+  /** Batched per-partition RESIZE — the thumbnail/normalization step every
+    * vision-data pipeline runs before feature extraction, through the same
+    * magic-byte dispatch as [[decodeFeatures]]: formats the JDK decodes
+    * (PNG/JPEG/GIF/BMP) are REALLY resized — `BufferedImage` +
+    * bilinear `Graphics2D` draw, re-encoded as PNG, real output dims and a
+    * hash of the real resized bytes (MultimodalSpec pins a genuine PNG
+    * through the whole path); everything else degrades to the stub seam
+    * (dims from [[StubCodec]] arithmetic scaled by [[targetDims]], hash =
+    * md5 of the content + a `:resize:WxH` tag) so the plumbing — schema,
+    * byte-budget partitioning, per-partition batching — still runs
+    * end-to-end and the DuckDB twin can recompute it. Heavy bytes stay
+    * inside the task (only dims + hash come out), the same
+    * features-separate-from-blobs law as decode. */
+  def resizeMedia(spark: SparkSession, media: DataFrame, maxDim: Int,
+                  targetPartitions: Int = 0): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val parts = if (targetPartitions > 0) media.repartition(targetPartitions)
+                else media
+    parts.select(col("media_id"), col("media_type"), col("content"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => MediaCodec.resize(r, maxDim)))
+  }
+
+  private[graft] def resizeReal(r: MediaRecord,
+                                    maxDim: Int): Option[ResizedMedia] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      if (img == null) None
+      else {
+        val (w, h) = targetDims(img.getWidth, img.getHeight, maxDim)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(ResizedMedia(r.media_id, r.media_type,
+          img.getWidth, img.getHeight, w, h, md5Hex(bos.toByteArray)))
+      }
+    } catch { case _: Exception => None }
+
+  private[graft] def resizeStub(r: MediaRecord,
+                                    maxDim: Int): ResizedMedia = {
+    val f = StubCodec.decode(r)
+    val (w, h) = targetDims(f.width, f.height, maxDim)
+    ResizedMedia(r.media_id, r.media_type, f.width, f.height, w, h,
+      md5Hex(r.content ++ s":resize:${w}x$h".getBytes("UTF-8")))
   }
 }

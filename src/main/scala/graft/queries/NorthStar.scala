@@ -2683,6 +2683,38 @@ object NorthStar {
       |  md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Aspect-preserving media resize ([[Multimodal.resizeMedia]], maxDim
+    * 96) — the thumbnail/normalization step before a vision encoder. The
+    * fixture blobs are text bytes, so every record runs the STUB seam
+    * (real `BufferedImage` resizing is pinned on genuine PNGs in
+    * MultimodalSpec); the twin recomputes the stub dims, the integer
+    * downscale arithmetic, and the tagged content hash. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMedia(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), maxDim = 96)
+      .toDF().orderBy(col("media_id"))
+
+  val mediaResizeSql: String =
+    """WITH feat AS (
+      |  SELECT doc_id AS media_id, string_split(source, ':')[1] AS media_type,
+      |    LENGTH(text) AS n, text FROM documents),
+      |dims AS (
+      |  SELECT media_id, media_type, text,
+      |    CAST(64 + n % 577 AS INT) AS sw,
+      |    CAST(64 + (n * 31) % 421 AS INT) AS sh
+      |  FROM feat),
+      |t AS (SELECT *, GREATEST(sw, sh) AS lng FROM dims),
+      |r AS (
+      |  SELECT media_id, media_type, text, sw, sh,
+      |    CASE WHEN lng <= 96 THEN sw ELSE GREATEST(1, sw*96//lng) END AS w,
+      |    CASE WHEN lng <= 96 THEN sh ELSE GREATEST(1, sh*96//lng) END AS h
+      |  FROM t)
+      |SELECT media_id, media_type, sw AS src_width, sh AS src_height,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  md5(text || ':resize:' || CAST(w AS VARCHAR) || 'x' ||
+      |    CAST(h AS VARCHAR)) AS content_hash
+      |FROM r ORDER BY media_id""".stripMargin
+
   /** Corpus bigram frequency table, top 20 by (count desc, gram). */
   def textNgramFreq(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramFreq(Tables.documents(s, dir), "doc_id", "text",
@@ -2994,6 +3026,7 @@ object NorthStar {
     "text_pack_bins" -> textPackBins,
     "text_seg_dedup" -> textSegDedup,
     "media_frame_sample" -> mediaFrameSample,
+    "media_resize" -> mediaResize,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_stats" -> dedupClusterStats,
     "emb_quantize" -> embQuantize,
@@ -3075,6 +3108,7 @@ object NorthStar {
     "text_pack_bins" -> textPackBinsSql,
     "text_seg_dedup" -> textSegDedupSql,
     "media_frame_sample" -> mediaFrameSampleSql,
+    "media_resize" -> mediaResizeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "emb_quantize" -> embQuantizeSql,

@@ -252,6 +252,41 @@ class NorthStarSpec extends SparkSpec {
     assert(feats(3L) === stub)
   }
 
+  test("resizeMedia: a genuine PNG is REALLY resized (aspect-preserving " +
+      "bilinear, real output dims); non-media bytes run the stub seam") {
+    import spark.implicits._
+    val png = {
+      val img = new java.awt.image.BufferedImage(100, 40,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(5, 5, 0xff0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val txt = "just text bytes, resized by the stub".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "text", txt)
+    ).toDF("media_id", "media_type", "content")
+    val out = Multimodal.resizeMedia(spark, media, maxDim = 96).collect()
+      .map(r => r.media_id -> r).toMap
+    // real path: 100x40 -> longer side 100 shrinks to 96, 40*96/100 = 38
+    assert(out(1L).src_width === 100 && out(1L).src_height === 40)
+    assert(out(1L).width === 96 && out(1L).height === 38)
+    // the real hash is of the re-encoded resized bytes, not the stub tag
+    assert(out(1L).content_hash !==
+      Multimodal.resizeStub(Multimodal.MediaRecord(1L, "image", png),
+        96).content_hash)
+    // stub path: dims from the deterministic pseudo-decode, scaled by the
+    // same integer arithmetic, tagged content hash
+    assert(out(2L) ===
+      Multimodal.resizeStub(Multimodal.MediaRecord(2L, "text", txt), 96))
+    // no-upscale rule
+    assert(Multimodal.targetDims(50, 30, 96) === ((50, 30)))
+    assert(Multimodal.targetDims(200, 100, 96) === ((96, 48)))
+    assert(Multimodal.targetDims(1000, 3, 96) === ((96, 1)))
+  }
+
   test("piiScrub detects and redacts planted emails/IPs/phones") {
     import spark.implicits._
     val df = Seq(
