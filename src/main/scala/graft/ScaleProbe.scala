@@ -741,6 +741,33 @@ object ScaleProbe {
           }
         } finally only = saved9
       }
+      // Recall@10 vs probe depth (r13): the MEASURED form of the
+      // recall/scan-fraction trade every IMI scaladoc asserts — one gate
+      // parameterization per nprobeCells, each full trained-IMI search
+      // recall-audited against brute force with the recallAudit operator
+      // itself (timing includes the brute-force pass and the audit join;
+      // the point is the recall column, the wall clock is context).
+      if (only.contains("recall_nprobe_ab")) {
+        val saved17 = only
+        only = Nil
+        try {
+          val probes = emb.filter(col("vec_id") < 64)
+          for (np <- Seq(1, 2, 4)) {
+            var mean = 0.0
+            timeAction(s"recall_audit_npc$np", n) {
+              val imi = Similarity.imiTrainedTopK(emb, probes, "vec_id",
+                "embedding", k = 10, groups = 8, groupSize = 8, iters = 2,
+                dim = 64, nprobeGroups = 2, nprobeCells = np)
+              val brute = Similarity.bruteForceTopK(emb, probes, "vec_id",
+                "embedding", 10)
+              mean = Similarity.recallAudit(imi, brute, 10)
+                .agg(avg(col("recall_at_10"))).head.getDouble(0)
+            }
+            println(f"""{"op":"recall_nprobe","n":$n,"nprobe_cells":$np,""" +
+              f""""scan_groups":"2/8","mean_recall_at_10":$mean%.4f}""")
+          }
+        } finally only = saved17
+      }
       // Global sequence packing A/B (r13): the two-stage distributed prefix
       // sum vs the naive single-ordering window (the whole corpus in ONE
       // window partition — Spark even warns "No Partition Defined"). Same
