@@ -1714,7 +1714,15 @@ object Similarity {
   def imiIndexSearch(spark: org.apache.spark.sql.SparkSession,
                      probes: DataFrame, idCol: String, vecCol: String,
                      path: String, k: Int, groupSize: Int,
-                     nprobeGroups: Int, nprobeCells: Int): DataFrame = {
+                     nprobeGroups: Int, nprobeCells: Int,
+                     // FILTERED search (the vector-DB table stake): a
+                     // predicate over the stored list rows (`nbr_id`,
+                     // `cell`) composed INSIDE the pruned scan — it rides
+                     // the same parquet pushdown as the probed-cell set,
+                     // so a selective filter shrinks the ranked stream
+                     // instead of post-filtering the top-k (which would
+                     // return < k survivors)
+                     serveFilter: Option[Column] = None): DataFrame = {
     val (coarse, fine) = imiIndexModel(spark, path)
     // the probed-cell set is BOUNDED MODEL-SIZED state (≤ min(k cells,
     // probes × nprobeCells) ints): collecting it turns the cell join's
@@ -1728,10 +1736,12 @@ object Similarity {
     val nProbed = probedCells.count()
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = applyTombstones(spark, path, spark.read
+    val scanned = spark.read
       .parquet(IndexTables.liveDir(spark, s"$path/lists"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
-      .select(col("nbr_id"), col("cv"), col("cell")))
+    val lists = applyTombstones(spark, path,
+      serveFilter.map(scanned.filter).getOrElse(scanned)
+        .select(col("nbr_id"), col("cv"), col("cell")))
     val dim = fine.headOption.map(_.length).getOrElse(0)
     imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
   }

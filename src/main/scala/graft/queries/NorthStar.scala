@@ -2085,6 +2085,32 @@ object NorthStar {
     groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4,
     servePred = "vec_id % 7 != 3")
 
+  /** FILTERED search against the persisted IMI index — the vector-DB
+    * table stake (serve only candidates passing a metadata predicate):
+    * the predicate composes INSIDE the probed-cell-pruned list scan, so
+    * the ranked stream shrinks at the source and the top-k is the top-k
+    * OF THE FILTERED SET (a post-filter of an unfiltered top-k would
+    * return fewer than k survivors — different, and wrong, semantics).
+    * Twin: the same IMI trajectory with the predicate applied to the
+    * served corpus only ([[LshOracleSql.imiTopK]] `servePred` — training
+    * and the probe fan-out see everything, exactly what the stored frozen
+    * index does). */
+  def annImiIndexFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imi-index-filtered")
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", path,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4,
+        serveFilter = Some(pmod(col("nbr_id"), lit(3)) === 0))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val annImiIndexFilteredSql: String = LshOracleSql.imiTopK(k = 5,
+    groups = 4, groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2,
+    nprobeCells = 4, servePred = "vec_id % 3 = 0")
+
   /** Persisted IMI+PQ composed index round-trip — the serving split for
     * the canonical billion-vector structure ([[annImiPq]]'s composition,
     * [[annImiIndexRoundtrip]]'s lifecycle): [[Similarity.imiPqIndexWrite]]
@@ -3046,6 +3072,7 @@ object NorthStar {
     "ann_imi_index_roundtrip" -> annImiIndexRoundtrip,
     "ann_imi_index_append" -> annImiIndexAppend,
     "ann_imi_index_delete" -> annImiIndexDelete,
+    "ann_imi_index_filtered" -> annImiIndexFiltered,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtrip,
     "ann_imipq_index_append" -> annImiPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
@@ -3128,6 +3155,7 @@ object NorthStar {
     "ann_imi_index_roundtrip" -> annImiIndexRoundtripSql,
     "ann_imi_index_append" -> annImiIndexAppendSql,
     "ann_imi_index_delete" -> annImiIndexDeleteSql,
+    "ann_imi_index_filtered" -> annImiIndexFilteredSql,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtripSql,
     "ann_imipq_index_append" -> annImiPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,
