@@ -784,8 +784,10 @@ object ScaleProbe {
           // timed difference is purely window strategy, not tokenization
           // (timeAction clears caches between ops, so a shared cache
           // can't level the field; a shared file does)
-          val toksPath = java.nio.file.Files
-            .createTempDirectory(s"graft-probe-pack-$n").toString
+          // shutdown-hook-cleaned workspace (ADVICE r13: a bare
+          // createTempDirectory leaked a sizable /tmp dir per probe run)
+          val toksPath =
+            graft.queries.Streaming.tempWorkspace(s"graft-probe-pack-$n")
           docs.select(col("doc_id"),
               size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
             .filter(col("n_tokens") > 0)

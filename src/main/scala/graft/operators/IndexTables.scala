@@ -156,6 +156,48 @@ private[graft] object IndexTables {
     over
   }
 
+  // ---- index-ROOT generations (VERDICT r13 #1) --------------------------
+  //
+  // A persisted ANN index is a MODEL (codebooks) plus DATA assigned under
+  // that model. Compaction and vacuum rewrite data bytes the model already
+  // described, so per-TABLE generations suffice; a REBUILD (retrain)
+  // changes model and assignments TOGETHER, and a reader interleaving
+  // "load model" / "scan lists" across two independently-committed table
+  // swaps could pair a new model with old-model assignments — wrong cells,
+  // silently wrong results. So the index root `path` is ITSELF a
+  // generational table: each `gen-NNNNNN` under it is one complete,
+  // internally-consistent index (model tables + nested data-table
+  // generations), committed by a single root `_SUCCESS` created LAST.
+  // Readers resolve the root ONCE per serve ([[liveDir]] on the index
+  // path) and derive model and data dirs from it — old index or new index,
+  // never a mix. Appends/compacts operate INSIDE the live root generation;
+  // a rebuild (or a fresh `*IndexWrite` over an existing path) lands as
+  // root generation N+1 and the superseded index retires on the lease
+  // horizon like every other generation. Tombstones live OUTSIDE the
+  // generations at `path/tombstones` (ids are valid against any
+  // generation; the operation that folds them in deletes them).
+
+  /** Where the NEXT full index build (write or rebuild) lands: root
+    * generation N+1 (0 for a fresh path), any incomplete earlier attempt
+    * at that slot removed. The caller writes model + data beneath it, then
+    * [[commitRoot]]s. */
+  def nextRootDir(spark: SparkSession, path: String): String = {
+    val next = liveGenOpt(spark, path).map(_._1 + 1).getOrElse(0)
+    val f = fsOf(spark, path)
+    val p = new Path(path, genName(next))
+    if (f.exists(p)) f.delete(p, true) // dead earlier attempt
+    p.toString
+  }
+
+  /** The single atomic commit point of a full index build: create the root
+    * generation's `_SUCCESS` (readers resolve the new index from here on)
+    * and start the superseded index's lease-horizon retirement clock. */
+  def commitRoot(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    fsOf(spark, root).create(new Path(rootPath, "_SUCCESS"), true).close()
+    retireSuperseded(spark, rootPath.getParent.toString)
+  }
+
   /** Superseded complete generations old enough to retire — see the
     * object Scaladoc for why the clock is a first-observation marker, not
     * the superseder's `_SUCCESS` mtime. */

@@ -80,11 +80,17 @@ object Multimodal {
       else StubCodec.decode(r)
 
     /** Resize dispatch: real bilinear resize for JDK-decodable images
-      * (falling back to the stub on decode failure, like [[decode]]),
-      * stub arithmetic for everything else. */
+      * (falling back to the stub on decode failure, like [[decode]]);
+      * AUDIO reports the same dimensional story as [[decodeAudio]] — 0×0,
+      * a no-op "resize" (ADVICE r13: the stub's image-style src dims
+      * contradicted decode's 0×0 for the same record); stub arithmetic
+      * for everything else. */
     def resize(r: MediaRecord, maxDim: Int): ResizedMedia =
       if (isImage(r.content))
         resizeReal(r, maxDim).getOrElse(resizeStub(r, maxDim))
+      else if (isAudio(r.content))
+        ResizedMedia(r.media_id, r.media_type, 0, 0, 0, 0,
+          md5Hex(r.content ++ ":resize:0x0".getBytes("UTF-8")))
       else resizeStub(r, maxDim)
 
     private def decodeImage(r: MediaRecord): MediaFeatures =
@@ -191,8 +197,13 @@ object Multimodal {
   private[graft] def resizeReal(r: MediaRecord,
                                     maxDim: Int): Option[ResizedMedia] =
     try {
-      val img = javax.imageio.ImageIO.read(
+      // memory-backed image IO, like decodeImage: ImageIO.read(InputStream)
+      // with the default useCache=true spins up a disk-backed
+      // FileCacheImageInputStream in executor threads — temp-file churn,
+      // fails on a read-only tmp (ADVICE r13)
+      val iin = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(r.content))
+      val img = try javax.imageio.ImageIO.read(iin) finally iin.close()
       if (img == null) None
       else {
         val (w, h) = targetDims(img.getWidth, img.getHeight, maxDim)
@@ -206,7 +217,8 @@ object Multimodal {
           g.drawImage(img, 0, 0, w, h, null)
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(out, "png", ios) finally ios.close()
         Some(ResizedMedia(r.media_id, r.media_type,
           img.getWidth, img.getHeight, w, h, md5Hex(bos.toByteArray)))
       }

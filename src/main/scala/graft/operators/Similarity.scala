@@ -1432,10 +1432,16 @@ object Similarity {
     * probe-pruned scan, the full-precision vector for the exact-cosine
     * re-rank (the IVFFlat/IMI-flat layout; the compressed-code variant is
     * [[imiPqTopK]]'s composition). No custom file format: the index IS a
-    * set of tables, inheriting partitioning + predicate pushdown. The
-    * DATA table is generational ([[IndexTables]]): the base write lands
-    * as `lists/gen-000000`, appends accumulate in the live generation,
-    * [[indexCompact]] merges them reader-safely into the next. */
+    * set of tables, inheriting partitioning + predicate pushdown.
+    *
+    * Layout: generational at TWO levels ([[IndexTables]]). The index root
+    * holds `gen-NNNNNN` generations, each one complete model + data
+    * snapshot committed atomically (a fresh write over an existing path,
+    * or [[imiIndexRebuild]], swaps the WHOLE index reader-safely); inside
+    * a root generation the data table is itself generational — the base
+    * write lands as `lists/gen-000000`, appends accumulate in the live
+    * data generation, [[indexCompact]] merges them reader-safely into the
+    * next. */
   def imiIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, groups: Int, groupSize: Int, iters: Int,
                     dim: Int,
@@ -1446,6 +1452,11 @@ object Similarity {
                     exactUpdate: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // model + lists land under the NEXT index-root generation and become
+    // visible in ONE commit ([[IndexTables.commitRoot]]): a write over an
+    // existing path (fresh build, [[imiIndexRebuild]]) is a reader-safe
+    // swap of the whole index, never a partially-replaced model
+    val root = IndexTables.nextRootDir(spark, path)
     val sharedRows = new CorpusRows(corpus)
     val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
       iters, dim, literalBudget, exactUpdate, sharedRows)
@@ -1453,7 +1464,7 @@ object Similarity {
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
+        .repartition(1).write.mode("overwrite").parquet(s"$root/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
     // cell-partitioned ADAPTIVELY — the index's analog of the store's
@@ -1471,8 +1482,19 @@ object Similarity {
       .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
     (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
-     else out).parquet(IndexTables.writeDir(s"$path/lists"))
+     else out).parquet(IndexTables.writeDir(s"$root/lists"))
+    IndexTables.commitRoot(spark, root)
   }
+
+  /** The live index-root generation of a persisted ANN index — the ONE
+    * resolution a serve/maintenance entry makes before deriving model and
+    * data directories from it (see [[IndexTables]]'s index-root section:
+    * resolving per-table instead could pair a rebuilt model with the old
+    * generation's assignments). Public so specs and operational tooling
+    * can locate the live tables. */
+  def indexLiveRoot(spark: org.apache.spark.sql.SparkSession,
+                    path: String): String =
+    IndexTables.liveDir(spark, path)
 
   /** Compact a persisted index's DATA tables (`lists/` and/or `codes/`)
     * after appends (VERDICT r12 #1): every [[imiIndexAppend]] /
@@ -1489,9 +1511,11 @@ object Similarity {
     * them — so only the data tables compact. Idempotent; run it on the
     * maintenance cadence of the append stream. */
   def indexCompact(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit =
+                   path: String): Unit = {
+    val root = indexLiveRoot(spark, path)
     Seq("lists", "codes").foreach(t =>
-      IndexTables.compactTable(spark, s"$path/$t"))
+      IndexTables.compactTable(spark, s"$root/$t"))
+  }
 
   /** Threshold-triggered [[indexCompact]] — run after every append batch
     * (or on the ingest cadence): compacts a data table only once some
@@ -1501,10 +1525,12 @@ object Similarity {
     * (rados-timestore StoreHelpers.hs:194-221's rollover check, applied
     * to the index family). Returns whether any table compacted. */
   def indexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
-                        path: String, maxFilesPerLeaf: Int = 16): Boolean =
+                        path: String, maxFilesPerLeaf: Int = 16): Boolean = {
+    val root = indexLiveRoot(spark, path)
     Seq("lists", "codes").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
       .exists(identity)
+  }
 
   /** Tombstone-delete vectors from a persisted index WITHOUT rewriting it —
     * the takedown/decontamination path a training-data pipeline needs
@@ -1564,8 +1590,9 @@ object Similarity {
     val tomb = spark.read
       .parquet(applied.map(_.getPath.toString): _*)
       .select(col("nbr_id"))
+    val root = indexLiveRoot(spark, path)
     Seq("lists", "codes").foreach { t =>
-      val table = s"$path/$t"
+      val table = s"$root/$t"
       IndexTables.liveGenOpt(spark, table).foreach { case (g, livePath) =>
         val kept = spark.read.parquet(livePath.toString)
           .join(maybeBroadcast(tomb, dirDataBytes(spark, tombDir)),
@@ -1638,15 +1665,18 @@ object Similarity {
   }
 
   /** Reload a persisted IMI model ([[imiIndexWrite]]'s `coarse/` +
-    * `fine/`): bounded k×dim state, shape inferred from the stored
-    * indices; served from the session [[modelCache]] when the stored
-    * model is unchanged. */
+    * `fine/` under an already-resolved index ROOT generation — callers
+    * resolve the root once and derive every table from it): bounded k×dim
+    * state, shape inferred from the stored indices; served from the
+    * session [[modelCache]] when the stored model is unchanged (the cache
+    * key carries the root, so a rebuild's new generation misses
+    * naturally). */
   private def imiIndexModel(spark: org.apache.spark.sql.SparkSession,
-                            path: String)
+                            root: String)
       : (Array[Array[Double]], Array[Array[Double]]) =
-    cachedModel(spark, Seq(s"$path/coarse", s"$path/fine")) {
+    cachedModel(spark, Seq(s"$root/coarse", s"$root/fine")) {
       def load(name: String): Array[Array[Double]] = {
-        val rows = spark.read.parquet(s"$path/$name").collect()
+        val rows = spark.read.parquet(s"$root/$name").collect()
         val cells = rows.iterator.map(_.getAs[Int]("cell")).max + 1
         val dim = rows.iterator.map(_.getAs[Int]("d")).max + 1
         val m = Array.ofDim[Double](cells, dim)
@@ -1686,7 +1716,7 @@ object Similarity {
                      batch: DataFrame, idCol: String, vecCol: String,
                      path: String, groupSize: Int,
                      literalBudget: Long = CellLiteralBudget): DataFrame = {
-    val (coarse, fine) = imiIndexModel(spark, path)
+    val (coarse, fine) = imiIndexModel(spark, indexLiveRoot(spark, path))
     semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
         literalBudget, Some(coarse))
       .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
@@ -1697,10 +1727,11 @@ object Similarity {
     * the base layout. */
   def imiIndexAppendAssigned(spark: org.apache.spark.sql.SparkSession,
                              assigned: DataFrame, path: String): Unit = {
+    val table = s"${indexLiveRoot(spark, path)}/lists"
     val out = assigned.select(col("nbr_id"), col("cell"), col("cv"))
       .write.mode("append")
-    val live = IndexTables.liveDir(spark, s"$path/lists")
-    (if (IndexTables.cellPartitioned(spark, s"$path/lists"))
+    val live = IndexTables.liveDir(spark, table)
+    (if (IndexTables.cellPartitioned(spark, table))
        out.partitionBy("cell")
      else out).parquet(live)
   }
@@ -1723,7 +1754,11 @@ object Similarity {
                      // instead of post-filtering the top-k (which would
                      // return < k survivors)
                      serveFilter: Option[Column] = None): DataFrame = {
-    val (coarse, fine) = imiIndexModel(spark, path)
+    // ONE root resolution per serve: model and lists must come from the
+    // same index generation (a rebuild swapping between two per-table
+    // resolutions would mix them)
+    val root = indexLiveRoot(spark, path)
+    val (coarse, fine) = imiIndexModel(spark, root)
     // the probed-cell set is BOUNDED MODEL-SIZED state (≤ min(k cells,
     // probes × nprobeCells) ints): collecting it turns the cell join's
     // implicit restriction into a STATIC partition predicate the reader
@@ -1737,7 +1772,7 @@ object Similarity {
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val scanned = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/lists"))
+      .parquet(IndexTables.liveDir(spark, s"$root/lists"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
     val lists = applyTombstones(spark, path,
       serveFilter.map(scanned.filter).getOrElse(scanned)
@@ -1756,9 +1791,12 @@ object Similarity {
     * One narrow join + one aggregate — both sides are k·probes rows, so
     * the audit's cost is the two searches, never an extra corpus pass. */
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
-    exact.select(col("query_id"), col("nbr_id"))
-      .join(approx.select(col("query_id"), col("nbr_id"),
-          lit(1L).as("hit")),
+    // both sides distinct (ADVICE r13): the top-k family emits distinct
+    // (query_id, nbr_id) pairs, but a public audit operator must not count
+    // a duplicated approx pair as multiple hits (recall > 1)
+    exact.select(col("query_id"), col("nbr_id")).distinct()
+      .join(approx.select(col("query_id"), col("nbr_id")).distinct()
+          .withColumn("hit", lit(1L)),
         Seq("query_id", "nbr_id"), "left")
       .groupBy(col("query_id"))
       .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
@@ -1773,11 +1811,76 @@ object Similarity {
   def imiIndexStats(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame =
     applyTombstones(spark, path, spark.read
-        .parquet(IndexTables.liveDir(spark, s"$path/lists"))
+        .parquet(IndexTables.liveDir(
+          spark, s"${indexLiveRoot(spark, path)}/lists"))
         .select(col("nbr_id"), col("cell")))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
+
+  /** RETRAIN a persisted IMI index on its CURRENT live rows — the missing
+    * arm of [[imiIndexStats]]' retrain-vs-compact decision (VERDICT r13
+    * #1). Appends assign under the frozen model BY CONTRACT, so when the
+    * data drifts, cell skew only accumulates; the stats view detects it,
+    * and this is the remedy: retrain BOTH codebook levels on the live
+    * vectors (tombstones applied — a taken-down document never re-enters
+    * the model), re-assign every vector under the new model, and land
+    * model + lists as index-root generation N+1 under the SAME
+    * single-commit atomic swap every full build uses ([[IndexTables]]'s
+    * index-root section): a reader resolves the old index (old model +
+    * old assignments) or the new one, never a mix, and the superseded
+    * index retires on the lease horizon. Applied tombstones are folded in
+    * (their files removed once the new generation commits, like
+    * [[indexVacuum]]).
+    *
+    * Model shape (groups, groupSize, dim) is inferred from the stored
+    * model unless overridden — a rebuild may also RESIZE the index when
+    * the stats say the cell count stopped fitting the corpus.
+    * Self-contained: the IMI-flat lists hold full-precision vectors, so no
+    * source corpus is needed. (The PQ families' stored codes are lossy;
+    * they rebuild by re-running their `*IndexWrite` on the source corpus —
+    * which now lands as the same reader-safe root-generation swap.)
+    * Deterministic: identical training trajectory to a fresh
+    * [[imiIndexWrite]] on the surviving rows (same deterministic init,
+    * same order-independent decimal updates), so rebuild ≡ fresh build on
+    * the live corpus bit-exactly — the `ann_imi_index_rebuild` gate pins
+    * that against the full-corpus twin. Single-maintainer discipline like
+    * append/compact/vacuum. Reference analog: rollover opens a new layout
+    * generation when the current one stops fitting the data
+    * (rados-timestore `StoreHelpers.hs:194-221`); retraining is the ANN
+    * family's rollover. */
+  def imiIndexRebuild(spark: org.apache.spark.sql.SparkSession,
+                      path: String, iters: Int,
+                      groupsOverride: Option[Int] = None,
+                      groupSizeOverride: Option[Int] = None,
+                      literalBudget: Long = CellLiteralBudget,
+                      exactUpdate: Boolean = true): Unit = {
+    val root = indexLiveRoot(spark, path)
+    val (coarse0, fine0) = imiIndexModel(spark, root)
+    val groups = groupsOverride.getOrElse(coarse0.length)
+    val groupSize = groupSizeOverride.getOrElse(
+      if (coarse0.isEmpty) 1 else fine0.length / coarse0.length)
+    val dim = fine0.headOption.map(_.length).getOrElse(0)
+    val tombDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val applied = graft.sources.ParquetConcat.dataFiles(conf,
+      new org.apache.hadoop.fs.Path(tombDir))
+    // the training corpus: live rows of the CURRENT generation, cached —
+    // training iterates over it and assignment reads it once more
+    val corpus = graft.CacheScope.cache(
+      applyTombstones(spark, path, spark.read
+        .parquet(IndexTables.liveDir(spark, s"$root/lists"))
+        .select(col("nbr_id"), col("cv"))))
+    try {
+      imiIndexWrite(corpus, "nbr_id", "cv", path, groups, groupSize, iters,
+        dim, literalBudget, exactUpdate)
+    } finally graft.CacheScope.free(corpus)
+    // the committed generation contains no tombstoned rows; exactly the
+    // applied tombstone files clear (a delete landing mid-rebuild keeps
+    // its file and still serves through the anti-join)
+    val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
+    applied.foreach(st => f.delete(st.getPath, false))
+  }
 
   /** IMI + PQ composed index — the canonical billion-vector serving
     * structure (FAISS's "IMI2xN,PQM"): [[imiTrainedTopK]]'s trained
@@ -1920,6 +2023,8 @@ object Similarity {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // single-commit index-root generation, like [[imiIndexWrite]]
+    val root = IndexTables.nextRootDir(spark, path)
     val sharedRows = new CorpusRows(corpus)
     val (coarse, fine) = imiTrainRows(corpus, vecCol, groups, groupSize,
       iters, dim, literalBudget, exactUpdate, sharedRows)
@@ -1927,7 +2032,7 @@ object Similarity {
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/$name")
+        .repartition(1).write.mode("overwrite").parquet(s"$root/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
     // adaptively cell-partitioned like [[imiIndexWrite]]'s lists — the
@@ -1938,7 +2043,8 @@ object Similarity {
       .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
     (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
-     else out).parquet(IndexTables.writeDir(s"$path/codes"))
+     else out).parquet(IndexTables.writeDir(s"$root/codes"))
+    IndexTables.commitRoot(spark, root)
   }
 
   /** Append NEW vectors to an [[imiPqIndexWrite]]-persisted index without
@@ -1951,12 +2057,14 @@ object Similarity {
                        path: String, groupSize: Int, dim: Int,
                        subs: Int = 8, ksub: Int = 4,
                        literalBudget: Long = CellLiteralBudget): Unit = {
-    val (coarse, fine) = imiIndexModel(spark, path)
+    val root = indexLiveRoot(spark, path)
+    val (coarse, fine) = imiIndexModel(spark, root)
+    val table = s"$root/codes"
     val out = imiPqIndexRows(batch, idCol, vecCol, coarse, fine, groupSize,
         subs, ksub, dim, literalBudget)
       .write.mode("append")
-    val live = IndexTables.liveDir(spark, s"$path/codes")
-    (if (IndexTables.cellPartitioned(spark, s"$path/codes"))
+    val live = IndexTables.liveDir(spark, table)
+    (if (IndexTables.cellPartitioned(spark, table))
        out.partitionBy("cell")
      else out).parquet(live)
   }
@@ -1970,7 +2078,8 @@ object Similarity {
                        path: String, k: Int, groupSize: Int,
                        nprobeGroups: Int, nprobeCells: Int, dim: Int,
                        subs: Int = 8, ksub: Int = 4): DataFrame = {
-    val (coarse, fine) = imiIndexModel(spark, path)
+    val root = indexLiveRoot(spark, path) // one resolution per serve
+    val (coarse, fine) = imiIndexModel(spark, root)
     // bounded probed-cell set → static partition predicate (see
     // [[imiIndexSearch]]): the ADC scan touches ~nprobe/k of the stored
     // code files
@@ -1981,7 +2090,7 @@ object Similarity {
     val cellSet = probedCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpusIdx = applyTombstones(spark, path, spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
+      .parquet(IndexTables.liveDir(spark, s"$root/codes"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("nbr_id"), col("cell"), col("pq_code")))
     imiPqRank(corpusIdx, probedCells, k, subs, ksub,
@@ -2406,17 +2515,20 @@ object Similarity {
     require(Integer.bitCount(ksub) == 1, "ksub must be a power of two")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // single-commit index-root generation, like [[imiIndexWrite]]
+    val root = IndexTables.nextRootDir(spark, path)
     val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
     val rows = for {
       s <- books.indices; c <- books(s).indices; d <- books(s)(c).indices
     } yield (s, c, d, books(s)(c)(d))
     spark.createDataset(rows).toDF("s", "c", "d", "comp")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+      .repartition(1).write.mode("overwrite").parquet(s"$root/books")
     val ds = dim / subs
     corpus.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
       .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$path/codes"))
+      .parquet(IndexTables.writeDir(s"$root/codes"))
+    IndexTables.commitRoot(spark, root)
   }
 
   /** Append NEW vectors to a [[pqIndexWrite]]-persisted index WITHOUT
@@ -2432,11 +2544,12 @@ object Similarity {
                     path: String, subs: Int = 8, ksub: Int = 4,
                     dim: Int = 64): Unit = {
     val ds = dim / subs
-    val books = pqIndexModel(spark, path, subs, ksub, ds)
+    val root = indexLiveRoot(spark, path)
+    val books = pqIndexModel(spark, root, subs, ksub, ds)
     batch.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
       .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$path/codes"))
+      .parquet(IndexTables.liveDir(spark, s"$root/codes"))
   }
 
   /** Serve top-k from a [[pqIndexWrite]]-persisted index: reload the
@@ -2444,14 +2557,15 @@ object Similarity {
     * with each probe's broadcast ADC distance table. The search never
     * touches the original vectors — the serving cost is the code scan,
     * exactly [[pqTopK]]'s shape with the index read from disk. */
-  /** Reload a persisted PQ codebook ([[pqIndexWrite]]'s `books/`) —
-    * bounded subs×ksub×ds state, session-cached like [[imiIndexModel]]. */
+  /** Reload a persisted PQ codebook ([[pqIndexWrite]]'s `books/` under a
+    * resolved index ROOT generation) — bounded subs×ksub×ds state,
+    * session-cached like [[imiIndexModel]]. */
   private def pqIndexModel(spark: org.apache.spark.sql.SparkSession,
-                           path: String, subs: Int, ksub: Int,
+                           root: String, subs: Int, ksub: Int,
                            ds: Int): Array[Array[Array[Double]]] =
-    cachedModel(spark, Seq(s"$path/books")) {
+    cachedModel(spark, Seq(s"$root/books")) {
       val books = Array.ofDim[Double](subs, ksub, ds)
-      spark.read.parquet(s"$path/books").collect().foreach { r =>
+      spark.read.parquet(s"$root/books").collect().foreach { r =>
         books(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
           r.getAs[Double]("comp")
       }
@@ -2463,9 +2577,10 @@ object Similarity {
                     path: String, k: Int, subs: Int = 8, ksub: Int = 4,
                     dim: Int = 64): DataFrame = {
     val ds = dim / subs
-    val books = pqIndexModel(spark, path, subs, ksub, ds)
+    val root = indexLiveRoot(spark, path) // one resolution per serve
+    val books = pqIndexModel(spark, root, subs, ksub, ds)
     val codes = applyTombstones(spark, path, spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/codes")))
+      .parquet(IndexTables.liveDir(spark, s"$root/codes")))
     val p = probes.select(col(idCol).as("query_id"),
       trainedDtab(books, ds, subs, ksub)(col(vecCol)).as("dtab"))
     val adc = adcSum(subs, ksub)

@@ -229,25 +229,48 @@ object TextIndex {
     * correct the statistics in-plan (see [[bm25IndexDelete]]). Output:
     * (query_id, rnk, doc_id, score) with rnk 1..k by score DESC, doc_id
     * ASC on rounding ties. */
+  /** Ceiling on the number of literal term ids spliced into the pushed
+    * `In(term64, …)` predicate (VERDICT r13 #5): a literal In-list prunes
+    * row groups at the scan — the best shape for an online query batch —
+    * but its size IS the plan's size, so a bulk batch with a huge
+    * vocabulary (10⁵⁺ distinct terms) would build a plan-sized predicate
+    * where every other bounded-set site in the engine (probe broadcast,
+    * tombstones) is size-gated. Past the ceiling the restriction becomes a
+    * broadcast semi-join on `term64` instead — semantically identical,
+    * bounded plan, the [[Similarity.MaxProbeBroadcastBytes]] pattern. */
+  private[graft] val MaxTermInListValues = 4096L
+
   def bm25IndexSearch(spark: SparkSession, queries: DataFrame,
                       qidCol: String, qtextCol: String, path: String,
-                      k: Int): DataFrame = {
+                      k: Int,
+                      maxTermInList: Long = MaxTermInListValues): DataFrame = {
     val qterms = graft.CacheScope.cache(
       queries.select(col(qidCol).cast("long").as("query_id"),
           explode(tokens(col(qtextCol))).as("term"))
         .select(col("query_id"), xxhash64(col("term")).as("term64"))
         .distinct())
-    // the pushed predicate: the batch's distinct term ids — bounded by the
-    // query batch's vocabulary, the text analog of the probed-cell set
-    val termIds = qterms.select(col("term64")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val qBytes = 16L * termIds.length
-    val postings = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/postings"))
-      .filter(col("term64").isin(termIds: _*))
-    val dfSum = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/vocab"))
-      .filter(col("term64").isin(termIds: _*))
+    // the term restriction: the batch's distinct term ids — bounded by the
+    // query batch's vocabulary, the text analog of the probed-cell set.
+    // Under [[MaxTermInListValues]] it collects and pushes as a literal In
+    // (row-group skip); above, it stays distributed as a size-gated
+    // broadcast semi-join (never a plan-sized predicate, never a driver
+    // collect of a bulk vocabulary).
+    val qset = qterms.select(col("term64")).distinct()
+    val nTerms = qset.count()
+    val qBytes = 16L * nTerms
+    val inList: Option[Seq[Long]] =
+      if (nTerms <= maxTermInList)
+        Some(qset.collect().map(_.getLong(0)).toSeq)
+      else None
+    def termPruned(df: DataFrame): DataFrame = inList match {
+      case Some(ids) => df.filter(col("term64").isin(ids: _*))
+      case None => df.join(maybeBroadcastTomb(qset, qBytes),
+        Seq("term64"), "left_semi")
+    }
+    val postings = termPruned(spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/postings")))
+    val dfSum = termPruned(spark.read
+      .parquet(IndexTables.liveDir(spark, s"$path/vocab")))
       .groupBy(col("term64")).agg(sum(col("df")).as("df"))
     val globals = spark.read
       .parquet(IndexTables.liveDir(spark, s"$path/global"))

@@ -2111,6 +2111,39 @@ object NorthStar {
     groups = 4, groupSize = 4, iters = 2, dim = 64, nprobeGroups = 2,
     nprobeCells = 4, servePred = "vec_id % 3 = 0")
 
+  /** RETRAIN lifecycle of the persisted IMI index (VERDICT r13 #1 —
+    * [[Similarity.imiIndexRebuild]]): the model trains on 90% of the
+    * corpus, the held-out 10% arrives LATER under the frozen model (the
+    * append contract — exactly how drift-skewed cells accumulate), then
+    * the index REBUILDS: both codebook levels retrain on the union held in
+    * the stored lists, every vector re-assigns under the new model, and
+    * model + lists swap in as index-root generation N+1. The gate pins
+    * rebuild ≡ fresh build: the twin trains on the FULL corpus (no train
+    * predicate), so serving the rebuilt index must hash-equal an index
+    * built on everything from scratch — a rebuild that trained on stale
+    * rows, missed the appended batch, kept the old model, or re-assigned
+    * wrongly all break the hash. (Contrast `ann_imi_index_append`, whose
+    * twin trains on the 90% — the two gates bracket the frozen-vs-retrained
+    * model semantics.) */
+  def annImiIndexRebuild(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-imi-index-rebuild")
+    Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 2,
+      dim = 64)
+    Similarity.imiIndexAppend(s, emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", path, groupSize = 4)
+    Similarity.imiIndexRebuild(s, path, iters = 2)
+    Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, groupSize = 4, nprobeGroups = 2,
+        nprobeCells = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the full-corpus IMI trajectory — a rebuilt index must be
+    * indistinguishable from one freshly built on the union. */
+  val annImiIndexRebuildSql: String = annImiTrainedSql
+
   /** Persisted IMI+PQ composed index round-trip — the serving split for
     * the canonical billion-vector structure ([[annImiPq]]'s composition,
     * [[annImiIndexRoundtrip]]'s lifecycle): [[Similarity.imiPqIndexWrite]]
@@ -3073,6 +3106,7 @@ object NorthStar {
     "ann_imi_index_append" -> annImiIndexAppend,
     "ann_imi_index_delete" -> annImiIndexDelete,
     "ann_imi_index_filtered" -> annImiIndexFiltered,
+    "ann_imi_index_rebuild" -> annImiIndexRebuild,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtrip,
     "ann_imipq_index_append" -> annImiPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
@@ -3156,6 +3190,7 @@ object NorthStar {
     "ann_imi_index_append" -> annImiIndexAppendSql,
     "ann_imi_index_delete" -> annImiIndexDeleteSql,
     "ann_imi_index_filtered" -> annImiIndexFilteredSql,
+    "ann_imi_index_rebuild" -> annImiIndexRebuildSql,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtripSql,
     "ann_imipq_index_append" -> annImiPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,

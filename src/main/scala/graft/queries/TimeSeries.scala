@@ -124,6 +124,71 @@ object TimeSeries {
   // the twin IS storeRoundtripSql's: the SQL table serves the same API read
   val storeSqlSql: String = storeRoundtripSql
 
+  // Takedown sub-range: 2024-01-12 .. 2024-01-16 (inside [T0, T1]).
+  private val D0 = 1705017600000000000L
+  private val D1 = 1705363200000000000L
+
+  /** Takedown on the PRIMARY store (VERDICT r13 #2 —
+    * [[graft.sources.TimeStore.deletePoints]] /
+    * [[graft.sources.TimeStore.vacuumDeletes]]): every derived index can
+    * forget a document, and this closes the loop for the corpus itself.
+    * The whole events fixture ingests through the store protocol, then a
+    * takedown request deletes two addresses over a time sub-range; the
+    * read is served TWICE under one hash — first with the rows suppressed
+    * by the pending-tombstone anti-join (materialized before the vacuum,
+    * while the delete files still exist), then after
+    * [[graft.sources.TimeStore.vacuumDeletes]] physically rewrote the
+    * points generation without them (reader-safe `_SUCCESS` swap, applied
+    * delete files cleared). The twin serves the surviving rows for both
+    * phases from the raw fixture: a row that leaks through the anti-join,
+    * a row lost or kept wrongly by the vacuum rewrite, or a dedup winner
+    * chosen before the delete all break the hash. */
+  def storeDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-delete")
+    val n = TimeStore.namespace(root, "TAKEDOWN")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    // the takedown: users 2 and 8 (addresses 4, 16), middle sub-range
+    TimeStore.deletePoints(s, n, Seq(4L, 16L), D0, D1)
+    def read() = TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+    // materialize the tombstoned phase BEFORE the vacuum rewrites the
+    // generation and clears the applied delete files its plan references
+    val preOut = s"$root/pre"
+    read().withColumn("phase", lit("tombstoned")).write.parquet(preOut)
+    TimeStore.vacuumDeletes(s, n)
+    s.read.parquet(preOut)
+      .unionByName(read().withColumn("phase", lit("vacuumed")))
+      .select(col("phase"), col("user_id"), col("ts_ns"), col("event_id"))
+      .orderBy(col("phase"), col("ts_ns"), col("user_id"))
+  }
+
+  val storeDeleteSql: String =
+    s"""WITH surviving AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |    AND NOT (user_id IN (2,8) AND epoch_ns(ts) BETWEEN $D0 AND $D1)
+       |), served AS (
+       |  SELECT user_id, ts_ns, event_id FROM surviving WHERE rn = 1)
+       |SELECT phase, user_id, ts_ns, event_id FROM (
+       |  SELECT 'tombstoned' AS phase, * FROM served
+       |  UNION ALL
+       |  SELECT 'vacuumed' AS phase, * FROM served)
+       |ORDER BY phase, ts_ns, user_id""".stripMargin
+
   /** The store ingest as PURE SQL (VERDICT r10 #3): `CREATE TABLE … USING
     * graft` + `INSERT INTO … SELECT` drive the WHOLE write protocol — lease,
     * route, one shuffle on (kind, epoch, bucket), partitioned append,
@@ -953,6 +1018,7 @@ object TimeSeries {
     "ts_anomaly"        -> anomaly,
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
+    "ts_store_delete" -> storeDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
     "ts_store_latest"   -> storeLatest,
@@ -976,6 +1042,7 @@ object TimeSeries {
     "ts_anomaly"        -> anomalySql,
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
+    "ts_store_delete" -> storeDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,
     "ts_store_latest"   -> storeLatestSql,

@@ -394,13 +394,29 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     parts.toArray
   }
 
+  /** Pending takedown tombstones, loaded ONCE at plan time (driver-side,
+    * bounded by the takedown volume since the last vacuum) and shipped to
+    * every reader: the SQL scan must suppress deleted rows exactly like
+    * [[TimeStore.readSimple]]'s anti-join. Row-level suppression needs the
+    * row-based reader — [[GraftReaderFactory.supportColumnarReads]] drops
+    * to it while tombstones are pending; [[TimeStore.vacuumDeletes]]
+    * restores the vectorized path (the bounded-window trade: correctness
+    * immediately, full scan speed back on the vacuum cadence). */
+  private lazy val deleteTriples: Array[Long] = {
+    val spark = SparkSession.active
+    val n = TimeStore.Namespace(root, ns)
+    TimeStore.loadDeleteTriples(spark.sparkContext.hadoopConfiguration,
+      TimeStore.deleteFiles(spark, n))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     new GraftReaderFactory(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
       required, filters,
       spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096").toInt,
-      spark.conf.get("spark.sql.columnVector.offheap.enabled", "false").toBoolean)
+      spark.conf.get("spark.sql.columnVector.offheap.enabled", "false").toBoolean,
+      deleteTriples)
   }
 
   /** Exact row count of the pruned file set from parquet footer metadata —
@@ -495,7 +511,8 @@ object GraftParquetFilters {
 
 class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
                          filters: Array[Filter], batchCapacity: Int,
-                         offHeap: Boolean)
+                         offHeap: Boolean,
+                         deleteTriples: Array[Long] = Array.emptyLongArray)
     extends PartitionReaderFactory {
 
   private val DataColNames = Set("address", "time", "payload", "value")
@@ -504,18 +521,22 @@ class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
     * partition-columns (the vectorized reader appends partition vectors
     * after the file's data vectors). Catalyst prunes preserving the table
     * schema order — which IS data-then-partition — so this holds for every
-    * real plan; the row-based reader remains as the general fallback. */
+    * real plan; the row-based reader remains as the general fallback.
+    * Pending takedown tombstones ALSO force the row path: the vectorized
+    * reader hands back whole batches, so per-row suppression lives in
+    * [[GraftPartitionReader]] until a vacuum clears the tombstones. */
   private def dataThenPartition: Boolean = {
     val firstPart = required.fieldNames.indexWhere(n => !DataColNames(n))
     firstPart < 0 || required.fieldNames.drop(firstPart).forall(n => !DataColNames(n))
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataThenPartition
+    dataThenPartition && deleteTriples.isEmpty
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(conf, required,
-      partition.asInstanceOf[GraftInputPartition].files, filters)
+      partition.asInstanceOf[GraftInputPartition].files, filters,
+      deleteTriples)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -632,7 +653,8 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
   * the footer stats before any page IO — the DSv2 twin of the row-group
   * skipping the raw-parquet Scala read path gets from Spark's reader. */
 class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
-                           files: Seq[GraftFileSlice], filters: Array[Filter])
+                           files: Seq[GraftFileSlice], filters: Array[Filter],
+                           deleteTriples: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.HadoopReadOptions
@@ -651,8 +673,13 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
   // (e.g. `count(*) WHERE time >= t` prunes all columns). A partition-only
   // projection with no filters still needs row COUNT: read the narrowest
   // column.
+  // Pending takedown tombstones test (address, time) — those columns must
+  // decode even if the projection pruned them away.
+  private val delCols: Array[String] =
+    if (deleteTriples.isEmpty) Array.empty else Array("address", "time")
   private val dataCols = (required.fieldNames.filter(DataColNames.contains) ++
-    filters.flatMap(_.references).filter(DataColNames.contains)).distinct
+    filters.flatMap(_.references).filter(DataColNames.contains) ++
+    delCols).distinct
   private val readCols: Array[String] =
     if (dataCols.nonEmpty) dataCols else Array("address")
 
@@ -797,7 +824,9 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
         val time = if (timeSlot >= 0) readLongAt(timeSlot) else 0L
         val payload = if (paySlot >= 0) readLongAt(paySlot) else 0L
         val value = if (valSlot >= 0) readBinaryAt(valSlot) else null
-        if (rowPred(address, time, payload, value, curFile)) {
+        if ((deleteTriples.isEmpty ||
+              !TimeStore.deletedBy(deleteTriples, address, time)) &&
+            rowPred(address, time, payload, value, curFile)) {
           val vals: Array[Any] = required.fieldNames.map {
             case "address" => address
             case "time" => time

@@ -599,11 +599,12 @@ object TimeStore {
       if (start >= 0 && end >= 0) col("time").between(start, end)
       else if (start >= 0) col("time") >= start || col("time") < 0
       else col("time").between(start, end)
-    val df = spark.read.schema(storeSchema).parquet(liveOpt.get)
-      .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
-      .filter(addrPred && signedRange &&
-        PointFunctions.unsignedGte(col("time"), lit(start)) &&
-        PointFunctions.unsignedLte(col("time"), lit(end)))
+    val df = applyDeletes(spark, n,
+      spark.read.schema(storeSchema).parquet(liveOpt.get)
+        .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
+        .filter(addrPred && signedRange &&
+          PointFunctions.unsignedGte(col("time"), lit(start)) &&
+          PointFunctions.unsignedLte(col("time"), lit(end))))
     // First-wins dedup with a PINNED winner (`deDuplicate`,
     // Algorithms.hs:273-298): `dropDuplicates` keeps an arbitrary row that
     // can flip under repartitioning when two points share (address, time)
@@ -773,6 +774,213 @@ object TimeStore {
     }
   }
 
+  // ---- takedown: deletes on the PRIMARY store (VERDICT r13 #2) ----------
+  //
+  // Every derived index family can forget a document (tombstone delete +
+  // vacuum); this is the same contract for the point/document store itself
+  // — the FIRST thing a takedown/GDPR request needs, since scrubbing a
+  // document from every index while the corpus still holds it deletes
+  // nothing. (The reference store is append-only; this is the engine's own
+  // LLM-pipeline mandate, exactly like the index deletes were.)
+  //
+  // Representation: (address, tstart, tend) unsigned-range tombstones in
+  // small parquet files under `<ns>/deletes/` — one atomically-published
+  // file per delete call, ids+range only (24 bytes/row). Every read path
+  // (readSimple/readExtended, latestUniques, the local point ops, the DSv2
+  // SQL scan) suppresses matching rows immediately; [[vacuumDeletes]]
+  // folds them in physically as a new points generation under the SAME
+  // reader-safe swap as [[compact]] and clears exactly the applied files.
+  // Pending-tombstone cost: one anti-join against a table bounded by the
+  // takedown volume since the last vacuum (broadcast under
+  // [[DeleteBroadcastBytes]]), never corpus-sized.
+
+  private[graft] def deletesDir(n: Namespace) = s"${n.dir}/deletes"
+
+  /** Broadcast ceiling for the pending-delete anti-join side — the
+    * probe-size-gate pattern; past it the planner picks its own strategy
+    * and the namespace is overdue for [[vacuumDeletes]]. */
+  private[graft] val DeleteBroadcastBytes: Long = 64L << 20
+
+  private val DeleteFileSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      """message spark_schema {
+        |  required int64 address;
+        |  required int64 tstart;
+        |  required int64 tend;
+        |}""".stripMargin)
+
+  /** Tombstone-delete every point of `addrs` in the UNSIGNED time range
+    * [start, end] (the defaults span all of time — a whole-address
+    * takedown). The entries land as ONE staged-then-renamed parquet file
+    * under `deletes/` (readers are lock-free, so they must never list an
+    * uncommitted footer — the same publish discipline as the local point
+    * writes) and suppress matching rows from every read path immediately;
+    * [[vacuumDeletes]] folds them in physically. Held under the writer
+    * lease: deletes are writer-side mutations in the single-writer
+    * protocol. Watermarks never rewind — `latest` is a monotonic
+    * high-water mark of what was WRITTEN, not of what survives (deleting
+    * the newest point must not re-open its epoch for rollover). */
+  def deletePoints(spark: SparkSession, n: Namespace, addrs: Seq[Long],
+                   start: Long = 0L, end: Long = -1L): Unit =
+    withWriterLease(spark, n) {
+      if (addrs.nonEmpty) {
+        mustFetchIndex(spark, n, "simple") // "invalid namespace" discipline
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dir = new Path(deletesDir(n))
+        val f = fs(spark, dir.toString)
+        f.mkdirs(dir)
+        import org.apache.parquet.hadoop.example.ExampleParquetWriter
+        import org.apache.parquet.hadoop.metadata.CompressionCodecName
+        import org.apache.parquet.example.data.simple.SimpleGroupFactory
+        val base = s"del-${java.util.UUID.randomUUID()}.parquet"
+        val tmp = new Path(dir, s".$base.inprogress")
+        val writer = ExampleParquetWriter.builder(tmp)
+          .withConf(conf).withType(DeleteFileSchema)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .build()
+        try {
+          val factory = new SimpleGroupFactory(DeleteFileSchema)
+          addrs.distinct.foreach { a =>
+            val g = factory.newGroup()
+            g.append("address", a)
+            g.append("tstart", start)
+            g.append("tend", end)
+            writer.write(g)
+          }
+        } finally writer.close()
+        if (!f.rename(tmp, new Path(dir, base)))
+          throw new java.io.IOException(s"failed to publish delete: $tmp")
+      }
+    }
+
+  private[graft] def deleteFiles(spark: SparkSession, n: Namespace)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    ParquetConcat.dataFiles(spark.sparkContext.hadoopConfiguration,
+      new Path(deletesDir(n)))
+
+  /** Driver-side load of the pending delete entries as packed
+    * (address, tstart, tend) triples — for the local point ops and the
+    * DSv2 scan, whose readers evaluate rows outside a Spark plan. Bounded
+    * by the takedown volume since the last vacuum. */
+  private[graft] def loadDeleteTriples(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Array[Long] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = Array.newBuilder[Long]
+    files.foreach { st =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getLong("address", 0)
+          out += g.getLong("tstart", 0)
+          out += g.getLong("tend", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
+  /** Whether packed [[loadDeleteTriples]] entries suppress (address, time)
+    * — shared row test for the local ops and the DSv2 row reader. */
+  private[graft] def deletedBy(triples: Array[Long], address: Long,
+                                 time: Long): Boolean = {
+    var i = 0
+    while (i < triples.length) {
+      if (triples(i) == address &&
+          java.lang.Long.compareUnsigned(time, triples(i + 1)) >= 0 &&
+          java.lang.Long.compareUnsigned(time, triples(i + 2)) <= 0)
+        return true
+      i += 3
+    }
+    false
+  }
+
+  /** Anti-join a point scan against the namespace's pending delete
+    * tombstones (no-op when none): equi-key on address with the unsigned
+    * range as the join residual, delete side broadcast under
+    * [[DeleteBroadcastBytes]]. Applied BEFORE dedup — the pinned
+    * first-wins winner must be chosen among SURVIVING rows only. */
+  private def applyDeletes(spark: SparkSession, n: Namespace,
+                           df: DataFrame): DataFrame = {
+    val files = deleteFiles(spark, n)
+    if (files.isEmpty) df
+    else {
+      val bytes = files.map(_.getLen).sum
+      val tomb = spark.read.parquet(files.map(_.getPath.toString): _*)
+        .select(col("address").as("__del_addr"),
+          col("tstart").as("__del_start"), col("tend").as("__del_end"))
+      val t = if (bytes <= DeleteBroadcastBytes) broadcast(tomb) else tomb
+      df.join(t,
+        col("address") === col("__del_addr") &&
+          PointFunctions.unsignedGte(col("time"), col("__del_start")) &&
+          PointFunctions.unsignedLte(col("time"), col("__del_end")),
+        "left_anti")
+    }
+  }
+
+  /** Physically fold the pending delete tombstones into the store: rewrite
+    * the live points generation WITHOUT the matching rows as generation
+    * N+1 — the same reader-safe `_SUCCESS` swap and lease-horizon
+    * retirement as [[compact]] — then remove exactly the delete files that
+    * were applied (a delete landing mid-vacuum keeps its file and still
+    * serves through the anti-join).
+    *
+    * Scale shape: unlike compact's binary merge, row removal must decode —
+    * but it never shuffles: the scan's input splits are already aligned to
+    * the (kind, epoch, bucket) leaf directories, the delete side joins as
+    * a BROADCAST anti-join, and `partitionBy` lands each task's surviving
+    * rows back into its own leaf — one read + one write pass over the
+    * store, zero exchange. (Run [[compact]] after if the rewrite fans a
+    * leaf into several files.) A vacuum that dies before its `_SUCCESS`
+    * never becomes live ([[recoverStranded]] clears it); one that dies
+    * after the swap but before clearing the applied files re-applies them
+    * harmlessly (the rows are already gone — the anti-join matches
+    * nothing) until the next vacuum clears them. */
+  def vacuumDeletes(spark: SparkSession, n: Namespace): Unit =
+    withWriterLease(spark, n) {
+      val applied = deleteFiles(spark, n)
+      if (applied.nonEmpty) {
+        val f = fs(spark, n.dir)
+        val gens = generations(spark, n)
+        val liveComplete = gens.filter(g => isComplete(f, g._2)).lastOption
+        liveComplete match {
+          case None =>
+            // never-written (or first-append-in-flight) namespace: nothing
+            // to fold, reads are empty/anti-joined either way — keep the
+            // tombstones pending until there is a generation to rewrite
+            ()
+          case Some((curGen, curPath)) =>
+            val next = new Path(genPath(n, curGen + 1))
+            if (f.exists(next)) f.delete(next, true) // dead earlier attempt
+            val bytes = applied.map(_.getLen).sum
+            val tomb = spark.read
+              .parquet(applied.map(_.getPath.toString): _*)
+              .select(col("address").as("__del_addr"),
+                col("tstart").as("__del_start"), col("tend").as("__del_end"))
+            val t = if (bytes <= DeleteBroadcastBytes) broadcast(tomb) else tomb
+            spark.read.schema(storeSchema).parquet(curPath.toString)
+              .join(t,
+                col("address") === col("__del_addr") &&
+                  PointFunctions.unsignedGte(col("time"), col("__del_start")) &&
+                  PointFunctions.unsignedLte(col("time"), col("__del_end")),
+                "left_anti")
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("kind", "epoch", "bucket")
+              .parquet(next.toString)
+            // the write's _SUCCESS commit made the vacuumed generation
+            // live; superseded generations retire on the lease horizon
+            crashPoint("vacuum-after-gen-commit")
+            retireable(spark, f, generations(spark, n), curGen + 1)
+              .foreach(g => f.delete(g._2, true))
+            applied.foreach(st => f.delete(st.getPath, false))
+        }
+      }
+    }
+
   /** Latest point per address over a namespace kind (`latestUniques`,
     * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials.
     *
@@ -790,9 +998,9 @@ object TimeStore {
     // schema declared explicitly, matching readKind: a namespace whose
     // first append crashed mid-job (only _temporary present) must read as
     // empty here too, not fail schema inference (ADVICE r6 low)
-    val base = livePointsPath(spark, n)
+    val base = applyDeletes(spark, n, livePointsPath(spark, n)
       .map(spark.read.schema(storeSchema).parquet(_))
-      .getOrElse(emptyPoints(spark)).filter(col("kind") === kind)
+      .getOrElse(emptyPoints(spark)).filter(col("kind") === kind))
     val payload = struct(col("time"), col("payload"), col("value"))
     val ord = struct(
       bitwise_not(col("time").bitwiseXOR(lit(Long.MinValue))),
@@ -982,7 +1190,14 @@ object TimeStore {
     }.filter(p => addrSet.contains(p.address) &&
       java.lang.Long.compareUnsigned(p.time, start) >= 0 &&
       java.lang.Long.compareUnsigned(p.time, end) <= 0)
-    rows.groupBy(p => (p.address, p.time)).valuesIterator
+    // pending takedown tombstones suppress rows here exactly like the
+    // distributed scan's anti-join (local/distributed parity is spec- and
+    // oracle-pinned); applied BEFORE the pinned-winner dedup
+    val delTriples = loadDeleteTriples(conf, deleteFiles(spark, n))
+    val live2 =
+      if (delTriples.isEmpty) rows
+      else rows.filterNot(p => deletedBy(delTriples, p.address, p.time))
+    live2.groupBy(p => (p.address, p.time)).valuesIterator
       .map(_.min(pinnedWinner)).toVector.sorted(Point.ordering)
   }
 

@@ -53,12 +53,13 @@ class IndexCompactSpec extends SparkSpec {
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
       k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
     val before = resultSet(search())
-    val gen0Files = dataFiles(s"$path/lists/gen-000000")
+    val root = Similarity.indexLiveRoot(spark, path)
+    val gen0Files = dataFiles(s"$root/lists/gen-000000")
     assert(gen0Files.size > 3,
       s"appends should fragment the live generation (got ${gen0Files.size})")
 
     Similarity.indexCompact(spark, path)
-    val live = s"$path/lists/gen-000001"
+    val live = s"$root/lists/gen-000001"
     assert(fs.exists(new Path(s"$live/_SUCCESS")),
       "compaction must commit a complete new generation")
     // one file per leaf: unpartitioned fixture layout -> exactly one file
@@ -67,7 +68,7 @@ class IndexCompactSpec extends SparkSpec {
     assert(resultSet(search()) === before,
       "search must be row-identical across the compaction swap")
     // reader safety: the superseded generation is NOT deleted at swap time
-    assert(fs.exists(new Path(s"$path/lists/gen-000000")),
+    assert(fs.exists(new Path(s"$root/lists/gen-000000")),
       "superseded generation must survive until the lease horizon")
     // idempotent: a second compact produces gen 2 with the same rows
     Similarity.indexCompact(spark, path)
@@ -84,7 +85,8 @@ class IndexCompactSpec extends SparkSpec {
     import spark.implicits._
     val path = java.nio.file.Files
       .createTempDirectory("graft-compact-cells-spec").toString
-    val table = s"$path/lists"
+    val root = s"$path/gen-000000" // fabricated index-root generation
+    val table = s"$root/lists"
     val gen0 = s"$table/gen-000000"
     def batch(lo: Int, hi: Int) =
       (lo until hi).map(i => (i.toLong, i % 4, Seq(i * 1.0, i * 2.0)))
@@ -97,6 +99,7 @@ class IndexCompactSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(dataFiles(s"$gen0/cell=0").size > 1,
       "appends should fragment each cell directory")
+    graft.operators.IndexTables.commitRoot(spark, root)
     Similarity.indexCompact(spark, path)
     val live = s"$table/gen-000001"
     (0 until 4).foreach(c =>
@@ -118,16 +121,17 @@ class IndexCompactSpec extends SparkSpec {
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", path,
       k = 3, groupSize = 2, nprobeGroups = 1, nprobeCells = 2)
     val before = resultSet(search())
+    val root = Similarity.indexLiveRoot(spark, path)
     // simulate a compact that crashed after writing data but before its
     // _SUCCESS commit: an incomplete newest generation with garbage
-    val dead = new Path(s"$path/lists/gen-000001")
+    val dead = new Path(s"$root/lists/gen-000001")
     fs.mkdirs(dead)
     fs.create(new Path(dead, "garbage.parquet"), true).close()
     assert(resultSet(search()) === before,
       "readers must resolve the old complete generation, never the dead one")
     // the next compact deletes the dead attempt and commits a real gen 1
     Similarity.indexCompact(spark, path)
-    assert(fs.exists(new Path(s"$path/lists/gen-000001/_SUCCESS")))
+    assert(fs.exists(new Path(s"$root/lists/gen-000001/_SUCCESS")))
     assert(resultSet(search()) === before)
     fs.delete(new Path(path), true)
   }
@@ -211,9 +215,10 @@ class IndexCompactSpec extends SparkSpec {
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", path,
       k = 5, subs = 8, ksub = 4, dim = 64)
     val before = resultSet(search())
-    assert(dataFiles(s"$path/codes/gen-000000").size > 1)
+    val root = Similarity.indexLiveRoot(spark, path)
+    assert(dataFiles(s"$root/codes/gen-000000").size > 1)
     Similarity.indexCompact(spark, path)
-    assert(dataFiles(s"$path/codes/gen-000001").size === 1)
+    assert(dataFiles(s"$root/codes/gen-000001").size === 1)
     assert(resultSet(search()) === before)
     fs.delete(new Path(path), true)
   }
@@ -226,11 +231,12 @@ class IndexCompactSpec extends SparkSpec {
     Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
       "vec_id", "embedding", path, groups = 4, groupSize = 4, iters = 1,
       dim = 64)
-    val baseFiles = dataFiles(s"$path/lists/gen-000000").size
+    val root = Similarity.indexLiveRoot(spark, path)
+    val baseFiles = dataFiles(s"$root/lists/gen-000000").size
     // below threshold: no compaction, no new generation
     assert(!Similarity.indexMaybeCompact(spark, path,
       maxFilesPerLeaf = baseFiles + 64))
-    assert(IndexTables.liveDir(spark, s"$path/lists").endsWith("gen-000000"))
+    assert(IndexTables.liveDir(spark, s"$root/lists").endsWith("gen-000000"))
     // an append stream with the check after every batch: whenever the live
     // generation crosses the threshold the table folds itself back
     (0 until 4).foreach { b =>
@@ -239,7 +245,7 @@ class IndexCompactSpec extends SparkSpec {
         "vec_id", "embedding", path, groupSize = 4)
       Similarity.indexMaybeCompact(spark, path, maxFilesPerLeaf = baseFiles)
     }
-    val live = IndexTables.liveDir(spark, s"$path/lists")
+    val live = IndexTables.liveDir(spark, s"$root/lists")
     assert(!live.endsWith("gen-000000"), "threshold crossings must compact")
     assert(dataFiles(live).size <= baseFiles,
       s"self-maintained table holds ${dataFiles(live).size} files")

@@ -47,7 +47,8 @@ class IndexDeleteSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration,
       new Path(s"$path/tombstones")).isEmpty)
     // physically gone from the live generation
-    val live = graft.operators.IndexTables.liveDir(spark, s"$path/lists")
+    val live = graft.operators.IndexTables.liveDir(spark,
+      s"${Similarity.indexLiveRoot(spark, path)}/lists")
     assert(spark.read.parquet(live)
       .filter(pmod(col("nbr_id"), lit(7)) === 3).count() === 0,
       "vacuumed generation must not contain deleted rows")

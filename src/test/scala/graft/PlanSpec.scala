@@ -655,4 +655,37 @@ class PlanSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  test("bm25IndexSearch past the In-list ceiling: bounded semi-join plan, " +
+      "no literal term predicate, identical results") {
+    import graft.operators.TextIndex
+    import org.apache.spark.sql.functions.{array_join, col, slice}
+    val docs = Tables.documents(spark, sf("0.001"))
+    val path = Files.createTempDirectory("graft-bm25-gate-plan").toString
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", path)
+    val qs = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 6),
+          " ").as("qtext"))
+    def run(ceiling: Long) = TextIndex.bm25IndexSearch(spark, qs,
+      "query_id", "qtext", path, k = 5, maxTermInList = ceiling)
+    val below = run(TextIndex.MaxTermInListValues)
+    val above = run(0L) // every batch is "past the ceiling"
+    // the gated plan must NOT splice term literals (a bulk vocabulary
+    // would make the predicate plan-sized); the restriction rides a
+    // semi-join instead, and the postings scan shows no In(term64 push
+    val pushed = scans(above).map(_.metadata("PushedFilters"))
+    assert(!pushed.exists(_.contains("In(term64")),
+      s"gated path must not push a literal term list: $pushed")
+    val plan = above.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"gated path must restrict terms via a semi-join:\n${plan.take(1200)}")
+    // both strategies are the same retrieval
+    assert(above.collect().map(_.toSeq).toSeq ===
+      below.collect().map(_.toSeq).toSeq)
+    CacheScope.release(spark)
+    val fsys = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
 }

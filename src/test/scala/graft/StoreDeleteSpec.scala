@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.Point
+import graft.sources.TimeStore
+
+/** Takedown on the PRIMARY store (VERDICT r13 #2): range tombstones
+  * suppress rows from EVERY read path immediately (distributed scan,
+  * latest aggregate, local point ops, DSv2 SQL), `vacuumDeletes` folds
+  * them in physically under the reader-safe generation swap, and a vacuum
+  * crash at the seam converges under the next maintainer. */
+class StoreDeleteSpec extends SparkSpec {
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // addresses 0,2,..,14 simple; times t0+a; payload a. An odd address is
+  // extended — mkExt covers that kind.
+  private def pts(addrs: Range, t0: Long): Seq[Point] =
+    addrs.map(a => Point(a.toLong * 2, t0 + a, a.toLong))
+
+  private def mkStore(tag: String): (String, TimeStore.Namespace) = {
+    val root = Files.createTempDirectory(s"graft-del-$tag").toString
+    val n = TimeStore.namespace(root, "DEL")
+    TimeStore.register(spark, n, 4, 4)
+    import spark.implicits._
+    TimeStore.writePoints(spark, n, spark.createDataset(
+      pts(0 until 8, 100L) ++ pts(0 until 8, 200L)))
+    (root, n)
+  }
+
+  private def readAddrs(n: TimeStore.Namespace): Seq[(Long, Long)] =
+    TimeStore.readSimple(spark, n, 0L, 100000L, (0 until 8).map(_.toLong * 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("delete suppresses matching rows from scan, latest, local and SQL " +
+      "reads immediately; non-matching rows and other addresses survive") {
+    val (root, n) = mkStore("paths")
+    // delete address 4 over [150, 250] — kills its t0=200 row, keeps 104
+    TimeStore.deletePoints(spark, n, Seq(4L), 150L, 250L)
+
+    val rows = readAddrs(n)
+    assert(!rows.contains((4L, 202L)), "tombstoned row must not serve")
+    assert(rows.contains((4L, 102L)), "outside the range survives")
+    assert(rows.contains((6L, 203L)), "other addresses survive")
+
+    // latest: address 4's latest falls back to the surviving 102 row
+    val latest = TimeStore.latestPerAddress(spark, n, "simple")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(latest(4L) === 102L)
+    assert(latest(6L) === 203L)
+
+    // local point ops agree with the distributed scan (parity contract)
+    val local = TimeStore.readSimpleLocal(spark, n, 0L, 100000L, Seq(4L))
+      .map(p => (p.address, p.time))
+    assert(local === Seq((4L, 102L)))
+
+    // DSv2 SQL scan (drops to the row reader while tombstones pend)
+    spark.read.format("graft").option("root", root).option("ns", "DEL")
+      .load().createOrReplaceTempView("del_pts")
+    val sqlRows = spark.sql(
+        "SELECT address, time FROM del_pts WHERE kind = 'simple'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sqlRows.contains((4L, 202L)), "SQL scan must suppress the row")
+    assert(sqlRows.contains((4L, 102L)))
+    fs.delete(new Path(root), true)
+  }
+
+  test("vacuum: identical reads, applied delete files clear, rows " +
+      "physically gone, superseded generation survives the swap") {
+    val (root, n) = mkStore("vacuum")
+    TimeStore.deletePoints(spark, n, Seq(4L, 8L), 150L, 250L)
+    val tombstoned = readAddrs(n)
+    TimeStore.vacuumDeletes(spark, n)
+    assert(readAddrs(n) === tombstoned, "vacuum must not change served rows")
+    assert(TimeStore.deleteFiles(spark, n).isEmpty,
+      "applied delete files must clear")
+    // physically gone: the live generation is the rewrite
+    val live = TimeStore.livePointsPath(spark, n).get
+    assert(live.endsWith("points-g1"), s"vacuum must swap generations: $live")
+    assert(spark.read.parquet(live)
+      .where("address IN (4, 8) AND time BETWEEN 150 AND 250").count() === 0)
+    // reader safety: generation 0 survives until the lease horizon
+    assert(fs.exists(new Path(s"${n.dir}/points")),
+      "superseded points generation must survive the swap")
+    // SQL scans regain the vectorized path (no pending tombstones) and
+    // still exclude the rows
+    spark.read.format("graft").option("root", root).option("ns", "DEL")
+      .load().createOrReplaceTempView("vac_pts")
+    assert(spark.sql(
+      "SELECT * FROM vac_pts WHERE address = 4 AND time = 202").count() === 0)
+    // a later write lands in the vacuumed generation and serves
+    import spark.implicits._
+    TimeStore.writePoints(spark, n, spark.createDataset(pts(0 until 4, 300L)))
+    assert(readAddrs(n).contains((4L, 302L)),
+      "post-vacuum writes must serve — the address is not blacklisted")
+    fs.delete(new Path(root), true)
+  }
+
+  test("whole-address takedown (default full time range) also scrubs the " +
+      "extended kind, through vacuum and the local read") {
+    val root = Files.createTempDirectory("graft-del-ext").toString
+    val n = TimeStore.namespace(root, "DELX")
+    TimeStore.register(spark, n, 4, 4)
+    import spark.implicits._
+    val ext = (0 until 8).map(a =>
+      Point(a.toLong * 2 + 1, 100L + a, a.toLong, Array[Byte](1, 2, 3)))
+    TimeStore.writePoints(spark, n, spark.createDataset(ext))
+    TimeStore.deletePoints(spark, n, Seq(5L)) // address 5 = extended
+    val rows = TimeStore.readExtended(spark, n, 0L, 100000L,
+        (0 until 8).map(_.toLong * 2 + 1))
+      .collect().map(_.getLong(0)).toSet
+    assert(!rows.contains(5L), "extended rows of the address must not serve")
+    assert(rows.contains(7L))
+    TimeStore.vacuumDeletes(spark, n)
+    assert(TimeStore.readExtendedLocal(spark, n, 0L, 100000L, Seq(5L)).isEmpty)
+    fs.delete(new Path(root), true)
+  }
+
+  test("a vacuum that crashes after the generation commit re-applies " +
+      "harmlessly and the next vacuum clears the tombstones") {
+    val (root, n) = mkStore("crash")
+    TimeStore.deletePoints(spark, n, Seq(4L), 150L, 250L)
+    val tombstoned = readAddrs(n)
+    TimeStore.crashSeams.add("vacuum-after-gen-commit")
+    val boom = intercept[RuntimeException] {
+      TimeStore.vacuumDeletes(spark, n)
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    // the swap committed (new generation live) but the applied delete
+    // files survived the crash — reads stay correct either way: the rows
+    // are already gone, the anti-join matches nothing
+    assert(TimeStore.livePointsPath(spark, n).get.endsWith("points-g1"))
+    assert(TimeStore.deleteFiles(spark, n).nonEmpty,
+      "the crash left the applied delete files behind")
+    assert(readAddrs(n) === tombstoned)
+    // the next vacuum converges: re-applies (no-op) and clears
+    TimeStore.vacuumDeletes(spark, n)
+    assert(TimeStore.deleteFiles(spark, n).isEmpty)
+    assert(readAddrs(n) === tombstoned)
+    fs.delete(new Path(root), true)
+  }
+
+  test("delete on an unregistered namespace fails loudly; empty address " +
+      "seq is a no-op; vacuum with no pending deletes is a no-op") {
+    val root = Files.createTempDirectory("graft-del-guard").toString
+    val bad = TimeStore.namespace(root, "NOPE")
+    intercept[IllegalStateException] {
+      TimeStore.deletePoints(spark, bad, Seq(1L))
+    }
+    val (root2, n) = mkStore("noop")
+    TimeStore.deletePoints(spark, n, Seq.empty)
+    assert(TimeStore.deleteFiles(spark, n).isEmpty)
+    val before = readAddrs(n)
+    TimeStore.vacuumDeletes(spark, n)
+    assert(TimeStore.livePointsPath(spark, n).get.endsWith("points"),
+      "a vacuum with nothing pending must not rewrite the store")
+    assert(readAddrs(n) === before)
+    fs.delete(new Path(root), true)
+    fs.delete(new Path(root2), true)
+  }
+}
