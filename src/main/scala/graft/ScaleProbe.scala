@@ -646,6 +646,51 @@ object ScaleProbe {
             TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
               root, k = 10)
           }
+          // the additive-delta claim MEASURED (VERDICT r13 #4): a FIXED
+          // 10k-doc batch appends into the full-size index and into a
+          // 1/8th-size index in the same time — df/global land as deltas,
+          // no held row is ever read, so append cost tracks the batch,
+          // not the held corpus. Same-run pair, same batch both arms.
+          val smallRoot = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-bm25small-$n").toString
+          try {
+            TextIndex.bm25IndexWrite(
+              held.filter(pmod(col("doc_id"), lit(8)) === 0),
+              "doc_id", "text", smallRoot)
+            val fixedBatch = synthDocs(spark, 10000)
+              .withColumn("doc_id", col("doc_id") + lit(4L * n))
+            timeAction("bm25idx_append_fixed_into_full", n) {
+              TextIndex.bm25IndexAppend(spark, fixedBatch, "doc_id", "text",
+                root)
+            }
+            timeAction("bm25idx_append_fixed_into_eighth", n) {
+              TextIndex.bm25IndexAppend(spark, fixedBatch, "doc_id", "text",
+                smallRoot)
+            }
+          } finally {
+            def rm2(p: java.io.File): Unit = {
+              Option(p.listFiles).foreach(_.foreach(rm2)); p.delete(); ()
+            }
+            rm2(new java.io.File(smallRoot))
+          }
+          // takedown arm (VERDICT r13 #4): delete 10% of the held docs,
+          // measure the serve-time statistic-correction overhead (df/n/
+          // len_sum fixed up from the tombstone rows in-plan), then what
+          // the vacuum costs to clear it and the clean serve it restores.
+          TextIndex.bm25IndexDelete(spark,
+            docs.filter(pmod(col("doc_id"), lit(20)) === 2)
+              .select(col("doc_id")), "doc_id", root)
+          time("bm25idx_search_tombstoned", n) {
+            TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+              root, k = 10)
+          }
+          timeAction("bm25idx_vacuum", n) {
+            TextIndex.bm25IndexVacuum(spark, root)
+          }
+          time("bm25idx_search_vacuumed", n) {
+            TextIndex.bm25IndexSearch(spark, qs, "query_id", "qtext",
+              root, k = 10)
+          }
         } finally {
           only = saved15
           def rm(p: java.io.File): Unit = {
@@ -687,6 +732,77 @@ object ScaleProbe {
             Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
           }
           rm(new java.io.File(root))
+        }
+      }
+      // Rebuild A/B (r14): retraining as a generational operation — the
+      // remedy imiIndexStats points at when frozen-model appends skew the
+      // cells. Build on half the corpus, append the other half under the
+      // FROZEN model (the drift mechanism), then measure: the rebuild
+      // (retrain on the stored lists, re-assign, atomic root swap) vs a
+      // fresh imiIndexWrite on the same union (what the old escape hatch
+      // cost, without its path-repointing hole); cell balance and serve
+      // cost before/after; recall@10 against brute force before/after.
+      if (only.contains("imi_index_rebuild_ab")) {
+        val k = 2560; val g = 64; val groups = k / g
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imirebuild-$n").toString
+        val freshRoot = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-imirebuildf-$n").toString
+        val probesDf = emb.filter(col("vec_id") < 100)
+        val saved17 = only
+        only = Nil
+        def balance(tag: String): Unit = {
+          val sizes = Similarity.imiIndexStats(spark, root).collect()
+            .map(_.getLong(1)).sorted
+          if (sizes.nonEmpty) {
+            val mx = sizes.last; val med = sizes(sizes.length / 2)
+            println(s"""{"op":"imiidx_balance_$tag","n":$n,""" +
+              s""""cells":${sizes.length},"max":$mx,"med":$med,""" +
+              s""""max_over_med":${if (med == 0) -1.0 else mx.toDouble / med}}""")
+          }
+        }
+        def search(): org.apache.spark.sql.DataFrame =
+          Similarity.imiIndexSearch(spark, probesDf, "vec_id", "embedding",
+            root, k = 10, groupSize = g, nprobeGroups = 4, nprobeCells = 32)
+        def recall(tag: String): Unit = {
+          val few = emb.filter(col("vec_id") < 20)
+          val approx = Similarity.imiIndexSearch(spark, few, "vec_id",
+            "embedding", root, k = 10, groupSize = g, nprobeGroups = 4,
+            nprobeCells = 32)
+          val exact = Similarity.bruteForceTopK(emb, few, "vec_id",
+            "embedding", 10)
+          val r = Similarity.recallAudit(approx, exact, 10)
+            .agg(avg(col("recall_at_10"))).collect()(0).getDouble(0)
+          println(f"""{"op":"imiidx_recall_$tag","n":$n,"recall_at_10":$r%.4f}""")
+        }
+        try {
+          Similarity.imiIndexWrite(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding", root, groups = groups, groupSize = g,
+            iters = 1, dim = 64)
+          Similarity.imiIndexAppend(spark,
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", root, groupSize = g)
+          balance("frozen_append")
+          recall("frozen_append")
+          time(s"imiidx_serve_preRebuild_k$k", n) { search() }
+          timeAction(s"imiidx_rebuild_k$k", n) {
+            Similarity.imiIndexRebuild(spark, root, iters = 1)
+          }
+          balance("rebuilt")
+          recall("rebuilt")
+          time(s"imiidx_serve_postRebuild_k$k", n) { search() }
+          timeAction(s"imiidx_freshwrite_union_k$k", n) {
+            Similarity.imiIndexWrite(emb, "vec_id", "embedding", freshRoot,
+              groups = groups, groupSize = g, iters = 1, dim = 64)
+          }
+        } finally {
+          only = saved17
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+          rm(new java.io.File(freshRoot))
         }
       }
       // Index-build precision A/B (VERDICT r12 #6): the exactUpdate knob

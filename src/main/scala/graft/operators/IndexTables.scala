@@ -35,6 +35,11 @@ private[graft] object IndexTables {
 
   def genName(g: Int): String = f"gen-$g%06d"
 
+  /** Byte ceiling under which a SINGLE-leaf compaction merges driver-side
+    * instead of through a one-task Spark job — below it the job's
+    * scheduling floor dominates the byte copy. */
+  private val LocalMergeMaxBytes: Long = 64L << 20
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -109,11 +114,9 @@ private[graft] object IndexTables {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
           .map(_.getPath.getName).sorted
         val leaves = if (cells.isEmpty) Seq("") else cells
-        val sconf = new SerializableHadoopConf(
-          spark.sparkContext.hadoopConfiguration)
         val (curStr, nextStr) = (curPath.toString, next.toString)
-        spark.sparkContext.parallelize(leaves, leaves.size).foreach { rel =>
-          val conf = sconf.conf
+        def mergeLeaf(conf: org.apache.hadoop.conf.Configuration,
+                      rel: String): Unit = {
           val src = if (rel.isEmpty) new Path(curStr)
                     else new Path(s"$curStr/$rel")
           val dstDir = if (rel.isEmpty) nextStr else s"$nextStr/$rel"
@@ -123,6 +126,24 @@ private[graft] object IndexTables {
               new Path(s"$dstDir/compacted-0.parquet")),
             s"mixed physical schemas under $src — index writers emit one " +
               "schema; refusing to guess a merge")
+        }
+        val conf0 = spark.sparkContext.hadoopConfiguration
+        val smallSingleLeaf = leaves.size == 1 && {
+          val src = if (leaves.head.isEmpty) curPath
+                    else new Path(s"$curStr/${leaves.head}")
+          ParquetConcat.dataFiles(conf0, src).map(_.getLen).sum <=
+            LocalMergeMaxBytes
+        }
+        if (smallSingleLeaf)
+          // driver-side: one small leaf's byte copy sits under Spark's
+          // ~300 ms per-job scheduling floor (the kv_point_ops lesson —
+          // never ride a job to move a few MB); every real multi-leaf or
+          // large table still fans out one IO-bound task per leaf
+          mergeLeaf(conf0, leaves.head)
+        else {
+          val sconf = new SerializableHadoopConf(conf0)
+          spark.sparkContext.parallelize(leaves, leaves.size)
+            .foreach(rel => mergeLeaf(sconf.conf, rel))
         }
         f.create(new Path(next, "_SUCCESS"), true).close()
         retireable(f, generations(f, root), cur + 1)
