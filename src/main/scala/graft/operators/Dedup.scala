@@ -206,19 +206,26 @@ object Dedup {
     * compaction. */
   def dedupIndexWrite(sh: DataFrame, path: String, k: Int, r: Int,
                       maxBucket: Int = DefaultMaxBucket): Unit = {
+    val spark = sh.sparkSession
+    // all three tables land beneath ONE index-root generation committed
+    // by a single _SUCCESS (the ANN/BM25 families' r14 discipline: a
+    // check must never pair one generation's buckets with another's
+    // shingles or sizes)
+    val root = IndexTables.nextRootDir(spark, path)
     val shc = CacheScope.cache(sh)
     shc.count() // two consumers below
     bandedBuckets(shc, k, r, maxBucket)
       .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$path/buckets"))
+      .parquet(IndexTables.writeDir(s"$root/buckets"))
     shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
       .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$path/shingles"))
+      .parquet(IndexTables.writeDir(s"$root/shingles"))
     // per-doc set sizes persist WITH the index so a check never has to
     // re-aggregate the full stored shingle table (one tiny row per doc)
     shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$path/sizes"))
+      .parquet(IndexTables.writeDir(s"$root/sizes"))
+    IndexTables.commitRoot(spark, root)
   }
 
   /** Append a new batch's signatures/shingles to a persisted dedup index
@@ -228,26 +235,29 @@ object Dedup {
   def dedupIndexAppend(sh: DataFrame, path: String, k: Int, r: Int,
                        maxBucket: Int = DefaultMaxBucket): Unit = {
     val spark = sh.sparkSession
+    val root = IndexTables.liveDir(spark, path)
     val shc = CacheScope.cache(sh)
     shc.count()
     bandedBuckets(shc, k, r, maxBucket)
       .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$path/buckets"))
+      .parquet(IndexTables.liveDir(spark, s"$root/buckets"))
     shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
       .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$path/shingles"))
+      .parquet(IndexTables.liveDir(spark, s"$root/shingles"))
     shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$path/sizes"))
+      .parquet(IndexTables.liveDir(spark, s"$root/sizes"))
   }
 
   /** Merge a dedup index's append-fragmented tables —
     * [[Similarity.indexCompact]]'s generational binary row-group merge
     * over `buckets/` and `shingles/`. */
   def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit =
+                        path: String): Unit = {
+    val root = IndexTables.liveDir(spark, path)
     Seq("buckets", "shingles", "sizes").foreach(t =>
-      IndexTables.compactTable(spark, s"$path/$t"))
+      IndexTables.compactTable(spark, s"$root/$t"))
+  }
 
   /** Threshold-triggered [[dedupIndexCompact]]
     * ([[graft.operators.Similarity.indexMaybeCompact]]'s contract): cheap
@@ -256,10 +266,12 @@ object Dedup {
     * table compacted. */
   def dedupIndexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
                              path: String,
-                             maxFilesPerLeaf: Int = 16): Boolean =
+                             maxFilesPerLeaf: Int = 16): Boolean = {
+    val root = IndexTables.liveDir(spark, path)
     Seq("buckets", "shingles", "sizes").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
       .exists(identity)
+  }
 
   /** Tombstone-delete documents from a persisted dedup index — the
     * takedown path ([[Similarity.indexDelete]]'s contract applied to the
@@ -275,10 +287,11 @@ object Dedup {
       .write.mode("append").parquet(s"$path/tombstones")
 
   /** Physically fold the tombstones into all three dedup-index tables —
-    * a relational rewrite of each live generation without the tombstoned
-    * docs into generation N+1 (the same reader-safe swap as
-    * [[Similarity.indexVacuum]]), then removal of exactly the applied
-    * tombstone files. */
+    * as ONE new index-root generation (r14): each table rewrites without
+    * the tombstoned docs beneath root generation N+1, committed by a
+    * single `_SUCCESS` (a reader never pairs one generation's buckets
+    * with another's shingle sets), then exactly the applied tombstone
+    * files are removed. */
   def dedupIndexVacuum(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val tombDir = s"$path/tombstones"
@@ -289,16 +302,15 @@ object Dedup {
     val tomb = spark.read
       .parquet(applied.map(_.getPath.toString): _*)
       .select(col("doc"))
+    val oldRoot = IndexTables.liveDir(spark, path)
+    val newRoot = IndexTables.nextRootDir(spark, path)
     Seq("buckets", "shingles", "sizes").foreach { t =>
-      val table = s"$path/$t"
-      IndexTables.liveGenOpt(spark, table).foreach { case (g, livePath) =>
-        spark.read.parquet(livePath.toString)
-          .join(tomb, Seq("doc"), "left_anti")
-          .write.mode("overwrite")
-          .parquet(s"$table/${IndexTables.genName(g + 1)}")
-        IndexTables.retireSuperseded(spark, table)
-      }
+      spark.read
+        .parquet(IndexTables.liveDir(spark, s"$oldRoot/$t"))
+        .join(tomb, Seq("doc"), "left_anti")
+        .write.parquet(IndexTables.writeDir(s"$newRoot/$t"))
     }
+    IndexTables.commitRoot(spark, newRoot)
     val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
     applied.foreach(st => f.delete(st.getPath, false))
   }
@@ -336,7 +348,9 @@ object Dedup {
   def dedupIndexRecap(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       maxBucket: Int = DefaultMaxBucket): Unit = {
-    val table = s"$path/buckets"
+    // single-table rewrite: cap semantics touch only the band buckets, so
+    // a nested data-generation swap suffices (no cross-table statistics)
+    val table = s"${IndexTables.liveDir(spark, path)}/buckets"
     IndexTables.liveGenOpt(spark, table).foreach { case (g, live) =>
       capHotBuckets(spark.read.parquet(live.toString), maxBucket)
         .write.mode("overwrite")
@@ -360,18 +374,21 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val shI = CacheScope.cache(shIncoming)
     shI.count()
+    // ONE root resolution per check: buckets, shingles and sizes must
+    // come from the same index generation
+    val root = IndexTables.liveDir(spark, path)
     val stored = applyDocTombstones(spark, path, spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/buckets")))
+      .parquet(IndexTables.liveDir(spark, s"$root/buckets")))
     val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
       .join(stored.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
     val shIH = shI.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
     val storedSh = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/shingles"))
+      .parquet(IndexTables.liveDir(spark, s"$root/shingles"))
     val sizes = shI.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
       .union(spark.read
-        .parquet(IndexTables.liveDir(spark, s"$path/sizes"))
+        .parquet(IndexTables.liveDir(spark, s"$root/sizes"))
         .select(col("doc").as("d"), col("n")))
     val common = candidates
       .join(shIH.as("sa"), col("sa.doc") === col("i"))

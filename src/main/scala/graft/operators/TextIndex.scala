@@ -97,60 +97,75 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"))
       .select(col("term64"), col("doc"), col("tf"), col("dl"))
 
+  /** Write the four tables under `root` through `dir` (the per-table
+    * generation resolver: a fresh nested generation on build/vacuum, the
+    * live one on append). */
   private def writeTables(docs: DataFrame, idCol: String, textCol: String,
-                          path: String, dir: String => String,
+                          root: String, dir: String => String,
                           mode: String): Unit = {
     val d = graft.CacheScope.cache(docs)
     d.count() // three consumers below
     val p = graft.CacheScope.cache(postingsOf(d, idCol, textCol))
     p.repartitionByRange(col("term64"))
       .sortWithinPartitions(col("term64"), col("doc"))
-      .write.mode(mode).parquet(dir(s"$path/postings"))
+      .write.mode(mode).parquet(dir(s"$root/postings"))
     p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(dir(s"$path/vocab"))
+      .write.mode(mode).parquet(dir(s"$root/vocab"))
     val l = lens(d, idCol, textCol)
-    l.write.mode(mode).parquet(dir(s"$path/doclens"))
+    l.write.mode(mode).parquet(dir(s"$root/doclens"))
     l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
         .as("len_sum"))
-      .write.mode(mode).parquet(dir(s"$path/global"))
+      .write.mode(mode).parquet(dir(s"$root/global"))
   }
 
   /** Build the persisted BM25 index from scratch — tokenize, hash, count,
-    * and land all four tables as generation 0. One shuffle each for the
-    * tf grouping and the range clustering; statistics are plain
-    * aggregates of the same cached posting rows. */
+    * and land all four tables beneath ONE index-root generation committed
+    * by a single `_SUCCESS` ([[IndexTables.commitRoot]] — the ANN
+    * families' r14 discipline: the statistics tables must never be read
+    * against another generation's postings, and a rebuild/fresh write
+    * over an existing path must swap the WHOLE index atomically). One
+    * shuffle each for the tf grouping and the range clustering;
+    * statistics are plain aggregates of the same cached posting rows. */
   def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit =
-    writeTables(docs, idCol, textCol, path, IndexTables.writeDir,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val root = IndexTables.nextRootDir(spark, path)
+    writeTables(docs, idCol, textCol, root, IndexTables.writeDir,
       mode = "overwrite")
+    IndexTables.commitRoot(spark, root)
+  }
 
   /** Append a NEW batch of documents (doc ids disjoint from every held
     * batch — the frozen-stats contract: df/global are additive deltas, so
     * the held tables are never read or rewritten) into each table's live
-    * generation. Appends fragment; run [[bm25IndexCompact]] on the
-    * maintenance cadence. */
+    * generation under the live index root. Appends fragment; run
+    * [[bm25IndexCompact]] on the maintenance cadence. */
   def bm25IndexAppend(spark: SparkSession, docs: DataFrame, idCol: String,
                       textCol: String, path: String): Unit =
-    writeTables(docs, idCol, textCol, path,
+    writeTables(docs, idCol, textCol, IndexTables.liveDir(spark, path),
       t => IndexTables.liveDir(spark, t), mode = "append")
 
   /** Fold append fragments — [[IndexTables.compactTable]]'s binary
     * row-group merge over every index table (reader-safe generation
     * swap; each appended batch's row groups keep their own term64
     * min/max stats, so pushed-predicate skipping survives the concat). */
-  def bm25IndexCompact(spark: SparkSession, path: String): Unit =
+  def bm25IndexCompact(spark: SparkSession, path: String): Unit = {
+    val root = IndexTables.liveDir(spark, path)
     Seq("postings", "vocab", "doclens", "global").foreach(t =>
-      IndexTables.compactTable(spark, s"$path/$t"))
+      IndexTables.compactTable(spark, s"$root/$t"))
+  }
 
   /** Threshold-triggered [[bm25IndexCompact]]
     * ([[Similarity.indexMaybeCompact]]'s contract): cheap to call after
     * every append; compacts only the tables some leaf of which exceeds
     * `maxFilesPerLeaf` fragments. Returns whether any table compacted. */
   def bm25IndexMaybeCompact(spark: SparkSession, path: String,
-                            maxFilesPerLeaf: Int = 16): Boolean =
+                            maxFilesPerLeaf: Int = 16): Boolean = {
+    val root = IndexTables.liveDir(spark, path)
     Seq("postings", "vocab", "doclens", "global").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$path/$t", maxFilesPerLeaf))
+      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
       .exists(identity)
+  }
 
   /** Tombstone-delete documents (takedown/decontamination against a built
     * index, [[Similarity.indexDelete]]'s contract): the ids semi-join the
@@ -162,18 +177,22 @@ object TextIndex {
     * serve. */
   def bm25IndexDelete(spark: SparkSession, ids: DataFrame, idCol: String,
                       path: String): Unit =
-    spark.read.parquet(IndexTables.liveDir(spark, s"$path/doclens"))
+    spark.read.parquet(IndexTables.liveDir(spark,
+        s"${IndexTables.liveDir(spark, path)}/doclens"))
       .join(broadcast(ids.select(col(idCol).cast("long").as("doc"))
         .distinct()), Seq("doc"), "left_semi")
       .write.mode("append").parquet(s"$path/tombstones")
 
-  /** Physically fold the tombstones in: `postings/` and `doclens/` live
-    * generations rewrite WITHOUT the tombstoned docs as generation N+1
-    * (same reader-safe swap as compaction), `vocab/` and `global/`
-    * RECOMPUTE from the surviving rows (df genuinely shrinks on delete —
-    * the additive-delta representation can't subtract, so vacuum rebuilds
-    * the statistics tables from their source of truth), then exactly the
-    * applied tombstone files are removed. */
+  /** Physically fold the tombstones in — as a NEW INDEX-ROOT GENERATION
+    * (r14): `postings/` and `doclens/` rewrite WITHOUT the tombstoned
+    * docs, `vocab/` and `global/` RECOMPUTE from the surviving rows (df
+    * genuinely shrinks on delete — the additive-delta representation
+    * can't subtract, so vacuum rebuilds the statistics tables from their
+    * source of truth), and all four land beneath root generation N+1
+    * committed by ONE `_SUCCESS`. The per-table swap this replaces left a
+    * window where a reader paired new postings with old statistics — the
+    * exact cross-table inconsistency the root generation exists to kill.
+    * Exactly the applied tombstone files are removed after the commit. */
   def bm25IndexVacuum(spark: SparkSession, path: String): Unit = {
     val tombDir = s"$path/tombstones"
     val conf = spark.sparkContext.hadoopConfiguration
@@ -183,37 +202,28 @@ object TextIndex {
     val tomb = spark.read.parquet(applied.map(_.getPath.toString): _*)
       .select(col("doc")).distinct()
     val tombBytes = applied.map(_.getLen).sum
+    val oldRoot = IndexTables.liveDir(spark, path)
+    val newRoot = IndexTables.nextRootDir(spark, path)
     // data tables: anti-join rewrite, preserving the term64 clustering
-    Seq("postings", "doclens").foreach { t =>
-      val table = s"$path/$t"
-      IndexTables.liveGenOpt(spark, table).foreach { case (g, live) =>
-        val kept = spark.read.parquet(live.toString)
-          .join(maybeBroadcastTomb(tomb, tombBytes), Seq("doc"), "left_anti")
-        (if (t == "postings")
-           kept.repartitionByRange(col("term64"))
-             .sortWithinPartitions(col("term64"), col("doc"))
-         else kept)
-          .write.mode("overwrite")
-          .parquet(s"$table/${IndexTables.genName(g + 1)}")
-        IndexTables.retireSuperseded(spark, table)
-      }
-    }
-    // statistics tables: recompute from the surviving data tables
-    val p = spark.read.parquet(IndexTables.liveDir(spark, s"$path/postings"))
-    val (vg, vgGen) = (s"$path/vocab",
-      IndexTables.liveGenOpt(spark, s"$path/vocab").map(_._1).getOrElse(0))
-    p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite")
-      .parquet(s"$vg/${IndexTables.genName(vgGen + 1)}")
-    IndexTables.retireSuperseded(spark, vg)
-    val l = spark.read.parquet(IndexTables.liveDir(spark, s"$path/doclens"))
-    val (gg, ggGen) = (s"$path/global",
-      IndexTables.liveGenOpt(spark, s"$path/global").map(_._1).getOrElse(0))
-    l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+    val keptPostings = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$oldRoot/postings"))
+      .join(maybeBroadcastTomb(tomb, tombBytes), Seq("doc"), "left_anti")
+    keptPostings.repartitionByRange(col("term64"))
+      .sortWithinPartitions(col("term64"), col("doc"))
+      .write.parquet(IndexTables.writeDir(s"$newRoot/postings"))
+    val keptLens = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$oldRoot/doclens"))
+      .join(maybeBroadcastTomb(tomb, tombBytes), Seq("doc"), "left_anti")
+    keptLens.write.parquet(IndexTables.writeDir(s"$newRoot/doclens"))
+    // statistics tables: recompute from the surviving data just written
+    spark.read.parquet(IndexTables.liveDir(spark, s"$newRoot/postings"))
+      .groupBy(col("term64")).agg(count(lit(1)).as("df"))
+      .write.parquet(IndexTables.writeDir(s"$newRoot/vocab"))
+    spark.read.parquet(IndexTables.liveDir(spark, s"$newRoot/doclens"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
         .as("len_sum"))
-      .write.mode("overwrite")
-      .parquet(s"$gg/${IndexTables.genName(ggGen + 1)}")
-    IndexTables.retireSuperseded(spark, gg)
+      .write.parquet(IndexTables.writeDir(s"$newRoot/global"))
+    IndexTables.commitRoot(spark, newRoot)
     val f = new org.apache.hadoop.fs.Path(tombDir).getFileSystem(conf)
     applied.foreach(st => f.delete(st.getPath, false))
   }
@@ -267,13 +277,17 @@ object TextIndex {
       case None => df.join(maybeBroadcastTomb(qset, qBytes),
         Seq("term64"), "left_semi")
     }
+    // ONE root resolution per serve: postings and statistics must come
+    // from the same index generation (a vacuum swapping between
+    // per-table resolutions would mix them)
+    val root = IndexTables.liveDir(spark, path)
     val postings = termPruned(spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/postings")))
+      .parquet(IndexTables.liveDir(spark, s"$root/postings")))
     val dfSum = termPruned(spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/vocab")))
+      .parquet(IndexTables.liveDir(spark, s"$root/vocab")))
       .groupBy(col("term64")).agg(sum(col("df")).as("df"))
     val globals = spark.read
-      .parquet(IndexTables.liveDir(spark, s"$path/global"))
+      .parquet(IndexTables.liveDir(spark, s"$root/global"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("len_sum")), lit(0L)).as("len_sum"))
     // pending tombstones: drop their postings AND subtract their share of

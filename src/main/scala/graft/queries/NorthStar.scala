@@ -2144,6 +2144,35 @@ object NorthStar {
     * indistinguishable from one freshly built on the union. */
   val annImiIndexRebuildSql: String = annImiTrainedSql
 
+  /** REBUILD-BY-REWRITE for the lossy-code families (the r14 root-
+    * generation discipline's other arm): PQ codes can't retrain from
+    * themselves — the stored 2-byte words are lossy — so the PQ index's
+    * rebuild IS a fresh [[Similarity.pqIndexWrite]] on the source corpus
+    * over the SAME path, which now lands as index-root generation N+1
+    * under one atomic commit (no caller-side path repointing, readers
+    * keep serving the old index until the swap). The gate builds on 90%,
+    * then REBUILDS on the full corpus at the same path; search must
+    * hash-equal the full-corpus twin — a serve that resolved the stale
+    * root, mixed books across generations, or read both generations'
+    * codes all break the hash. */
+  def annPqIndexRewrite(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val path = Streaming.tempWorkspace("graft-pq-index-rewrite")
+    Similarity.pqIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", path, subs = 8, ksub = 4, iters = 2, dim = 64)
+    Similarity.pqIndexWrite(emb, "vec_id", "embedding", path,
+      subs = 8, ksub = 4, iters = 2, dim = 64)
+    Similarity.pqIndexSearch(s, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, k = 5, subs = 8, ksub = 4, dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Twin: the full-corpus trained-PQ chain — the rewritten generation
+    * must serve as if the 90% build never existed. (lazy: annPqTrainedSql
+    * is declared further down the object — a plain val would capture
+    * null at init order.) */
+  lazy val annPqIndexRewriteSql: String = annPqTrainedSql
+
   /** Persisted IMI+PQ composed index round-trip — the serving split for
     * the canonical billion-vector structure ([[annImiPq]]'s composition,
     * [[annImiIndexRoundtrip]]'s lifecycle): [[Similarity.imiPqIndexWrite]]
@@ -3107,6 +3136,7 @@ object NorthStar {
     "ann_imi_index_delete" -> annImiIndexDelete,
     "ann_imi_index_filtered" -> annImiIndexFiltered,
     "ann_imi_index_rebuild" -> annImiIndexRebuild,
+    "ann_pq_index_rewrite" -> annPqIndexRewrite,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtrip,
     "ann_imipq_index_append" -> annImiPqIndexAppend,
     "ann_ivfpq_trained" -> annIvfPqTrained,
@@ -3191,6 +3221,7 @@ object NorthStar {
     "ann_imi_index_delete" -> annImiIndexDeleteSql,
     "ann_imi_index_filtered" -> annImiIndexFilteredSql,
     "ann_imi_index_rebuild" -> annImiIndexRebuildSql,
+    "ann_pq_index_rewrite" -> annPqIndexRewriteSql,
     "ann_imipq_index_roundtrip" -> annImiPqIndexRoundtripSql,
     "ann_imipq_index_append" -> annImiPqIndexAppendSql,
     "ann_ivfpq_trained" -> annIvfPqTrainedSql,

@@ -71,8 +71,9 @@ class BM25Spec extends SparkSpec {
     TextIndex.bm25IndexCompact(spark, split)
     assert(search(split) === one, "compaction must not change results")
     // compacted live generation holds ONE file per table
+    val splitRoot = IndexTables.liveDir(spark, split)
     Seq("postings", "vocab", "doclens", "global").foreach { t =>
-      val live = IndexTables.liveDir(spark, s"$split/$t")
+      val live = IndexTables.liveDir(spark, s"$splitRoot/$t")
       val files = graft.sources.ParquetConcat.dataFiles(
         spark.sparkContext.hadoopConfiguration, new Path(live))
       assert(files.size === 1, s"$t should compact to one file")
@@ -110,7 +111,8 @@ class BM25Spec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration,
       new Path(s"$path/tombstones")).isEmpty,
       "applied tombstones must clear")
-    val live = IndexTables.liveDir(spark, s"$path/postings")
+    val live = IndexTables.liveDir(spark,
+      s"${IndexTables.liveDir(spark, path)}/postings")
     assert(spark.read.parquet(live)
       .filter(pmod(col("doc"), lit(7)) === 3).count() === 0,
       "vacuumed postings must not contain deleted docs")

@@ -161,8 +161,9 @@ class IndexCompactSpec extends SparkSpec {
     assert(fromIndex === recomputed,
       "persisted-index check must reproduce the recomputed cross pairs")
     // buckets / shingles / sizes all compacted to one file each
+    val dedupRoot = graft.operators.IndexTables.liveDir(spark, path)
     Seq("buckets", "shingles", "sizes").foreach(t =>
-      assert(dataFiles(s"$path/$t/gen-000001").size === 1, t))
+      assert(dataFiles(s"$dedupRoot/$t/gen-000001").size === 1, t))
     fs.delete(new Path(path), true)
   }
 

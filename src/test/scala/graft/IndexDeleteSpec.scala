@@ -93,7 +93,8 @@ class IndexDeleteSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration,
       new Path(s"$path/tombstones")).isEmpty,
       "applied tombstones must clear")
-    val live = graft.operators.IndexTables.liveDir(spark, s"$path/shingles")
+    val live = graft.operators.IndexTables.liveDir(spark,
+      s"${graft.operators.IndexTables.liveDir(spark, path)}/shingles")
     assert(spark.read.parquet(live)
       .filter(col("doc").isin(matchedJs.map(Long.box): _*)).count() === 0,
       "vacuumed shingle table must not contain deleted docs")
