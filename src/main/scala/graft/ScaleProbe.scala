@@ -1321,6 +1321,60 @@ object ScaleProbe {
           rm(new java.io.File(root))
         }
       }
+      // Primary-store takedown A/B (r14): pending range tombstones cost an
+      // anti-join on the distributed scan and drop the DSv2 SQL scan to
+      // its row-based reader; vacuumDeletes folds them in as a
+      // zero-shuffle broadcast-anti-join generation rewrite. Each read
+      // path measured clean / tombstoned / vacuumed, plus the delete and
+      // vacuum themselves. ~10% of addresses over the middle half of time.
+      if (only.contains("store_delete_ab")) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-sdel-$n").toString
+        val ns = TimeStore.namespace(root, "SDEL")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val pts = spark.range(rows).select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved18 = only
+        only = Nil
+        try {
+          TimeStore.writePoints(spark, ns, pts)
+          def read() = TimeStore.readSimple(spark, ns, 0L, rows * 2000L,
+            (0 until 64).map(_.toLong * 2))
+          time("sdel_read_clean", n)(read())
+          spark.read.format("graft").option("root", root)
+            .option("ns", "SDEL").load().createOrReplaceTempView("sdel_pts")
+          def sqlCount(): Long = spark.sql(
+            "SELECT count(*) FROM sdel_pts WHERE kind = 'simple'")
+            .collect()(0).getLong(0)
+          timeAction("sdel_sql_clean_vectorized", n) { sqlCount(); () }
+          timeAction("sdel_delete_103addrs", n) {
+            TimeStore.deletePoints(spark, ns,
+              (0 until 1024 by 10).map(_.toLong * 2),
+              rows * 250L, rows * 750L)
+          }
+          time("sdel_read_tombstoned", n)(read())
+          timeAction("sdel_sql_tombstoned_rowreader", n) { sqlCount(); () }
+          timeAction("sdel_vacuum", n) {
+            TimeStore.vacuumDeletes(spark, ns)
+          }
+          time("sdel_read_vacuumed", n)(read())
+          timeAction("sdel_sql_vacuumed_vectorized", n) { sqlCount(); () }
+        } finally {
+          only = saved18
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
       // Compact-path A/B (VERDICT r11 #3): the r12 binary row-group
       // concatenation (`ParquetFileWriter.appendFile`, what compact() now
       // runs) against the r11 Group-API row decode/re-encode loop it

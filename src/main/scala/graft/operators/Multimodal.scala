@@ -201,9 +201,14 @@ object Multimodal {
       // with the default useCache=true spins up a disk-backed
       // FileCacheImageInputStream in executor threads — temp-file churn,
       // fails on a read-only tmp (ADVICE r13)
-      val iin = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(r.content))
-      val img = try javax.imageio.ImageIO.read(iin) finally iin.close()
+      // NO explicit close: read(ImageInputStream) closes the stream itself
+      // (javadoc), and a second close throws "IOException: closed" — which
+      // the fallback catch would silently turn into the stub path for
+      // EVERY image (caught by the real-PNG spec). Nothing leaks either
+      // way: the stream is a wrapper over an in-memory byte array.
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.content)))
       if (img == null) None
       else {
         val (w, h) = targetDims(img.getWidth, img.getHeight, maxDim)

@@ -55,7 +55,11 @@ object MutableKV {
     val current = lookupWithSeq(spark, s, addr)
     val (seq, merged) = current match {
       case Some((prevSeq, prev)) => (prevSeq + 1, merge(value, prev))
-      case None                  => (1L, value)
+      // a deleted key re-creates ABOVE its tombstone horizon: [[delete]]
+      // suppresses seqs [0, H], so the first re-insert must land at H+1
+      // or the pending tombstone would swallow it (and a vacuum racing
+      // the insert would physically remove it)
+      case None => (deleteHorizon(spark, s, addr) + 1, value)
     }
     // bounded retry on lease contention: the merge result is NOT recomputed
     // — stale-read-then-write is exactly the reference's documented race,
@@ -112,5 +116,47 @@ object MutableKV {
     TimeStore.latestPerAddress(spark, s, "extended")
       .select(col("address"), col("time").as("seq"), col("value"))
       .orderBy(col("address"))
+  }
+
+  /** Remove a key from the mutable view — the KV arm of the store
+    * takedown path (the reference's KV is append-only; this is the
+    * engine's LLM-pipeline mandate, exactly like the index families'
+    * deletes): ALL of the key's sequence records tombstone in the shadow
+    * namespace over [0, current seq] via [[TimeStore.deletePoints]], so
+    * [[lookup]] turns None and [[enumerate]] drops the key immediately;
+    * [[vacuum]] folds the tombstones in physically. A later
+    * [[insertWith]] re-creates the key above the tombstone horizon.
+    * No-op for an absent key. */
+  def delete(spark: SparkSession, n: TimeStore.Namespace,
+             address: Long): Unit = {
+    val s = ensure(spark, n)
+    val addr = mutableAddress(address)
+    lookupWithSeq(spark, s, addr).foreach { case (seq, _) =>
+      TimeStore.deletePoints(spark, s, Seq(addr), 0L, seq)
+    }
+  }
+
+  /** Fold the mutable view's pending key deletions in physically —
+    * [[TimeStore.vacuumDeletes]] on the shadow namespace. */
+  def vacuum(spark: SparkSession, n: TimeStore.Namespace): Unit =
+    TimeStore.vacuumDeletes(spark, ensure(spark, n))
+
+  /** Highest tombstoned sequence for a key (0 when none pending) — the
+    * floor a re-created key's first sequence number must clear. */
+  private def deleteHorizon(spark: SparkSession,
+                            shadowNs: TimeStore.Namespace,
+                            addr: Long): Long = {
+    val triples = TimeStore.loadDeleteTriples(
+      spark.sparkContext.hadoopConfiguration,
+      TimeStore.deleteFiles(spark, shadowNs))
+    var h = 0L
+    var i = 0
+    while (i < triples.length) {
+      if (triples(i) == addr &&
+          java.lang.Long.compareUnsigned(triples(i + 2), h) > 0)
+        h = triples(i + 2)
+      i += 3
+    }
+    h
   }
 }

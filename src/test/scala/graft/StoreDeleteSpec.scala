@@ -144,6 +144,37 @@ class StoreDeleteSpec extends SparkSpec {
     fs.delete(new Path(root), true)
   }
 
+  test("mutable KV delete: key vanishes from lookup/enumerate, survives " +
+      "vacuum, and a re-insert re-creates it above the tombstone horizon") {
+    import graft.sources.MutableKV
+    val root = Files.createTempDirectory("graft-del-kv").toString
+    val n = TimeStore.namespace(root, "KV")
+    MutableKV.insert(spark, n, 10L, Array[Byte](1))
+    MutableKV.insert(spark, n, 10L, Array[Byte](2))
+    MutableKV.insert(spark, n, 12L, Array[Byte](9))
+    assert(MutableKV.lookup(spark, n, 10L).map(_.toSeq) === Some(Seq(2.toByte)))
+
+    MutableKV.delete(spark, n, 10L)
+    assert(MutableKV.lookup(spark, n, 10L).isEmpty,
+      "deleted key must stop resolving immediately")
+    assert(MutableKV.enumerate(spark, n).collect().map(_.getLong(0)).toSeq
+      === Seq(13L), "only the surviving key enumerates (forced-odd addr)")
+
+    // re-create BEFORE vacuum: the first new record must clear the
+    // tombstone horizon or the pending range-delete would swallow it
+    MutableKV.insert(spark, n, 10L, Array[Byte](7))
+    assert(MutableKV.lookup(spark, n, 10L).map(_.toSeq) === Some(Seq(7.toByte)))
+    MutableKV.vacuum(spark, n)
+    assert(MutableKV.lookup(spark, n, 10L).map(_.toSeq) === Some(Seq(7.toByte)),
+      "vacuum must keep the re-created key and fold the old records")
+    assert(MutableKV.lookup(spark, n, 12L).map(_.toSeq) === Some(Seq(9.toByte)))
+    // second delete+vacuum: fully gone
+    MutableKV.delete(spark, n, 10L)
+    MutableKV.vacuum(spark, n)
+    assert(MutableKV.lookup(spark, n, 10L).isEmpty)
+    fs.delete(new Path(root), true)
+  }
+
   test("delete on an unregistered namespace fails loudly; empty address " +
       "seq is a no-op; vacuum with no pending deletes is a no-op") {
     val root = Files.createTempDirectory("graft-del-guard").toString
