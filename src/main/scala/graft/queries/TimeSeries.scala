@@ -360,6 +360,60 @@ object TimeSeries {
       |  CASE WHEN user_id % 2 = 0 THEN 'FINAL' ELSE joined END AS kv
       |FROM agg ORDER BY user_id""".stripMargin
 
+  /** KV takedown under the hash gate ([[graft.sources.MutableKV.delete]]
+    * / `vacuum`, r14): the same scripted per-key workload as
+    * [[storeMutable]], then two keys are DELETED, one of them re-created
+    * (its first new record must land above the tombstone horizon — seq
+    * cnt+1, which the twin recomputes), the pending deletions vacuum into
+    * a fresh points generation, and the final enumerate must show the
+    * re-created key at the bumped sequence and the other key GONE. A
+    * tombstone that leaks a deleted record, a re-insert swallowed by the
+    * pending range-delete, or a vacuum that drops the re-created row all
+    * break the hash. */
+  def storeKvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MutableKV, TimeStore}
+    val root = Streaming.tempWorkspace("graft-store-kv-delete")
+    val n = TimeStore.namespace(root, "KVDEL")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = Tables.events(s, dir)
+      .filter(col("user_id").isin(Addrs: _*))
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+      .collect() // bounded driver-side workload script: ≤ 3 rows × 5 keys
+    rows.foreach { r =>
+      MutableKV.insertWith(s, n,
+        (nw, prev) => prev ++ ",".getBytes("UTF-8") ++ nw,
+        r.getAs[Long]("user_id") * 2,
+        r.getAs[Long]("event_id").toString.getBytes("UTF-8"))
+    }
+    MutableKV.delete(s, n, 2L * 2)
+    MutableKV.delete(s, n, 8L * 2)
+    MutableKV.insert(s, n, 2L * 2, "REBORN".getBytes("UTF-8"))
+    MutableKV.vacuum(s, n)
+    MutableKV.enumerate(s, n)
+      .select(expr("address div 2").as("user_id"), col("seq"),
+        decode(col("value"), "UTF-8").as("kv"))
+      .orderBy(col("user_id"))
+  }
+
+  val storeKvDeleteSql: String =
+    """WITH sel AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE user_id IN (1,2,3,5,8)),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS cnt,
+      |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS joined
+      |  FROM sel WHERE rn <= 3 GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(CASE WHEN user_id = 2 THEN cnt + 1 ELSE cnt END AS BIGINT) AS seq,
+      |  CASE WHEN user_id = 2 THEN 'REBORN' ELSE joined END AS kv
+      |FROM agg WHERE user_id != 8 ORDER BY user_id""".stripMargin
+
   /** STREAMING ingest into the store under the gate (`TimeStore.hs:98-137`
     * as a continuous protocol): the fixture is staged as FOUR parquet
     * files and replayed through [[graft.streaming.StreamingIngest.start]]
@@ -1019,6 +1073,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_delete" -> storeDelete,
+    "ts_store_kv_delete" -> storeKvDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
     "ts_store_latest"   -> storeLatest,
@@ -1043,6 +1098,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_delete" -> storeDeleteSql,
+    "ts_store_kv_delete" -> storeKvDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,
     "ts_store_latest"   -> storeLatestSql,

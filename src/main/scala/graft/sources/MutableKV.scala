@@ -132,7 +132,20 @@ object MutableKV {
     val s = ensure(spark, n)
     val addr = mutableAddress(address)
     lookupWithSeq(spark, s, addr).foreach { case (seq, _) =>
-      TimeStore.deletePoints(spark, s, Seq(addr), 0L, seq)
+      // bounded retry on lease contention, like [[insertWith]]: a takedown
+      // racing routine KV writes should queue behind them, not surface
+      // the writer fence to callers
+      var attempts = 50
+      var done = false
+      while (!done) {
+        try {
+          TimeStore.deletePoints(spark, s, Seq(addr), 0L, seq)
+          done = true
+        } catch {
+          case _: TimeStore.LeaseContentionException if attempts > 0 =>
+            attempts -= 1; Thread.sleep(20)
+        }
+      }
     }
   }
 
