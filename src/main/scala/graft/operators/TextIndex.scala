@@ -377,6 +377,54 @@ object TextIndex {
         round(col("rrf"), 8).as("rrf"))
   }
 
+  /** Weighted NORMALIZED-SCORE fusion — [[rrfFuse]]'s sibling, the other
+    * standard hybrid combiner (convex combination over min-max-normalized
+    * scores): per query, each ranking's scores normalize to [0, 1] (an
+    * all-tied ranking normalizes to 1 — every doc is that ranking's
+    * best), a doc missing from a side contributes 0 from it, and the
+    * fused score is `w·lex + (1−w)·sem`. Where RRF uses only ranks
+    * (robust, calibration-free), score fusion preserves MARGIN — a
+    * runaway best match dominates; the two modes bracket the standard
+    * hybrid-search configuration space. Both inputs are bounded
+    * (query_id, …, id, score) top-k frames, so the fusion is two ≤k-row
+    * window passes + one full-outer join — at 100 TB the cost lives in
+    * the two searches, exactly like [[rrfFuse]].
+    *
+    * Determinism: both engines normalize identical already-rounded
+    * scores with the same (s−mn)/(mx−mn) IEEE division, scale by
+    * parsed-literal weights, add ONCE, and round to 6 dp — no
+    * accumulation, no transcendental, so the hash gate holds without the
+    * decimal detour. */
+  def scoreFuse(lex: DataFrame, lexIdCol: String, lexScoreCol: String,
+                sem: DataFrame, semIdCol: String, semScoreCol: String,
+                k: Int, wLex: Double = 0.5): DataFrame = {
+    def normed(df: DataFrame, idCol: String, scoreCol: String,
+               out: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+      df.select(col("query_id"), col(idCol).as("doc_id"),
+          col(scoreCol).cast("double").as("s"))
+        .withColumn("__mn", min(col("s")).over(w))
+        .withColumn("__mx", max(col("s")).over(w))
+        .select(col("query_id"), col("doc_id"),
+          when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("s") - col("__mn")) /
+              (col("__mx") - col("__mn")))
+            .as(out))
+    }
+    val l = normed(lex, lexIdCol, lexScoreCol, "ln")
+    val r = normed(sem, semIdCol, semScoreCol, "sn")
+    val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (lit(wLex) * coalesce(col("ln"), lit(0.0)) +
+         lit(1.0 - wLex) * coalesce(col("sn"), lit(0.0))).as("fused"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("fused"), 6).as("fused"))
+  }
+
   /** The shared scorer. `globals` is a ONE-row (n, len_sum) frame — it
     * broadcasts into the plan (never a driver collect), so avgdl is the
     * same correctly-rounded double division the twin computes. Every

@@ -3055,6 +3055,71 @@ object NorthStar {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Weighted normalized-score hybrid fusion ([[TextIndex.scoreFuse]] —
+    * `ann_hybrid_rrf`'s sibling over the SAME two rankings): per query,
+    * BM25 and cosine scores min-max normalize and fuse as
+    * 0.5·lex + 0.5·sem — the combiner that preserves score MARGIN where
+    * RRF keeps only ranks; together the two gates pin both ends of the
+    * standard hybrid configuration space. Same one-sided coverage
+    * asymmetry as the RRF gate (lexical queries doc_id < 8, semantic
+    * probes vec_id < 8 — here both sides cover the same ids, so every
+    * fused row genuinely mixes both signals). The twin recomputes the
+    * full BM25 chain, the brute-force cosine ranking, the per-query
+    * min-max windows, and the convex combination. */
+  def annHybridWsum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lex = TextIndex.bm25TopK(docs, bm25GateQueries(docs), "doc_id",
+      "text", "query_id", "qtext", k = 10)
+    val sem = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    TextIndex.scoreFuse(lex, "doc_id", "score", sem, "nbr_id", "cos_sim",
+        k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  lazy val annHybridWsumSql: String =
+    s"""WITH lex AS (${bm25Sql("", k = 10)}),
+       |ann_scored AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+       |      / (SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+       |       * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos_sim
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id < 8 AND c.vec_id != p.vec_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, cos_sim FROM (
+       |    SELECT query_id, doc_id, cos_sim, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rnk
+       |    FROM ann_scored)
+       |  WHERE rnk <= 10),
+       |lexn AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN mx = mn THEN 1.0e0 ELSE (s - mn) / (mx - mn) END AS ln
+       |  FROM (
+       |    SELECT query_id, doc_id, score AS s,
+       |      MIN(score) OVER (PARTITION BY query_id) AS mn,
+       |      MAX(score) OVER (PARTITION BY query_id) AS mx
+       |    FROM lex)),
+       |semn AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN mx = mn THEN 1.0e0 ELSE (s - mn) / (mx - mn) END AS sn
+       |  FROM (
+       |    SELECT query_id, doc_id, cos_sim AS s,
+       |      MIN(cos_sim) OVER (PARTITION BY query_id) AS mn,
+       |      MAX(cos_sim) OVER (PARTITION BY query_id) AS mx
+       |    FROM sem)),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+       |    COALESCE(l.doc_id, a.doc_id) AS doc_id,
+       |    0.5e0 * COALESCE(l.ln, 0.0e0) + 0.5e0 * COALESCE(a.sn, 0.0e0) AS fused
+       |  FROM lexn l FULL OUTER JOIN semn a
+       |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+       |SELECT query_id, rnk, doc_id, ROUND(fused, 6) AS fused FROM (
+       |  SELECT query_id, doc_id, fused, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Hybrid retrieval over BOTH frozen persisted indexes — the production
     * serving composition (`ann_hybrid_rrf` is the same fusion with both
     * sides recomputed in-invocation; here the BM25 postings and the IMI
@@ -3108,6 +3173,7 @@ object NorthStar {
     "text_bm25_index_append" -> textBm25IndexAppend,
     "text_bm25_index_delete" -> textBm25IndexDelete,
     "ann_hybrid_rrf" -> annHybridRrf,
+    "ann_hybrid_wsum" -> annHybridWsum,
     "text_ngram_freq" -> textNgramFreq,
     "text_pii" -> textPii,
     "text_contamination" -> textContamination,
@@ -3192,6 +3258,7 @@ object NorthStar {
     "text_bm25_index_append" -> textBm25IndexAppendSql,
     "text_bm25_index_delete" -> textBm25IndexDeleteSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    "ann_hybrid_wsum" -> annHybridWsumSql,
     "ann_hybrid_index_rrf" -> annHybridIndexRrfSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii" -> textPiiSql,
