@@ -656,6 +656,27 @@ class PlanSpec extends SparkSpec {
     fsys.delete(new org.apache.hadoop.fs.Path(path), true)
   }
 
+  test("store reads with pending delete tombstones anti-join via a " +
+      "BROADCAST, never a shuffle of the point scan") {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-del-plan").toString
+    val n = TimeStore.namespace(root, "DELPLAN")
+    TimeStore.register(spark, n, 4, 4)
+    TimeStore.writePoints(spark, n, spark.createDataset(
+      (0 until 64).map(a => Point(a.toLong * 2, 100L + a, a.toLong))))
+    TimeStore.deletePoints(spark, n, Seq(4L, 8L), 0L, 1000L)
+    val df = TimeStore.readSimple(spark, n, 0L, 100000L,
+      (0 until 8).map(_.toLong * 2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"pending deletes must apply as a broadcast anti-join:\n${plan.take(1200)}")
+    val fsys = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("bm25IndexSearch past the In-list ceiling: bounded semi-join plan, " +
       "no literal term predicate, identical results") {
     import graft.operators.TextIndex
