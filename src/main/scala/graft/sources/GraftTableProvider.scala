@@ -674,7 +674,36 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
   // projection with no filters still needs row COUNT: read the narrowest
   // column.
   // Pending takedown tombstones test (address, time) — those columns must
-  // decode even if the projection pruned them away.
+  // decode even if the projection pruned them away. The triples hash by
+  // address ONCE per reader: the per-row test must be O(ranges for this
+  // address), not a linear pass over the whole tombstone batch.
+  private val delRanges: java.util.HashMap[Long, Array[Long]] =
+    if (deleteTriples.isEmpty) null
+    else {
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      var i = 0
+      while (i < deleteTriples.length) {
+        val prev = m.get(deleteTriples(i))
+        val add = Array(deleteTriples(i + 1), deleteTriples(i + 2))
+        m.put(deleteTriples(i), if (prev == null) add else prev ++ add)
+        i += 3
+      }
+      m
+    }
+
+  private def deleted(address: Long, time: Long): Boolean = {
+    if (delRanges == null) return false
+    val rs = delRanges.get(address)
+    if (rs == null) return false
+    var i = 0
+    while (i < rs.length) {
+      if (java.lang.Long.compareUnsigned(time, rs(i)) >= 0 &&
+          java.lang.Long.compareUnsigned(time, rs(i + 1)) <= 0) return true
+      i += 2
+    }
+    false
+  }
+
   private val delCols: Array[String] =
     if (deleteTriples.isEmpty) Array.empty else Array("address", "time")
   private val dataCols = (required.fieldNames.filter(DataColNames.contains) ++
@@ -824,8 +853,7 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
         val time = if (timeSlot >= 0) readLongAt(timeSlot) else 0L
         val payload = if (paySlot >= 0) readLongAt(paySlot) else 0L
         val value = if (valSlot >= 0) readBinaryAt(valSlot) else null
-        if ((deleteTriples.isEmpty ||
-              !TimeStore.deletedBy(deleteTriples, address, time)) &&
+        if (!deleted(address, time) &&
             rowPred(address, time, payload, value, curFile)) {
           val vals: Array[Any] = required.fieldNames.map {
             case "address" => address
