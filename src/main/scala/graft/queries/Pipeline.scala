@@ -436,6 +436,55 @@ object Pipeline {
     * materialization of the range exchange (scope-cached) — correctness
     * does not depend on where the sampled range boundaries fall, only on
     * ranges being sorted and disjoint, which RangePartitioner guarantees. */
+  /** Deterministic EPOCH ORDERING — the reproducible data-order contract a
+    * training run needs (resume a crashed epoch, replay a loss spike,
+    * compare runs): a seeded pseudo-random permutation of the corpus,
+    * sharded for parallel data-loader workers, bit-identical on every
+    * rerun and across engines. Shard and order both derive from the
+    * md5(seed || id) digest (the cross-engine hash every sampling op here
+    * uses): shard = the digest's first byte mod nShards, within-shard
+    * position = rank by (digest, id). NO global total order is ever
+    * materialized — a corpus-wide row_number would serialize the corpus
+    * through one window task (the pack_ab lesson); the only shuffle is
+    * the per-shard window, bounded by rows/shard, and any worker can
+    * locate any document's shard with row-local arithmetic. A new seed is
+    * a fresh epoch's order. */
+  private[graft] def epochOrderOver(docs: DataFrame, idCol: String,
+                                    seed: String,
+                                    nShards: Int): DataFrame = {
+    val h = md5(concat(lit(s"epoch:$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol), h.as("h"))
+      .withColumn("shard",
+        pmod(expr("(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)"),
+          lit(nShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"), col("h").as("order_key"))
+  }
+
+  def epochOrder(s: SparkSession, dir: String): DataFrame =
+    epochOrderOver(Tables.documents(s, dir), "doc_id", seed = "7",
+        nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+
+  val epochOrderSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('epoch:7:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+      |     (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8 AS shard
+      |  FROM h)
+      |SELECT doc_id, CAST(shard AS INT) AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  h AS order_key
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequencesOver(Tables.documents(s, dir))
 
@@ -548,6 +597,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack_sequences" -> packSequences,
+    "pipeline_epoch_order" -> epochOrder,
     "pipeline_pack_manifest" -> packManifest,
     "pipeline_mix_domains" -> mixDomains,
     "pipeline_data_card" -> pipelineDataCard,
@@ -560,6 +610,7 @@ object Pipeline {
 
   def oracleSql: Map[String, String] = Map(
     "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_epoch_order" -> epochOrderSql,
     "pipeline_pack_manifest" -> packManifestSql,
     "pipeline_mix_domains" -> mixDomainsSql,
     "pipeline_data_card" -> pipelineDataCardSql,
