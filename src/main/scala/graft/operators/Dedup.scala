@@ -253,11 +253,11 @@ object Dedup {
     * [[Similarity.indexCompact]]'s generational binary row-group merge
     * over `buckets/` and `shingles/`. */
   def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
-    val root = IndexTables.liveDir(spark, path)
-    Seq("buckets", "shingles", "sizes").foreach(t =>
-      IndexTables.compactTable(spark, s"$root/$t"))
-  }
+                        path: String): Unit =
+    // no-op on a never-written path, like every maintenance entry point
+    IndexTables.liveGenOpt(spark, path).map(_._2.toString).foreach(root =>
+      Seq("buckets", "shingles", "sizes").foreach(t =>
+        IndexTables.compactTable(spark, s"$root/$t")))
 
   /** Threshold-triggered [[dedupIndexCompact]]
     * ([[graft.operators.Similarity.indexMaybeCompact]]'s contract): cheap
@@ -266,12 +266,11 @@ object Dedup {
     * table compacted. */
   def dedupIndexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
                              path: String,
-                             maxFilesPerLeaf: Int = 16): Boolean = {
-    val root = IndexTables.liveDir(spark, path)
-    Seq("buckets", "shingles", "sizes").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
-      .exists(identity)
-  }
+                             maxFilesPerLeaf: Int = 16): Boolean =
+    IndexTables.liveGenOpt(spark, path).map(_._2.toString).exists(root =>
+      Seq("buckets", "shingles", "sizes").map(t =>
+        IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
+        .exists(identity))
 
   /** Tombstone-delete documents from a persisted dedup index — the
     * takedown path ([[Similarity.indexDelete]]'s contract applied to the
@@ -299,10 +298,12 @@ object Dedup {
     val applied = graft.sources.ParquetConcat.dataFiles(conf,
       new org.apache.hadoop.fs.Path(tombDir))
     if (applied.isEmpty) return
+    val rootOpt = IndexTables.liveGenOpt(spark, path).map(_._2.toString)
+    if (rootOpt.isEmpty) return // tombstones stay pending until a build
     val tomb = spark.read
       .parquet(applied.map(_.getPath.toString): _*)
       .select(col("doc"))
-    val oldRoot = IndexTables.liveDir(spark, path)
+    val oldRoot = rootOpt.get
     val newRoot = IndexTables.nextRootDir(spark, path)
     Seq("buckets", "shingles", "sizes").foreach { t =>
       spark.read
@@ -349,8 +350,11 @@ object Dedup {
                       path: String,
                       maxBucket: Int = DefaultMaxBucket): Unit = {
     // single-table rewrite: cap semantics touch only the band buckets, so
-    // a nested data-generation swap suffices (no cross-table statistics)
-    val table = s"${IndexTables.liveDir(spark, path)}/buckets"
+    // a nested data-generation swap suffices (no cross-table statistics);
+    // no-op on a never-written path like every maintenance entry point
+    val rootOpt = IndexTables.liveGenOpt(spark, path).map(_._2.toString)
+    if (rootOpt.isEmpty) return
+    val table = s"${rootOpt.get}/buckets"
     IndexTables.liveGenOpt(spark, table).foreach { case (g, live) =>
       capHotBuckets(spark.read.parquet(live.toString), maxBucket)
         .write.mode("overwrite")

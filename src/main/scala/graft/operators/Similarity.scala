@@ -1496,6 +1496,16 @@ object Similarity {
                     path: String): String =
     IndexTables.liveDir(spark, path)
 
+  /** The live root when one exists — MAINTENANCE entry points
+    * (compact/vacuum) are no-ops on a never-written path, like their
+    * pre-root per-table forms (a polling maintenance loop must not crash
+    * on an index whose first build is still in flight); serves and
+    * appends still fail loudly. */
+  private[graft] def indexLiveRootOpt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    IndexTables.liveGenOpt(spark, path).map(_._2.toString)
+
   /** Compact a persisted index's DATA tables (`lists/` and/or `codes/`)
     * after appends (VERDICT r12 #1): every [[imiIndexAppend]] /
     * [[imiPqIndexAppend]] / [[pqIndexAppend]] batch lands as its own
@@ -1511,11 +1521,10 @@ object Similarity {
     * them — so only the data tables compact. Idempotent; run it on the
     * maintenance cadence of the append stream. */
   def indexCompact(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    val root = indexLiveRoot(spark, path)
-    Seq("lists", "codes").foreach(t =>
-      IndexTables.compactTable(spark, s"$root/$t"))
-  }
+                   path: String): Unit =
+    indexLiveRootOpt(spark, path).foreach(root =>
+      Seq("lists", "codes").foreach(t =>
+        IndexTables.compactTable(spark, s"$root/$t")))
 
   /** Threshold-triggered [[indexCompact]] — run after every append batch
     * (or on the ingest cadence): compacts a data table only once some
@@ -1525,12 +1534,11 @@ object Similarity {
     * (rados-timestore StoreHelpers.hs:194-221's rollover check, applied
     * to the index family). Returns whether any table compacted. */
   def indexMaybeCompact(spark: org.apache.spark.sql.SparkSession,
-                        path: String, maxFilesPerLeaf: Int = 16): Boolean = {
-    val root = indexLiveRoot(spark, path)
-    Seq("lists", "codes").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
-      .exists(identity)
-  }
+                        path: String, maxFilesPerLeaf: Int = 16): Boolean =
+    indexLiveRootOpt(spark, path).exists(root =>
+      Seq("lists", "codes").map(t =>
+        IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
+        .exists(identity))
 
   /** Tombstone-delete vectors from a persisted index WITHOUT rewriting it —
     * the takedown/decontamination path a training-data pipeline needs
@@ -1587,10 +1595,12 @@ object Similarity {
     val applied = graft.sources.ParquetConcat.dataFiles(conf,
       new org.apache.hadoop.fs.Path(tombDir))
     if (applied.isEmpty) return
+    val rootOpt = indexLiveRootOpt(spark, path)
+    if (rootOpt.isEmpty) return // tombstones stay pending until a build
     val tomb = spark.read
       .parquet(applied.map(_.getPath.toString): _*)
       .select(col("nbr_id"))
-    val root = indexLiveRoot(spark, path)
+    val root = rootOpt.get
     Seq("lists", "codes").foreach { t =>
       val table = s"$root/$t"
       IndexTables.liveGenOpt(spark, table).foreach { case (g, livePath) =>

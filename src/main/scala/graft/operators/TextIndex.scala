@@ -149,23 +149,22 @@ object TextIndex {
     * row-group merge over every index table (reader-safe generation
     * swap; each appended batch's row groups keep their own term64
     * min/max stats, so pushed-predicate skipping survives the concat). */
-  def bm25IndexCompact(spark: SparkSession, path: String): Unit = {
-    val root = IndexTables.liveDir(spark, path)
-    Seq("postings", "vocab", "doclens", "global").foreach(t =>
-      IndexTables.compactTable(spark, s"$root/$t"))
-  }
+  def bm25IndexCompact(spark: SparkSession, path: String): Unit =
+    // no-op on a never-written path, like every maintenance entry point
+    IndexTables.liveGenOpt(spark, path).map(_._2.toString).foreach(root =>
+      Seq("postings", "vocab", "doclens", "global").foreach(t =>
+        IndexTables.compactTable(spark, s"$root/$t")))
 
   /** Threshold-triggered [[bm25IndexCompact]]
     * ([[Similarity.indexMaybeCompact]]'s contract): cheap to call after
     * every append; compacts only the tables some leaf of which exceeds
     * `maxFilesPerLeaf` fragments. Returns whether any table compacted. */
   def bm25IndexMaybeCompact(spark: SparkSession, path: String,
-                            maxFilesPerLeaf: Int = 16): Boolean = {
-    val root = IndexTables.liveDir(spark, path)
-    Seq("postings", "vocab", "doclens", "global").map(t =>
-      IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
-      .exists(identity)
-  }
+                            maxFilesPerLeaf: Int = 16): Boolean =
+    IndexTables.liveGenOpt(spark, path).map(_._2.toString).exists(root =>
+      Seq("postings", "vocab", "doclens", "global").map(t =>
+        IndexTables.maybeCompactTable(spark, s"$root/$t", maxFilesPerLeaf))
+        .exists(identity))
 
   /** Tombstone-delete documents (takedown/decontamination against a built
     * index, [[Similarity.indexDelete]]'s contract): the ids semi-join the
@@ -199,10 +198,12 @@ object TextIndex {
     val applied = graft.sources.ParquetConcat.dataFiles(conf,
       new org.apache.hadoop.fs.Path(tombDir))
     if (applied.isEmpty) return
+    val rootOpt = IndexTables.liveGenOpt(spark, path).map(_._2.toString)
+    if (rootOpt.isEmpty) return // tombstones stay pending until a build
     val tomb = spark.read.parquet(applied.map(_.getPath.toString): _*)
       .select(col("doc")).distinct()
     val tombBytes = applied.map(_.getLen).sum
-    val oldRoot = IndexTables.liveDir(spark, path)
+    val oldRoot = rootOpt.get
     val newRoot = IndexTables.nextRootDir(spark, path)
     // data tables: anti-join rewrite, preserving the term64 clustering
     val keptPostings = spark.read
@@ -264,14 +265,19 @@ object TextIndex {
     // Under [[MaxTermInListValues]] it collects and pushes as a literal In
     // (row-group skip); above, it stays distributed as a size-gated
     // broadcast semi-join (never a plan-sized predicate, never a driver
-    // collect of a bulk vocabulary).
+    // collect of a bulk vocabulary). ONE job decides AND fetches: take
+    // ceiling+1 ids — fits ⇒ that IS the In-list; overflows ⇒ bulk batch,
+    // and only then is the vocabulary counted (for the broadcast gate) —
+    // a separate count() before the collect would put a second job's
+    // scheduling floor on every online serve.
     val qset = qterms.select(col("term64")).distinct()
-    val nTerms = qset.count()
-    val qBytes = 16L * nTerms
+    val probeLimit = math.min(maxTermInList + 1, Int.MaxValue.toLong).toInt
+    val sampled = qset.limit(probeLimit).collect()
     val inList: Option[Seq[Long]] =
-      if (nTerms <= maxTermInList)
-        Some(qset.collect().map(_.getLong(0)).toSeq)
+      if (sampled.length <= maxTermInList)
+        Some(sampled.map(_.getLong(0)).toSeq)
       else None
+    lazy val qBytes = 16L * qset.count()
     def termPruned(df: DataFrame): DataFrame = inList match {
       case Some(ids) => df.filter(col("term64").isin(ids: _*))
       case None => df.join(maybeBroadcastTomb(qset, qBytes),

@@ -429,7 +429,11 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     * unbounded metadata pass — at that scale sizeInBytes alone already
     * steers the join strategy correctly. */
   private lazy val footerRowCount: OptionalLong =
-    if (plannedFiles.isEmpty) OptionalLong.of(0L)
+    // pending takedown tombstones suppress rows the footers still count —
+    // an "exact" statistic would overcount, so degrade to bytes-only
+    // until the vacuum folds them in
+    if (deleteTriples.nonEmpty) OptionalLong.empty()
+    else if (plannedFiles.isEmpty) OptionalLong.of(0L)
     else if (plannedFiles.length > GraftScan.MaxStatFooterReads) OptionalLong.empty()
     else try {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration

@@ -131,20 +131,24 @@ object MutableKV {
              address: Long): Unit = {
     val s = ensure(spark, n)
     val addr = mutableAddress(address)
-    lookupWithSeq(spark, s, addr).foreach { case (seq, _) =>
-      // bounded retry on lease contention, like [[insertWith]]: a takedown
-      // racing routine KV writes should queue behind them, not surface
-      // the writer fence to callers
-      var attempts = 50
-      var done = false
-      while (!done) {
-        try {
-          TimeStore.deletePoints(spark, s, Seq(addr), 0L, seq)
-          done = true
-        } catch {
-          case _: TimeStore.LeaseContentionException if attempts > 0 =>
-            attempts -= 1; Thread.sleep(20)
+    // bounded retry on lease contention, like [[insertWith]]: a takedown
+    // racing routine KV writes queues behind them. The horizon read and
+    // the tombstone write share ONE lease acquisition — a horizon read
+    // outside the lease can go stale against a concurrent insert, whose
+    // higher-sequence record would survive the "completed" takedown.
+    var attempts = 50
+    var done = false
+    while (!done) {
+      try {
+        TimeStore.withWriterLease(spark, s) {
+          lookupWithSeq(spark, s, addr).foreach { case (seq, _) =>
+            TimeStore.deletePointsHeld(spark, s, Seq(addr), 0L, seq)
+          }
         }
+        done = true
+      } catch {
+        case _: TimeStore.LeaseContentionException if attempts > 0 =>
+          attempts -= 1; Thread.sleep(20)
       }
     }
   }

@@ -823,6 +823,17 @@ object TimeStore {
   def deletePoints(spark: SparkSession, n: Namespace, addrs: Seq[Long],
                    start: Long = 0L, end: Long = -1L): Unit =
     withWriterLease(spark, n) {
+      deletePointsHeld(spark, n, addrs, start, end)
+    }
+
+  /** [[deletePoints]]' body for callers ALREADY holding the writer lease —
+    * [[MutableKV.delete]] must read a key's current sequence and write its
+    * tombstone under ONE lease acquisition (a read outside the lease can
+    * go stale against a concurrent insert, leaving the key's newest record
+    * alive after the takedown "completed"). */
+  private[sources] def deletePointsHeld(spark: SparkSession, n: Namespace,
+                                        addrs: Seq[Long], start: Long,
+                                        end: Long): Unit = {
       if (addrs.nonEmpty) {
         mustFetchIndex(spark, n, "simple") // "invalid namespace" discipline
         val conf = spark.sparkContext.hadoopConfiguration

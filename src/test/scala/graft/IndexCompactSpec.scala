@@ -224,6 +224,33 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("maintenance ops are no-ops on a never-written index path — a " +
+      "polling maintenance loop must not crash on an in-flight first build") {
+    import graft.operators.{Dedup, IndexTables, TextIndex}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-maint-noop-spec").toString
+    Similarity.indexCompact(spark, path)
+    assert(!Similarity.indexMaybeCompact(spark, path))
+    Similarity.indexVacuum(spark, path) // nothing pending
+    // a delete BEFORE any build: tombstones land, vacuum keeps them
+    // pending until there is an index generation to fold them into
+    Similarity.indexDelete(spark, Seq(1L, 2L).toDF("vec_id"), "vec_id", path)
+    Similarity.indexVacuum(spark, path)
+    assert(graft.sources.ParquetConcat.dataFiles(
+      spark.sparkContext.hadoopConfiguration,
+      new Path(s"$path/tombstones")).nonEmpty,
+      "pre-build tombstones must stay pending, not vanish")
+    TextIndex.bm25IndexCompact(spark, path)
+    assert(!TextIndex.bm25IndexMaybeCompact(spark, path))
+    Dedup.dedupIndexCompact(spark, path)
+    assert(!Dedup.dedupIndexMaybeCompact(spark, path))
+    Dedup.dedupIndexRecap(spark, path)
+    assert(IndexTables.liveGenOpt(spark, path).isEmpty,
+      "no maintenance op may conjure an index generation")
+    fs.delete(new Path(path), true)
+  }
+
   test("maybeCompact: quiet below the threshold, fires above it, " +
       "self-maintains under an append stream") {
     import graft.operators.IndexTables
