@@ -224,6 +224,56 @@ object TimeSeries {
 
   val storeSqlWriteSql: String = storeRoundtripSql
 
+  /** Takedown as PURE SQL (VERDICT r14 #1): `DELETE FROM <graft table>
+    * WHERE address IN (…) AND time BETWEEN …` — the DSv2
+    * `SupportsDelete` wiring ([[graft.sources.GraftTable.deleteWhere]])
+    * maps the predicate onto the SAME tombstone protocol the Scala API's
+    * [[graft.sources.TimeStore.deletePoints]] uses, so a SQL-only user
+    * can now ingest, query, AND forget without touching the Scala API.
+    * The read is served TWICE under one hash, exactly like
+    * [[storeDelete]]: first through the SQL scan with the tombstones
+    * pending (the batch-masked read path), then after
+    * [[graft.sources.TimeStore.vacuumDeletes]] physically rewrote the
+    * generation. Same twin as the API takedown — the SQL spelling must be
+    * indistinguishable from it. */
+  def storeSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-sql-delete")
+    val n = TimeStore.namespace(root, "SQLDEL")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    s.sql("DROP TABLE IF EXISTS graft_sqldel")
+    s.sql(s"CREATE TABLE graft_sqldel USING graft OPTIONS (root '$root', ns 'SQLDEL')")
+    // the takedown, spelled as SQL: users 2 and 8, middle sub-range
+    s.sql(s"DELETE FROM graft_sqldel WHERE address IN (4, 16) " +
+      s"AND time BETWEEN $D0 AND $D1")
+    def read() = s.sql(
+      s"""SELECT user_id, ts_ns, event_id FROM (
+         |  SELECT address div 2 AS user_id, time AS ts_ns, payload AS event_id,
+         |    row_number() OVER (PARTITION BY address, time ORDER BY payload) rn
+         |  FROM graft_sqldel
+         |  WHERE kind = 'simple' AND address IN (${Addrs.map(_ * 2).mkString(",")})
+         |    AND time BETWEEN $T0 AND $T1
+         |) WHERE rn = 1""".stripMargin)
+    val preOut = s"$root/pre"
+    read().withColumn("phase", lit("tombstoned")).write.parquet(preOut)
+    TimeStore.vacuumDeletes(s, n)
+    s.read.parquet(preOut)
+      .unionByName(read().withColumn("phase", lit("vacuumed")))
+      .select(col("phase"), col("user_id"), col("ts_ns"), col("event_id"))
+      .orderBy(col("phase"), col("ts_ns"), col("user_id"))
+  }
+
+  val storeSqlDeleteSql: String = storeDeleteSql
+
   /** O8 `latestUniques` over an ACTUAL store ([[storeRoundtrip]]'s write
     * path feeding [[graft.sources.TimeStore.latestPerAddress]]) — the
     * store's latest-value materialization (the min_by over sign-flipped
@@ -1076,6 +1126,7 @@ object TimeSeries {
     "ts_store_kv_delete" -> storeKvDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
+    "ts_store_sql_delete" -> storeSqlDelete,
     "ts_store_latest"   -> storeLatest,
     "ts_store_extended" -> storeExtended,
     "ts_store_mutable"  -> storeMutable,
@@ -1101,6 +1152,7 @@ object TimeSeries {
     "ts_store_kv_delete" -> storeKvDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,
+    "ts_store_sql_delete" -> storeSqlDeleteSql,
     "ts_store_latest"   -> storeLatestSql,
     "ts_store_extended" -> storeExtendedSql,
     "ts_store_mutable"  -> storeMutableSql,

@@ -8,10 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,7 +130,7 @@ object GraftTableProvider {
 }
 
 case class GraftTable(root: String, ns: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft.`$root/$ns`"
   override def schema(): StructType = GraftTableProvider.StoreSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -191,6 +191,94 @@ case class GraftTable(root: String, ns: String) extends Table
             }
         }
     }
+
+  /** SQL-surface takedown (VERDICT r14 #1): `DELETE FROM <graft table>
+    * WHERE address IN (…) [AND time …]` maps onto the store's tombstone
+    * protocol ([[TimeStore.deletePoints]]) — the first thing a SQL user
+    * reaches for on a takedown request, previously API-only. The
+    * expressible shape is exactly what a tombstone can delete EXACTLY: a
+    * conjunction of an address restriction (`=` / `IN`) and optional time
+    * bounds; anything else (no address restriction, a `kind`/`payload`
+    * predicate, a disjunction) is rejected LOUDLY at analysis via
+    * [[canDeleteWhere]] — the Spark contract for sources whose delete
+    * granularity is coarser than arbitrary predicates. SQL `time` bounds
+    * are SIGNED (the table's LongType semantics); the store's tombstone
+    * range is UNSIGNED, so a signed interval crossing the sign boundary
+    * splits into the two unsigned intervals it denotes. Cost is the
+    * tombstone writes themselves — constant-size, corpus-independent —
+    * and every read path (API, local ops, this SQL table) suppresses the
+    * rows immediately; [[TimeStore.vacuumDeletes]] folds them in. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftTable.deleteSpec(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (addrs, lo, hi) = GraftTable.deleteSpec(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE requires a conjunction of address =/IN and optional " +
+        s"time bounds; cannot delete where [${filters.mkString(", ")}]"))
+    val spark = SparkSession.active
+    val n = TimeStore.Namespace(root, ns)
+    if (addrs.isEmpty || lo > hi)
+      // empty selection: zero rows match, but the namespace must still
+      // validate loudly exactly like the non-empty path
+      TimeStore.deletePoints(spark, n, Nil)
+    else if (lo == Long.MinValue && hi == Long.MaxValue)
+      TimeStore.deletePoints(spark, n, addrs) // whole-address takedown
+    else if (lo >= 0 || hi < 0)
+      // both bounds in one sign half: the signed interval IS an unsigned one
+      TimeStore.deletePoints(spark, n, addrs, lo, hi)
+    else {
+      // signed [lo, hi] with lo < 0 <= hi crosses the unsigned wrap:
+      // it denotes unsigned [0, hi] ∪ [lo-as-unsigned, 2^64-1]
+      TimeStore.deletePoints(spark, n, addrs, 0L, hi)
+      TimeStore.deletePoints(spark, n, addrs, lo, -1L)
+    }
+  }
+}
+
+object GraftTable {
+  /** Parse a DELETE predicate conjunction into the tombstone shape
+    * (addresses, signed time lo, signed time hi), or None when the
+    * predicate cannot be deleted EXACTLY by (address, time-range)
+    * tombstones. `IsNotNull` on the non-null store columns and
+    * `AlwaysTrue` are vacuous conjuncts; an empty address intersection or
+    * an empty time interval is expressible (it deletes nothing). */
+  private[sources] def deleteSpec(filters: Array[Filter])
+      : Option[(Seq[Long], Long, Long)] = {
+    def flat(fs: Seq[Filter]): Seq[Filter] = fs.flatMap {
+      case And(l, r) => flat(Seq(l, r))
+      case f => Seq(f)
+    }
+    val NonNullCols = Set("address", "time", "payload", "kind", "epoch", "bucket")
+    var addrSets = List.empty[Seq[Long]]
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var ok = true
+    flat(filters.toIndexedSeq).foreach {
+      case EqualTo("address", v: java.lang.Number) =>
+        addrSets ::= Seq(v.longValue)
+      case In("address", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        addrSets ::= vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue)
+      case EqualTo("time", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThanOrEqual("time", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue)
+      case GreaterThan("time", v: java.lang.Number) =>
+        if (v.longValue == Long.MaxValue) { lo = 1L; hi = 0L } // empty
+        else lo = math.max(lo, v.longValue + 1)
+      case LessThanOrEqual("time", v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue)
+      case LessThan("time", v: java.lang.Number) =>
+        if (v.longValue == Long.MinValue) { lo = 1L; hi = 0L } // empty
+        else hi = math.min(hi, v.longValue - 1)
+      case IsNotNull(c) if NonNullCols(c) => () // vacuous on non-null cols
+      case _: AlwaysTrue => ()
+      case _ => ok = false
+    }
+    if (!ok || addrSets.isEmpty) None
+    else Some((addrSets.reduce(_ intersect _).distinct, lo, hi))
+  }
 }
 
 class GraftScanBuilder(root: String, ns: String)

@@ -834,8 +834,12 @@ object TimeStore {
   private[sources] def deletePointsHeld(spark: SparkSession, n: Namespace,
                                         addrs: Seq[Long], start: Long,
                                         end: Long): Unit = {
+      // "invalid namespace" discipline UNCONDITIONALLY: a takedown issued
+      // against an unregistered namespace must fail loudly whatever the
+      // argument shape — an empty address list silently no-op'ing here
+      // diverged from the non-empty case (ADVICE r14)
+      mustFetchIndex(spark, n, "simple")
       if (addrs.nonEmpty) {
-        mustFetchIndex(spark, n, "simple") // "invalid namespace" discipline
         val conf = spark.sparkContext.hadoopConfiguration
         val dir = new Path(deletesDir(n))
         val f = fs(spark, dir.toString)

@@ -175,6 +175,65 @@ class StoreDeleteSpec extends SparkSpec {
     fs.delete(new Path(root), true)
   }
 
+  test("SQL DELETE FROM: expressible predicates tombstone exactly; " +
+      "inexpressible ones reject loudly at analysis") {
+    val (root, n) = mkStore("sqldel")
+    spark.sql("DROP TABLE IF EXISTS sqldel_t")
+    spark.sql(
+      s"CREATE TABLE sqldel_t USING graft OPTIONS (root '$root', ns 'DEL')")
+    // supported: address IN + time range (both halves of the conjunction)
+    spark.sql("DELETE FROM sqldel_t WHERE address IN (4, 8) " +
+      "AND time >= 150 AND time <= 250")
+    val rows = readAddrs(n)
+    assert(!rows.contains((4L, 202L)) && !rows.contains((8L, 204L)),
+      "SQL DELETE must tombstone the matching rows")
+    assert(rows.contains((4L, 102L)), "outside the range survives")
+    // supported: bare address equality (whole-address takedown)
+    spark.sql("DELETE FROM sqldel_t WHERE address = 6")
+    assert(!readAddrs(n).exists(_._1 == 6L))
+    // SQL time bounds are SIGNED (the table's LongType semantics): a
+    // negative time is a HUGE unsigned value, so `time >= 300` must kill
+    // 400 but keep -5 …
+    import spark.implicits._
+    TimeStore.writePoints(spark, n, spark.createDataset(Seq(
+      Point(2L, -5L, 1L), Point(2L, 400L, 2L))))
+    spark.sql("DELETE FROM sqldel_t WHERE address = 2 AND time >= 300")
+    def t2() = TimeStore.readSimple(spark, n, 0L, -1L, Seq(2L))
+      .collect().map(_.getLong(1)).toSet
+    val afterGe = t2()
+    assert(!afterGe.contains(400L), "signed >= 300 kills 400")
+    assert(afterGe.contains(-5L),
+      s"signed >= 300 must NOT match signed -5 (huge unsigned): $afterGe")
+    // … and `time <= 0` crosses the unsigned wrap: it splits into
+    // unsigned [0,0] ∪ [2^63, 2^64), killing exactly the -5 row
+    spark.sql("DELETE FROM sqldel_t WHERE address = 2 AND time <= 0")
+    val afterLe = t2()
+    assert(!afterLe.contains(-5L),
+      s"signed <= 0 spans the unsigned wrap and kills -5: $afterLe")
+    assert(afterLe.contains(101L), "positive times survive")
+    // inexpressible shapes fail loudly BEFORE any tombstone lands:
+    // no address restriction, a non-address/time column, a disjunction
+    val pending = TimeStore.deleteFiles(spark, n).size
+    for (bad <- Seq(
+        "DELETE FROM sqldel_t WHERE time < 100",
+        "DELETE FROM sqldel_t WHERE payload = 3",
+        "DELETE FROM sqldel_t WHERE kind = 'simple' AND address = 4",
+        "DELETE FROM sqldel_t WHERE address = 4 OR time < 100",
+        "DELETE FROM sqldel_t")) {
+      val e = intercept[Exception] { spark.sql(bad) }
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        e.isInstanceOf[UnsupportedOperationException],
+        s"$bad must reject loudly, got $e")
+    }
+    assert(TimeStore.deleteFiles(spark, n).size === pending,
+      "a rejected DELETE must not land tombstones")
+    // empty selection (empty IN-intersection) is a no-op but still serves
+    spark.sql("DELETE FROM sqldel_t WHERE address IN (4) AND address IN (8)")
+    assert(TimeStore.deleteFiles(spark, n).size === pending)
+    spark.sql("DROP TABLE sqldel_t")
+    fs.delete(new Path(root), true)
+  }
+
   test("delete on an unregistered namespace fails loudly; empty address " +
       "seq is a no-op; vacuum with no pending deletes is a no-op") {
     val root = Files.createTempDirectory("graft-del-guard").toString
