@@ -161,7 +161,8 @@ object ScaleProbe {
       // substring tokens would have silently timed input synthesis into
       // such a probe)
       val selfContained = Seq("kv_point_ops", "store_write",
-        "store_read_pruned", "store_compact", "store_decade", "dsv2_ab")
+        "store_read_pruned", "store_compact", "store_decade", "dsv2_ab",
+        "store_delete_ab")
       val inputsNeeded = only.isEmpty || !only.forall(selfContained.contains)
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
@@ -1361,7 +1362,7 @@ object ScaleProbe {
               rows * 250L, rows * 750L)
           }
           time("sdel_read_tombstoned", n)(read())
-          timeAction("sdel_sql_tombstoned_rowreader", n) { sqlCount(); () }
+          timeAction("sdel_sql_tombstoned_masked", n) { sqlCount(); () }
           timeAction("sdel_vacuum", n) {
             TimeStore.vacuumDeletes(spark, ns)
           }

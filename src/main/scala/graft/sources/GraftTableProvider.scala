@@ -485,11 +485,11 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
   /** Pending takedown tombstones, loaded ONCE at plan time (driver-side,
     * bounded by the takedown volume since the last vacuum) and shipped to
     * every reader: the SQL scan must suppress deleted rows exactly like
-    * [[TimeStore.readSimple]]'s anti-join. Row-level suppression needs the
-    * row-based reader — [[GraftReaderFactory.supportColumnarReads]] drops
-    * to it while tombstones are pending; [[TimeStore.vacuumDeletes]]
-    * restores the vectorized path (the bounded-window trade: correctness
-    * immediately, full scan speed back on the vacuum cadence). */
+    * [[TimeStore.readSimple]]'s anti-join. The vectorized path SURVIVES a
+    * pending takedown (VERDICT r14 #2): [[GraftColumnarReader]] applies
+    * the mask to decoded column batches — untouched batches pass through
+    * zero-copy, touched ones compact — so a single pending tombstone no
+    * longer de-vectorizes every full scan until the next vacuum. */
   private lazy val deleteTriples: Array[Long] = {
     val spark = SparkSession.active
     val n = TimeStore.Namespace(root, ns)
@@ -614,16 +614,18 @@ class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
     * after the file's data vectors). Catalyst prunes preserving the table
     * schema order — which IS data-then-partition — so this holds for every
     * real plan; the row-based reader remains as the general fallback.
-    * Pending takedown tombstones ALSO force the row path: the vectorized
-    * reader hands back whole batches, so per-row suppression lives in
-    * [[GraftPartitionReader]] until a vacuum clears the tombstones. */
+    * Pending takedown tombstones do NOT force the row path (VERDICT r14
+    * #2 — they did, measured ~4× on a full scan): [[GraftColumnarReader]]
+    * keeps the vectorized decode and applies the delete mask at BATCH
+    * granularity — an untouched batch passes through zero-copy, a touched
+    * one compacts its surviving rows. */
   private def dataThenPartition: Boolean = {
     val firstPart = required.fieldNames.indexWhere(n => !DataColNames(n))
     firstPart < 0 || required.fieldNames.drop(firstPart).forall(n => !DataColNames(n))
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataThenPartition && deleteTriples.isEmpty
+    dataThenPartition
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(conf, required,
@@ -634,7 +636,7 @@ class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(conf, required,
       partition.asInstanceOf[GraftInputPartition].files, filters,
-      batchCapacity, offHeap)
+      batchCapacity, offHeap, deleteTriples)
 }
 
 /** Executor-side COLUMNAR reader (VERDICT r10 #4): delegates split decoding
@@ -649,21 +651,112 @@ class GraftReaderFactory(conf: SerializableHadoopConf, required: StructType,
   * parquet source. */
 class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
                           files: Seq[GraftFileSlice], filters: Array[Filter],
-                          capacity: Int, offHeap: Boolean)
+                          capacity: Int, offHeap: Boolean,
+                          deleteTriples: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.parquet.hadoop.ParquetInputFormat
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-  import org.apache.spark.sql.vectorized.ColumnarBatch
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val DataColNames = Set("address", "time", "payload", "value")
+  // Pending takedown tombstones test (address, time): under a pending
+  // mask those columns must DECODE even when the projection pruned them
+  // away — they append after the projected data columns (extras), and the
+  // output batch projects them back out. The mask hashes ranges by
+  // address once per reader (TimeStore.DeleteMask, shared with the row
+  // reader and the local point ops).
+  private val mask = new TimeStore.DeleteMask(deleteTriples)
   private val dataSchema = StructType(required.fields.filter(f => DataColNames(f.name)))
+  private val extraSchema: StructType =
+    if (mask.isEmpty) new StructType()
+    else StructType(Seq("address", "time")
+      .filterNot(dataSchema.fieldNames.contains)
+      .map(c => GraftTableProvider.StoreSchema(c)))
+  private val decodeSchema = StructType(dataSchema.fields ++ extraSchema.fields)
   private val partSchema = StructType(required.fields.filterNot(f => DataColNames(f.name)))
+  // batch layout: [decodeSchema cols][partSchema cols]; the output batch
+  // is `required` — its fields map to batch slots here
+  private val outSlots: Array[Int] = required.fields.map { f =>
+    if (DataColNames(f.name)) dataSchema.fieldIndex(f.name)
+    else decodeSchema.length + partSchema.fieldIndex(f.name)
+  }
+  private val addrSlot: Int =
+    if (mask.isEmpty) -1 else decodeSchema.fieldIndex("address")
+  private val timeSlot: Int =
+    if (mask.isEmpty) -1 else decodeSchema.fieldIndex("time")
   private val rowGroupPredicate = GraftParquetFilters.rowGroupPredicate(filters)
 
   private var fileIdx = -1
   private var reader: VectorizedParquetRecordReader = _
   private var batch: ColumnarBatch = _
+  // vectors WE allocated for a compacted batch — closed before the next
+  // batch replaces them (the reader's own vectors are owned by `reader`)
+  private var owned: Array[OnHeapColumnVector] = _
+
+  private def closeOwned(): Unit =
+    if (owned != null) { owned.foreach(_.close()); owned = null }
+
+  /** Apply the pending-delete mask to a freshly decoded batch:
+    * zero-copy pass-through when nothing in the batch is tombstoned (the
+    * overwhelmingly common case — the mask is bounded by the takedown
+    * volume since the last vacuum), surviving-row compaction into fresh
+    * on-heap vectors when something is. Either way the output projects
+    * exactly `required`, so whole-stage codegen sees the same shape as
+    * the clean path. */
+  private def maskBatch(raw: ColumnarBatch): ColumnarBatch = {
+    val n = raw.numRows()
+    if (mask.isEmpty)
+      return raw // no extras were decoded either: raw IS the output shape
+    val addr = raw.column(addrSlot)
+    val time = raw.column(timeSlot)
+    var kept = n
+    val keep = new Array[Boolean](n)
+    var r = 0
+    while (r < n) {
+      val k = !mask.deleted(addr.getLong(r), time.getLong(r))
+      keep(r) = k
+      if (!k) kept -= 1
+      r += 1
+    }
+    if (kept == n && extraSchema.isEmpty) raw
+    else if (kept == n)
+      // untouched batch, but extras were decoded: project them out
+      // (wrapper over the reader's own vectors — zero copy)
+      new ColumnarBatch(outSlots.map(raw.column(_): ColumnVector), n)
+    else {
+      closeOwned()
+      val out = OnHeapColumnVector.allocateColumns(math.max(kept, 1), required)
+      var c = 0
+      while (c < outSlots.length) {
+        val src = raw.column(outSlots(c))
+        val dst = out(c)
+        val dt = required.fields(c).dataType
+        var i = 0
+        while (i < n) {
+          if (keep(i)) {
+            if (src.isNullAt(i)) dst.appendNull()
+            else dt match {
+              case LongType => dst.appendLong(src.getLong(i))
+              case IntegerType => dst.appendInt(src.getInt(i))
+              case BinaryType =>
+                val b = src.getBinary(i); dst.appendByteArray(b, 0, b.length)
+              case StringType =>
+                val s = src.getUTF8String(i)
+                val b = s.getBytes; dst.appendByteArray(b, 0, b.length)
+              case other => throw new IllegalStateException(
+                s"unexpected store column type $other")
+            }
+          }
+          i += 1
+        }
+        c += 1
+      }
+      owned = out
+      new ColumnarBatch(out.map(v => v: ColumnVector), kept)
+    }
+  }
 
   private def partValues(f: GraftFileSlice): InternalRow =
     InternalRow.fromSeq(partSchema.fieldNames.toIndexedSeq.map {
@@ -686,7 +779,7 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
       // file schema against
       c.set("parquet.read.support.class",
         "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-      c.set("org.apache.spark.sql.parquet.row.requested_schema", dataSchema.json)
+      c.set("org.apache.spark.sql.parquet.row.requested_schema", decodeSchema.json)
       // ParquetToSparkSchemaConverter(conf) reads these with NO defaults
       // (Spark's own scans set them from SQLConf before shipping the conf);
       // the store schema is flat INT64/BINARY so the values are inert, but
@@ -719,7 +812,7 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
     while (true) {
       if (reader == null && !openNext()) return false
       if (reader.nextKeyValue()) {
-        batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        batch = maskBatch(reader.getCurrentValue.asInstanceOf[ColumnarBatch])
         return true
       }
       reader.close(); reader = null
@@ -729,8 +822,10 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit =
+  override def close(): Unit = {
+    closeOwned()
     if (reader != null) { reader.close(); reader = null }
+  }
 }
 
 /** Executor-side reader: ONE parquet footer open per file (VERDICT r10 #4
@@ -766,35 +861,9 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
   // projection with no filters still needs row COUNT: read the narrowest
   // column.
   // Pending takedown tombstones test (address, time) — those columns must
-  // decode even if the projection pruned them away. The triples hash by
-  // address ONCE per reader: the per-row test must be O(ranges for this
-  // address), not a linear pass over the whole tombstone batch.
-  private val delRanges: java.util.HashMap[Long, Array[Long]] =
-    if (deleteTriples.isEmpty) null
-    else {
-      val m = new java.util.HashMap[Long, Array[Long]]()
-      var i = 0
-      while (i < deleteTriples.length) {
-        val prev = m.get(deleteTriples(i))
-        val add = Array(deleteTriples(i + 1), deleteTriples(i + 2))
-        m.put(deleteTriples(i), if (prev == null) add else prev ++ add)
-        i += 3
-      }
-      m
-    }
-
-  private def deleted(address: Long, time: Long): Boolean = {
-    if (delRanges == null) return false
-    val rs = delRanges.get(address)
-    if (rs == null) return false
-    var i = 0
-    while (i < rs.length) {
-      if (java.lang.Long.compareUnsigned(time, rs(i)) >= 0 &&
-          java.lang.Long.compareUnsigned(time, rs(i + 1)) <= 0) return true
-      i += 2
-    }
-    false
-  }
+  // decode even if the projection pruned them away. The shared mask
+  // (TimeStore.DeleteMask) hashes the triples by address once per reader.
+  private val mask = new TimeStore.DeleteMask(deleteTriples)
 
   private val delCols: Array[String] =
     if (deleteTriples.isEmpty) Array.empty else Array("address", "time")
@@ -945,7 +1014,7 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
         val time = if (timeSlot >= 0) readLongAt(timeSlot) else 0L
         val payload = if (paySlot >= 0) readLongAt(paySlot) else 0L
         val value = if (valSlot >= 0) readBinaryAt(valSlot) else null
-        if (!deleted(address, time) &&
+        if (!mask.deleted(address, time) &&
             rowPred(address, time, payload, value, curFile)) {
           val vals: Array[Any] = required.fieldNames.map {
             case "address" => address
