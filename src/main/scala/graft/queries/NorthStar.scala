@@ -3166,9 +3166,71 @@ object NorthStar {
        |  FROM fused)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Weighted-sum hybrid over BOTH frozen persisted indexes (VERDICT r14
+    * #3): [[annHybridIndexRrf]]'s sibling with [[TextIndex.scoreFuse]] as
+    * the combiner — the TUNABLE fusion (the reason `scoreFuse` exists) now
+    * serves from the stored BM25 postings and IMI lists instead of a
+    * corpus recompute, which is the config a deployment that tunes the
+    * fusion weight actually runs. Same build-once/serve-from-frozen shape
+    * and the same one-sided asymmetry (lexical queries doc_id < 8,
+    * semantic probes vec_id < 10); the twin recomputes both rankings from
+    * scratch and replays the min-max normalization + convex combination,
+    * so a stale statistic in either stored index shifts a normalized
+    * score and breaks the hash. */
+  def annHybridIndexWsum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val bmPath = Streaming.tempWorkspace("graft-hybridw-bm25-index")
+    val imiPath = Streaming.tempWorkspace("graft-hybridw-imi-index")
+    TextIndex.bm25IndexWrite(docs, "doc_id", "text", bmPath)
+    Similarity.imiIndexWrite(emb, "vec_id", "embedding", imiPath,
+      groups = 4, groupSize = 4, iters = 2, dim = 64)
+    val lex = TextIndex.bm25IndexSearch(s, bm25GateQueries(docs),
+      "query_id", "qtext", bmPath, k = 10)
+    val sem = Similarity.imiIndexSearch(s, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", imiPath, k = 10, groupSize = 4,
+      nprobeGroups = 2, nprobeCells = 4)
+    TextIndex.scoreFuse(lex, "doc_id", "score", sem, "nbr_id", "cos_sim",
+        k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  lazy val annHybridIndexWsumSql: String =
+    s"""WITH lex AS (${bm25Sql("", k = 10)}),
+       |sem AS (${LshOracleSql.imiTopK(k = 10, groups = 4, groupSize = 4,
+      iters = 2, dim = 64, nprobeGroups = 2, nprobeCells = 4)}),
+       |lexn AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN mx = mn THEN 1.0e0 ELSE (s - mn) / (mx - mn) END AS ln
+       |  FROM (
+       |    SELECT query_id, doc_id, score AS s,
+       |      MIN(score) OVER (PARTITION BY query_id) AS mn,
+       |      MAX(score) OVER (PARTITION BY query_id) AS mx
+       |    FROM lex)),
+       |semn AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN mx = mn THEN 1.0e0 ELSE (s - mn) / (mx - mn) END AS sn
+       |  FROM (
+       |    SELECT query_id, nbr_id AS doc_id, cos_sim AS s,
+       |      MIN(cos_sim) OVER (PARTITION BY query_id) AS mn,
+       |      MAX(cos_sim) OVER (PARTITION BY query_id) AS mx
+       |    FROM sem)),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+       |    COALESCE(l.doc_id, a.doc_id) AS doc_id,
+       |    0.5e0 * COALESCE(l.ln, 0.0e0) + 0.5e0 * COALESCE(a.sn, 0.0e0) AS fused
+       |  FROM lexn l FULL OUTER JOIN semn a
+       |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+       |SELECT query_id, rnk, doc_id, ROUND(fused, 6) AS fused FROM (
+       |  SELECT query_id, doc_id, fused, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> textBm25TopK,
     "ann_hybrid_index_rrf" -> annHybridIndexRrf,
+    "ann_hybrid_index_wsum" -> annHybridIndexWsum,
     "text_bm25_index_roundtrip" -> textBm25IndexRoundtrip,
     "text_bm25_index_append" -> textBm25IndexAppend,
     "text_bm25_index_delete" -> textBm25IndexDelete,
@@ -3260,6 +3322,7 @@ object NorthStar {
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_hybrid_wsum" -> annHybridWsumSql,
     "ann_hybrid_index_rrf" -> annHybridIndexRrfSql,
+    "ann_hybrid_index_wsum" -> annHybridIndexWsumSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii" -> textPiiSql,
     "text_contamination" -> textContaminationSql,

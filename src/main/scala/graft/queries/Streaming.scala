@@ -879,9 +879,32 @@ object Streaming {
     * search breaks the hash. Per-batch cost is the two index-pruned
     * searches over the batch's queries: independent of arrival history,
     * sub-linear in both corpora. */
-  def streamHybridIndexServe(s: SparkSession, dir: String): DataFrame = {
+  /** Restrict the standing lexical query set to the probe ids of ONE
+    * micro-batch — a size-gated broadcast semi-join, the
+    * `bm25IndexSearch` term-gate pattern (VERDICT r14: the previous shape
+    * collected the batch's ids and spliced a literal `isin`, which builds
+    * a plan-sized predicate under a production batch of 10⁵ probes).
+    * Factored out so PlanSpec can assert the restriction never enters the
+    * plan as a literal predicate. */
+  private[graft] def lexForBatch(lexQs: DataFrame, batch: DataFrame,
+                                 batchIdCol: String): DataFrame =
+    lexQs.join(
+      broadcast(batch.select(col(batchIdCol).cast("long").as("query_id"))
+        .distinct()),
+      Seq("query_id"), "left_semi")
+
+  /** The shared online-hybrid scaffold of [[streamHybridIndexServe]] /
+    * [[streamHybridIndexWsum]]: build both indexes once, stream the probe
+    * batches, fuse per batch with `fuse`, and run one CATCH-UP serve for
+    * any lexical-only query ids that appeared in NO probe batch (ADVICE
+    * r14: per-query fusion partitions the output by query id, so a
+    * lexical id missing from every batch would otherwise silently drop
+    * its lexical-only fused rows — the gate fixture has none, but the
+    * operator must not depend on that). */
+  private def streamHybridOver(s: SparkSession, dir: String, tag: String,
+      fuse: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.operators.{Similarity, TextIndex}
-    val tmp = tempWorkspace("graft-stream-hybrid-index")
+    val tmp = tempWorkspace(s"graft-stream-hybrid-$tag")
     val out = s"$tmp/out"
     val staged = s"$tmp/staged"
     val bmPath = s"$tmp/bm25"
@@ -899,30 +922,83 @@ object Streaming {
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // the batch's query ids — bounded by the probe batch — restrict
-        // the lexical side so each query fuses exactly once, in the batch
-        // that carries its semantic probe
-        val ids = batch.select(col("vec_id")).collect().map(_.getLong(0))
+        // restrict the lexical side to the batch's probe ids so each
+        // query fuses exactly once, in the batch that carries its
+        // semantic probe — a broadcast semi-join, never a literal splice
         val lex = TextIndex.bm25IndexSearch(s,
-          lexQs.filter(col("query_id").isin(ids.map(Long.box): _*)),
+          lexForBatch(lexQs, batch, "vec_id"),
           "query_id", "qtext", bmPath, k = 10)
         val sem = Similarity.imiIndexSearch(s, batch, "vec_id", "embedding",
           imiPath, k = 10, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
-        TextIndex.rrfFuse(lex, "doc_id", sem, "nbr_id", k = 5)
-          .write.mode("overwrite").parquet(s"$out/batch=$id")
+        fuse(lex, sem).write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out)
-      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
+    // catch-up: lexical queries whose id surfaced in NO probe batch still
+    // owe their lexical-only fused rows (one extra serve per stream
+    // LIFECYCLE, not per batch; empty — and skipped — whenever the query
+    // ids are a subset of the probe ids, as in the gate fixture)
+    val missed = lexQs.join(
+      probes.select(col("vec_id").cast("long").as("query_id")),
+      Seq("query_id"), "left_anti")
+    if (missed.limit(1).count() > 0) {
+      import s.implicits._
+      val lex = TextIndex.bm25IndexSearch(s, missed, "query_id", "qtext",
+        bmPath, k = 10)
+      val emptySem = Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rnk", "nbr_id", "cos_sim")
+      fuse(lex, emptySem).write.mode("overwrite")
+        .parquet(s"$out/batch=catchup")
+    }
+    s.read.parquet(out).drop("batch")
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ONLINE HYBRID retrieval from BOTH frozen persisted indexes (VERDICT
+    * r13 #6) — the production serving shape composed end to end: hybrid is
+    * what a retrieval deployment actually runs
+    * (`ann_hybrid_index_rrf` is its one-shot form), and its online form is
+    * this — both indexes build ONCE before the stream starts, then each
+    * arriving probe micro-batch serves a term-pruned BM25 search + a
+    * probed-cell-pruned IMI search and RRF-fuses the two rankings inside
+    * `foreachBatch`, landing in a batchId-keyed idempotent sink. Fusion is
+    * PER QUERY (full-outer on query_id + a per-query rank window), so
+    * batching the probe stream partitions the output exactly: the union
+    * across micro-batches must hash-equal the one-shot hybrid twin — a
+    * dropped batch, a stale statistic, or a rank drift in either stored
+    * search breaks the hash. Per-batch cost is the two index-pruned
+    * searches over the batch's queries: independent of arrival history,
+    * sub-linear in both corpora. */
+  def streamHybridIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    streamHybridOver(s, dir, "index", (lex, sem) =>
+        TextIndex.rrfFuse(lex, "doc_id", sem, "nbr_id", k = 5))
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
   }
 
   /** Twin: the one-shot hybrid retrieval over both frozen indexes — the
     * online fusion must be indistinguishable from it. */
   val streamHybridIndexServeSql: String = NorthStar.annHybridIndexRrfSql
+
+  /** The WEIGHTED-SUM arm of the online hybrid serve (VERDICT r14 #3):
+    * same frozen-index scaffold as [[streamHybridIndexServe]], fusing
+    * each micro-batch with [[graft.operators.TextIndex.scoreFuse]] — the
+    * tunable combiner a deployment that weights lexical vs semantic
+    * evidence actually serves. Per-query min-max normalization keeps the
+    * fusion batch-local, so the union across micro-batches must
+    * hash-equal the one-shot `ann_hybrid_index_wsum` twin. */
+  def streamHybridIndexWsum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    streamHybridOver(s, dir, "wsum", (lex, sem) =>
+        TextIndex.scoreFuse(lex, "doc_id", "score", sem, "nbr_id",
+          "cos_sim", k = 5))
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("fused"))
+  }
+
+  /** Twin: the one-shot weighted-sum hybrid over both frozen indexes. */
+  def streamHybridIndexWsumSql: String = NorthStar.annHybridIndexWsumSql
 
   /** Streaming ingest INTO the persisted BM25 index — the write side of
     * the lexical online story ([[streamAnnIndexServe]]/[[
@@ -976,6 +1052,7 @@ object Streaming {
     "stream_bm25_index_serve" -> streamBm25IndexServe,
     "stream_bm25_index_ingest" -> streamBm25IndexIngest,
     "stream_hybrid_index_serve" -> streamHybridIndexServe,
+    "stream_hybrid_index_wsum" -> streamHybridIndexWsum,
     "stream_ewma_serve" -> streamEwmaServe,
     "stream_anomaly_serve" -> streamAnomalyServe,
     "stream_latest_serve" -> streamLatestServe,
@@ -995,6 +1072,7 @@ object Streaming {
     "stream_bm25_index_serve" -> streamBm25IndexServeSql,
     "stream_bm25_index_ingest" -> streamBm25IndexIngestSql,
     "stream_hybrid_index_serve" -> streamHybridIndexServeSql,
+    "stream_hybrid_index_wsum" -> streamHybridIndexWsumSql,
     "stream_ewma_serve" -> streamEwmaServeSql,
     "stream_anomaly_serve" -> streamAnomalyServeSql,
     "stream_latest_serve" -> streamLatestServeSql,

@@ -709,4 +709,28 @@ class PlanSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  test("online hybrid's per-batch lexical restriction is a broadcast " +
+      "semi-join, never a literal id predicate") {
+    import org.apache.spark.sql.functions.{array_join, col, slice}
+    val docs = Tables.documents(spark, sf("0.001"))
+    val lexQs = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 6),
+          " ").as("qtext"))
+    val batch = Tables.embeddings(spark, sf("0.001"))
+      .filter(col("vec_id") < 4)
+    val restricted = graft.queries.Streaming.lexForBatch(lexQs, batch, "vec_id")
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"batch restriction must be a broadcast semi-join:\n${plan.take(1200)}")
+    assert(!plan.contains("query_id#") || !plan.contains(" IN ("),
+      s"batch restriction must not splice a literal id list:\n${plan.take(1200)}")
+    // and it is the same restriction the literal splice computed
+    val ids = batch.select(col("vec_id")).collect().map(_.getLong(0))
+    val spliced = lexQs.filter(col("query_id").isin(ids.map(Long.box): _*))
+    assert(restricted.collect().map(_.getLong(0)).sorted.toSeq ===
+      spliced.collect().map(_.getLong(0)).sorted.toSeq)
+    CacheScope.release(spark)
+  }
 }
