@@ -1471,12 +1471,14 @@ object NorthStar {
   def textBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", k = 6)
 
-  val textBpeMergesSql: String = {
-    // one round: best_t picks the argmax pair of w_{t-1}; w_t rewrites.
-    // DOUBLE-space separators (matching TextAnalysis.bpeMerges): the
-    // " l  r " pattern consumes only the inner half of each boundary, so
-    // DuckDB's plain left-to-right replace IS greedy-left BPE — adjacent
-    // occurrences (banana's two (a,n)s, runs like 'aaa') merge correctly.
+  /** The BPE trainer replayed as generated CTEs — shared by the merges
+    * and encode twins. One round: best_t picks the argmax pair of
+    * w_{t-1}; w_t rewrites. DOUBLE-space separators (matching
+    * TextAnalysis.bpeMerges): the " l  r " pattern consumes only the
+    * inner half of each boundary, so DuckDB's plain left-to-right replace
+    * IS greedy-left BPE — adjacent occurrences (banana's two (a,n)s, runs
+    * like 'aaa') merge correctly. */
+  private def bpeTrainCtes(k: Int): String = {
     def round(t: Int): String = {
       val prev = if (t == 1) "w0" else s"w${t - 1}"
       s"""pairs$t AS (
@@ -1491,16 +1493,68 @@ object NorthStar {
          |  SELECT replace(sym, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS sym, freq
          |  FROM $prev, best$t)""".stripMargin
     }
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT '  '||array_to_string(regexp_extract_all(word, '.'), '  ')||'  </w>  ' AS sym,
        |    CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |${(1 to 6).map(round).mkString(",\n")}
+       |${(1 to k).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val textBpeMergesSql: String =
+    s"""WITH ${bpeTrainCtes(6)}
        |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, pair_freq FROM (
        |  ${(1 to 6).map(t => s"SELECT * FROM best$t").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
+
+  /** BPE ENCODE over the trained merge list
+    * ([[TextAnalysis.bpeEncode]], VERDICT r14 #4): train the 6-rule
+    * tokenizer in-engine, then encode EVERY document — per doc the real
+    * subword token count and an md5 fingerprint of the full token
+    * sequence, so a single token out of place anywhere in the corpus
+    * breaks the gate. The twin re-trains the identical 6 rounds
+    * (the `text_bpe_merges` CTE chain) and re-encodes each document with
+    * the same sentinel-space representation and the same 6 ordered
+    * literal replaces — both engines' replace is left-to-right
+    * non-overlapping, which over the double-space form IS greedy-left
+    * BPE. (Assumes the corpus trains all 6 rounds — pinned by
+    * `text_bpe_merges` emitting 6 rows on this fixture; an
+    * earlier-exhausted vocabulary would need the twin's cross joins
+    * relaxed.) */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = TextAnalysis.bpeMerges(docs, "text", k = 6)
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      .orderBy(col("doc_id"))
+  }
+
+  val textBpeEncodeSql: String = {
+    val applied = (1 to 6).foldLeft("d.sym") { (acc, t) =>
+      s"replace($acc, ' '||b$t.lhs||'  '||b$t.rhs||' ', ' '||b$t.merged||' ')"
+    }
+    s"""WITH ${bpeTrainCtes(6)},
+       |docsym AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) = 0 THEN ''
+       |    ELSE '  '||array_to_string(list_transform(
+       |        regexp_extract_all(lower(text), '\\w+'),
+       |        w -> array_to_string(regexp_extract_all(w, '.'), '  ')),
+       |      '  </w>    ')||'  </w>  ' END AS sym
+       |  FROM documents),
+       |enc AS (
+       |  SELECT d.doc_id, $applied AS sym
+       |  FROM docsym d, best1 b1, best2 b2, best3 b3, best4 b4, best5 b5, best6 b6)
+       |SELECT doc_id,
+       |  CASE WHEN sym = '' THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(len(string_split_regex(trim(sym), ' {2,}')) AS BIGINT)
+       |  END AS n_tokens,
+       |  md5(CASE WHEN sym = '' THEN ''
+       |    ELSE array_to_string(string_split_regex(trim(sym), ' {2,}'), ' ')
+       |  END) AS fp
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   /** In-engine TRAINED quality model, closed form: a ridge-regularized
@@ -3295,6 +3349,7 @@ object NorthStar {
     "text_token_count" -> textTokenCount,
     "text_chunk" -> textChunk,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_encode" -> textBpeEncode,
     "text_quality_distill" -> textQualityDistill,
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
@@ -3382,6 +3437,7 @@ object NorthStar {
     "text_token_count" -> textTokenCountSql,
     "text_chunk" -> textChunkSql,
     "text_bpe_merges" -> textBpeMergesSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_quality_distill" -> textQualityDistillSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,

@@ -77,6 +77,36 @@ class SketchChunkSpec extends SparkSpec {
       tiny(0).getString(1) === "a" && tiny(0).getString(2) === "</w>")
   }
 
+  test("bpeEncode replays trained merges greedy-left, stays word-local, " +
+      "and handles empty and unseen text") {
+    // merges as trained on 'banana': (a,n) then (an,an). Encoding
+    // 'banana' → [b, anan, a, </w>] (greedy-left: both (a,n)s merge in
+    // round 1, then the adjacent 'an an' pair); 'ab' holds no (a,n) pair
+    // → [a, b, </w>]; word boundaries never merge ('na an' keeps word1's
+    // trailing a away from word2's leading a).
+    val merges = Seq(("a", "n"), ("an", "an"))
+    val enc = TextAnalysis.bpeEncode(
+      docs((1L, "banana banana"), (2L, "ab"), (3L, ""), (4L, "na an")),
+      "id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(enc(1L) === 8L, "two words of [b, anan, a, </w>]")
+    assert(enc(2L) === 3L, "[a, b, </w>] — no pair applies")
+    assert(enc(3L) === 0L, "empty text encodes to zero tokens")
+    assert(enc(4L) === 5L, "[n, a, </w>] + [an, </w>] — word-local merge")
+    // the fingerprint pins the SEQUENCE, not just the count
+    val fps = TextAnalysis.bpeEncode(
+      docs((1L, "banana"), (2L, "ananab")), "id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(fps(1L) !== fps(2L), "same multiset sizes, different sequences")
+    // an encoded training word equals the trainer's own final rewrite
+    val trained = TextAnalysis.bpeMerges(docs((1L, "banana banana")),
+      "text", k = 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val both = TextAnalysis.bpeEncode(docs((1L, "banana")), "id",
+      "text", trained).collect().head
+    assert(both.getLong(1) === 4L, "[b, an, an, a</w>] after (a,n),(a,</w>)")
+  }
+
   test("count-min estimates unseen keys as zero, not a dropped row") {
     import spark.implicits._
     // a SPARSE sketch (3 keys touch ≤ 12 of the 64 cells) so unseen
