@@ -58,11 +58,34 @@ private[graft] object IndexTables {
   /** The directory a fresh base write lands in. */
   def writeDir(table: String): String = s"$table/${genName(0)}"
 
-  /** The live generation when the table exists: the newest complete one. */
+  /** The live generation when the table exists: the newest complete one.
+    * Fails loudly on a LEGACY (pre-generational) layout — real content
+    * directly under the path with no `gen-*` directory at all. Treating
+    * such a path as "never written" is the worst of both worlds (ADVICE
+    * r14): the maintenance entry points would silently no-op forever
+    * (tombstones pending, fragments accumulating) while serves throw
+    * "index never written?" against data that plainly exists. There is no
+    * silent migration: the caller must rebuild (or move the tables under
+    * a committed `gen-000000`) deliberately. `tombstones` is the one
+    * sanctioned non-generational resident of an index root; `_`/`.` names
+    * are markers/staging. An in-flight FIRST build (gen dir present, no
+    * `_SUCCESS` yet) is NOT legacy — maintenance stays a no-op on it. */
   def liveGenOpt(spark: SparkSession, table: String): Option[(Int, Path)] = {
     val f = fsOf(spark, table)
-    generations(f, new Path(table)).filter(g => isComplete(f, g._2))
-      .lastOption
+    val root = new Path(table)
+    val gens = generations(f, root)
+    if (gens.isEmpty && f.exists(root) &&
+        f.listStatus(root).exists { st =>
+          val nm = st.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".") && nm != "tombstones"
+        })
+      throw new IllegalStateException(
+        s"$table holds content but no gen-* generation — a pre-generational " +
+        "legacy layout this build cannot serve or maintain; rebuild the " +
+        "index (e.g. *IndexWrite over a fresh path, or move the existing " +
+        "tables under <path>/gen-000000 with a _SUCCESS marker) and retire " +
+        "the legacy directory")
+    gens.filter(g => isComplete(f, g._2)).lastOption
   }
 
   /** The live generation — where reads resolve and appends land. Fails

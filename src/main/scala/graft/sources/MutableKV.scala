@@ -46,45 +46,54 @@ object MutableKV {
 
   /** Insert combining with the existing value (`insertWith`,
     * `Mutable.hs:75-103`): read-modify-write with a user merge function
-    * `(new, existing) => merged`; sequence number bumps by one. */
+    * `(new, existing) => merged`; sequence number bumps by one.
+    *
+    * The read (current sequence / tombstone horizon), the merge, and the
+    * write all run under ONE writer-lease acquisition (ADVICE r14: a read
+    * outside the lease can go stale against a concurrent insert or a
+    * delete-then-recreate, landing a duplicate (address, seq) record
+    * whose pinned first-wins dedup silently drops one writer's merge
+    * instead of resolving by highest sequence as documented). A retry
+    * after lease contention therefore RE-reads and RE-merges — the
+    * reference's stale-read race (`Mutable.hs:90-103` has no lock) is
+    * closed for writers sharing this store, not merely resolved-by-
+    * sequence. */
   def insertWith(spark: SparkSession, n: TimeStore.Namespace,
                  merge: (Array[Byte], Array[Byte]) => Array[Byte],
                  address: Long, value: Array[Byte]): Array[Byte] = {
     val s = ensure(spark, n)
     val addr = mutableAddress(address)
-    val current = lookupWithSeq(spark, s, addr)
-    val (seq, merged) = current match {
-      case Some((prevSeq, prev)) => (prevSeq + 1, merge(value, prev))
-      // a deleted key re-creates ABOVE its tombstone horizon: [[delete]]
-      // suppresses seqs [0, H], so the first re-insert must land at H+1
-      // or the pending tombstone would swallow it (and a vacuum racing
-      // the insert would physically remove it)
-      case None => (deleteHorizon(spark, s, addr) + 1, value)
-    }
-    // bounded retry on lease contention: the merge result is NOT recomputed
-    // — stale-read-then-write is exactly the reference's documented race,
-    // resolved by the highest sequence number
+    // bounded retry on lease contention — any other IllegalStateException
+    // (invalid namespace, rollover double-check) is fatal and must
+    // surface immediately, not after 50 blind retries (ADVICE r6 low)
     var attempts = 50
-    var done = false
-    while (!done) {
+    var out: Option[Array[Byte]] = None
+    while (out.isEmpty) {
       try {
-        // single-object append (Mutable.hs:90-103 appends ONE rados object):
-        // the driver-local write keeps the full store protocol (lease,
-        // index routing, layout, watermark) without paying a distributed
-        // job's scheduling for a one-row batch — see writePointsLocal
-        TimeStore.writePointsLocal(spark, s,
-          Seq(Point(addr, seq, merged.length.toLong, merged)),
-          rolloverBytes = Long.MaxValue) // fixed layout: the mutable view never rolls
-        done = true
+        out = Some(TimeStore.withWriterLease(spark, s) {
+          val (seq, merged) = lookupWithSeq(spark, s, addr) match {
+            case Some((prevSeq, prev)) => (prevSeq + 1, merge(value, prev))
+            // a deleted key re-creates ABOVE its tombstone horizon:
+            // [[delete]] suppresses seqs [0, H], so the first re-insert
+            // must land at H+1 or the pending tombstone would swallow it
+            // (and a vacuum racing the insert would physically remove it)
+            case None => (deleteHorizon(spark, s, addr) + 1, value)
+          }
+          // single-object append (Mutable.hs:90-103 appends ONE rados
+          // object): the driver-local write keeps the full store protocol
+          // (lease held, index routing, layout, watermark) without paying
+          // a distributed job's scheduling for a one-row batch
+          TimeStore.writePointsLocalHeld(spark, s,
+            Seq(Point(addr, seq, merged.length.toLong, merged)),
+            rolloverBytes = Long.MaxValue) // fixed layout: never rolls
+          merged
+        })
       } catch {
-        // retry ONLY on lease contention — any other IllegalStateException
-        // (invalid namespace, rollover double-check) is fatal and must
-        // surface immediately, not after 50 blind retries (ADVICE r6 low)
         case _: TimeStore.LeaseContentionException if attempts > 0 =>
           attempts -= 1; Thread.sleep(20)
       }
     }
-    merged
+    out.get
   }
 
   /** Plain upsert (`insert`): new value wins. */

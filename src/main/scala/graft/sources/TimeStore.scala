@@ -966,12 +966,18 @@ object TimeStore {
     * serves through the anti-join).
     *
     * Scale shape: unlike compact's binary merge, row removal must decode —
-    * but it never shuffles: the scan's input splits are already aligned to
-    * the (kind, epoch, bucket) leaf directories, the delete side joins as
-    * a BROADCAST anti-join, and `partitionBy` lands each task's surviving
-    * rows back into its own leaf — one read + one write pass over the
-    * store, zero exchange. (Run [[compact]] after if the rewrite fans a
-    * leaf into several files.) A vacuum that dies before its `_SUCCESS`
+    * but while the pending tombstones fit [[DeleteBroadcastBytes]] (the
+    * normal maintenance cadence) it never shuffles: the scan's input
+    * splits are already aligned to the (kind, epoch, bucket) leaf
+    * directories, the delete side joins as a BROADCAST anti-join, and
+    * `partitionBy` lands each task's surviving rows back into its own
+    * leaf — one read + one write pass over the store, zero exchange. Past
+    * the gate (>64 MB of pending tombstones — a vacuum long overdue) the
+    * hint drops and the planner may shuffle the points generation for the
+    * join; results are identical, the pass is corpus-scale, and a warning
+    * logs the degradation (ADVICE r14 — the old doc claimed
+    * unconditional zero-exchange). (Run [[compact]] after if the rewrite
+    * fans a leaf into several files.) A vacuum that dies before its `_SUCCESS`
     * never becomes live ([[recoverStranded]] clears it); one that dies
     * after the swap but before clearing the applied files re-applies them
     * harmlessly (the rows are already gone — the anti-join matches
@@ -993,6 +999,13 @@ object TimeStore {
             val next = new Path(genPath(n, curGen + 1))
             if (f.exists(next)) f.delete(next, true) // dead earlier attempt
             val bytes = applied.map(_.getLen).sum
+            if (bytes > DeleteBroadcastBytes)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"vacuumDeletes(${n.ns}): ${bytes >> 20} MB of pending " +
+                s"tombstones exceed the ${DeleteBroadcastBytes >> 20} MB " +
+                "broadcast gate — the rewrite may shuffle the points " +
+                "generation; vacuum on a tighter cadence to keep the " +
+                "zero-exchange plan")
             val tomb = spark.read
               .parquet(applied.map(_.getPath.toString): _*)
               .select(col("address").as("__del_addr"),
@@ -1249,6 +1262,19 @@ object TimeStore {
   def writePointsLocal(spark: SparkSession, n: Namespace, points: Seq[Point],
                        rolloverBytes: Long = DefaultRolloverBytes): Unit =
     withWriterLease(spark, n) {
+      writePointsLocalHeld(spark, n, points, rolloverBytes)
+    }
+
+  /** [[writePointsLocal]]'s body for callers ALREADY holding the writer
+    * lease — [[MutableKV.insertWith]] must read a key's current sequence
+    * and write the merged record under ONE lease acquisition (a read
+    * outside the lease can go stale against a concurrent insert or
+    * delete-then-recreate, landing a duplicate (address, seq) whose
+    * pinned-dedup winner silently drops one writer's merge — ADVICE
+    * r14). The same shape as [[deletePointsHeld]]. */
+  private[sources] def writePointsLocalHeld(spark: SparkSession,
+                                            n: Namespace, points: Seq[Point],
+                                            rolloverBytes: Long): Unit = {
       if (points.nonEmpty) {
         val sIdx = mustFetchIndex(spark, n, "simple")
         val eIdx = mustFetchIndex(spark, n, "extended")

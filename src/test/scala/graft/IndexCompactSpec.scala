@@ -251,6 +251,32 @@ class IndexCompactSpec extends SparkSpec {
     fs.delete(new Path(path), true)
   }
 
+  test("a legacy (pre-generational) layout fails loudly with a migration " +
+      "hint — never a silent maintenance no-op or 'index never written?'") {
+    import graft.operators.{IndexTables, TextIndex}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-legacy-spec").toString
+    // the pre-r13 shape: table dirs directly under the index path
+    emb.limit(4).select(col("vec_id")).write
+      .parquet(s"$path/postings")
+    def mustHint(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("legacy"), e.getMessage)
+    }
+    mustHint(IndexTables.liveGenOpt(spark, path))
+    mustHint(IndexTables.liveDir(spark, path))
+    mustHint(TextIndex.bm25IndexCompact(spark, path)) // maintenance too
+    // markers, staging and the sanctioned tombstones dir are NOT legacy
+    // content: an in-flight or takedown-only path keeps the no-op contract
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft-legacy-ok").toString
+    fs.mkdirs(new Path(s"$clean/tombstones"))
+    fs.create(new Path(s"$clean/_marker"), true).close()
+    assert(IndexTables.liveGenOpt(spark, clean).isEmpty)
+    fs.delete(new Path(path), true)
+    fs.delete(new Path(clean), true)
+  }
+
   test("maybeCompact: quiet below the threshold, fires above it, " +
       "self-maintains under an append stream") {
     import graft.operators.IndexTables
