@@ -162,7 +162,7 @@ object ScaleProbe {
       // such a probe)
       val selfContained = Seq("kv_point_ops", "store_write",
         "store_read_pruned", "store_compact", "store_decade", "dsv2_ab",
-        "store_delete_ab")
+        "store_delete_ab", "epoch_order_ab")
       val inputsNeeded = only.isEmpty || !only.forall(selfContained.contains)
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
@@ -938,6 +938,38 @@ object ScaleProbe {
           time("pack_naive_window", n) { naive }
         } finally only = saved16
       }
+      // Deterministic epoch ordering A/B (VERDICT r14 #7): the sharded
+      // order (shard from the digest's first byte, only shuffle the
+      // per-shard rank window) vs the naive corpus-wide row_number — the
+      // pack_ab method applied to the r14 epoch-order operator. Two knobs
+      // measured as same-run pairs: corpus growth at fixed nShards (across
+      // the probe's two sizes) and nShards growth at fixed corpus (the
+      // rows/shard bound — max_task_ms must FALL as shards rise, which is
+      // the 100 TB sizing rule: pick nShards so rows/shard fits a task).
+      if (only.contains("epoch_order_ab")) {
+        import graft.queries.Pipeline
+        val saved19 = only
+        only = Nil
+        try {
+          val ids = spark.range(n).select(col("id").as("doc_id"))
+          for (shards <- Seq(32, 256, 2048))
+            time(s"epoch_order_s$shards", n) {
+              Pipeline.epochOrderOver(ids, "doc_id", seed = "7",
+                nShards = shards)
+            }
+          // CONTROL: the one-line version everyone writes first — a global
+          // row_number over the digest, serializing the corpus through ONE
+          // window task (Spark warns "No Partition Defined")
+          time("epoch_order_naive_global", n) {
+            import org.apache.spark.sql.expressions.{Window => W}
+            val h = md5(concat(lit("epoch:7:"), col("doc_id").cast("string"))
+              .cast("binary"))
+            ids.select(col("doc_id"), h.as("h"))
+              .withColumn("pos", row_number()
+                .over(W.orderBy(col("h"), col("doc_id"))).cast("long"))
+          }
+        } finally only = saved19
+      }
       // Decimal- vs double-precision centroid update A/B (VERDICT r11 #6):
       // the exact-decimal accumulation exists for the cross-engine bit
       // determinism the GATES need; a production trainer doesn't. Same-run
@@ -1328,7 +1360,7 @@ object ScaleProbe {
       // zero-shuffle broadcast-anti-join generation rewrite. Each read
       // path measured clean / tombstoned / vacuumed, plus the delete and
       // vacuum themselves. ~10% of addresses over the middle half of time.
-      if (only.contains("store_delete_ab")) {
+      if (only.contains("store_delete_ab", "epoch_order_ab")) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._
