@@ -340,18 +340,46 @@ case class GraftInputPartition(files: Seq[GraftFileSlice]) extends InputPartitio
 
 case class GraftScan(root: String, ns: String, filters: Array[Filter],
                      required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan ns=$ns pushed=[${filters.mkString(", ")}]"
 
+  // ---- runtime (dynamic) pruning ----------------------------------------
+  //
+  // A fact-dim join against the store — "every point of the addresses this
+  // dim query selects" — only knows its address set at RUNTIME, after the
+  // dim side executes. SupportsRuntimeFiltering lets Spark's dynamic
+  // pruning hand that set to the scan before partitions plan: the same
+  // `targetObjs` machinery then prunes epochs/buckets/kinds from the
+  // JOIN's keys, so the fact scan reads the handful of bucket directories
+  // the dim actually references instead of the corpus (at 100 TB this is
+  // the difference between a pruned point read and a full-store scan on
+  // every dim-driven join). Pruning-only: runtime filters select FILES;
+  // row exactness is the join's own condition (Spark re-applies it), so a
+  // bucket shared by a filtered-out address stays correct.
+
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns the (pruned) scan OUTPUT carries: Spark resolves these
+    // against readSchema and fails the whole query otherwise
+    val out = required.fieldNames.toSet
+    Array("address", "kind", "epoch", "bucket").filter(out.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+
   // ---- driver-side targetObjs planning ----------------------------------
 
-  private def numFilterValues(col: String): Option[Seq[Long]] = {
+  private def numFilterValues(fs: Array[Filter], col: String): Option[Seq[Long]] = {
     val vals = ArrayBuffer.empty[Seq[Long]]
-    filters.foreach {
+    fs.foreach {
       case EqualTo(c, v: java.lang.Number) if c == col => vals += Seq(v.longValue)
       case In(c, vs) if c == col =>
         vals += vs.toSeq.collect { case n: java.lang.Number => n.longValue }
@@ -361,9 +389,9 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     vals.reduceOption((a, b) => a.intersect(b))
   }
 
-  private def kindFilter: Option[Seq[String]] = {
+  private def kindFilter(fs: Array[Filter]): Option[Seq[String]] = {
     val vals = ArrayBuffer.empty[Seq[String]]
-    filters.foreach {
+    fs.foreach {
       case EqualTo("kind", v: String) => vals += Seq(v)
       case In("kind", vs) => vals += vs.toSeq.collect { case s: String => s }
       case _ =>
@@ -376,10 +404,10 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     * [a,b]; a negative signed bound is a huge unsigned value — skip, the
     * row filter still applies). Conservative by construction: pruning may
     * keep extra epochs, never drop a live one. */
-  private def timeBounds: (Long, Long) = {
+  private def timeBounds(fs: Array[Filter]): (Long, Long) = {
     var lo = 0L
     var hi = -1L // unsigned max
-    filters.foreach {
+    fs.foreach {
       case GreaterThan("time", v: java.lang.Number) if v.longValue >= 0 =>
         lo = math.max(lo, v.longValue) // >v pruned as >=v: conservative
       case GreaterThanOrEqual("time", v: java.lang.Number) if v.longValue >= 0 =>
@@ -401,19 +429,22 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     * selects epochs, the `placeBucket` image of the address list selects
     * buckets, `kind =` selects subtrees; only SELECTED directories are
     * listed. */
-  private[graft] lazy val plannedFiles: Seq[GraftFileSlice] = {
+  private[graft] lazy val plannedFiles: Seq[GraftFileSlice] =
+    plannedFilesFor(filters)
+
+  private[graft] def plannedFilesFor(fs0: Array[Filter]): Seq[GraftFileSlice] = {
     val spark = SparkSession.active
     val n = TimeStore.Namespace(root, ns)
     TimeStore.livePointsPath(spark, n) match {
       case None => Nil
       case Some(live) =>
         val f = new Path(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val kinds = kindFilter.getOrElse(Seq("simple", "extended"))
+        val kinds = kindFilter(fs0).getOrElse(Seq("simple", "extended"))
           .filter(k => k == "simple" || k == "extended")
-        val addrs = numFilterValues("address")
-        val epochSel = numFilterValues("epoch").map(_.toSet)
-        val bucketSel = numFilterValues("bucket").map(_.map(_.toInt).toSet)
-        val (lo, hi) = timeBounds
+        val addrs = numFilterValues(fs0, "address")
+        val epochSel = numFilterValues(fs0, "epoch").map(_.toSet)
+        val bucketSel = numFilterValues(fs0, "bucket").map(_.map(_.toInt).toSet)
+        val (lo, hi) = timeBounds(fs0)
         kinds.flatMap { kind =>
           TimeStore.fetchIndex(spark, n, kind) match {
             case None =>
@@ -450,6 +481,13 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    // runtime (dynamic-pruning) filters arrive AFTER statistics were
+    // estimated off the statically-pruned set — re-plan the file image
+    // with them folded in; the conjunction machinery treats them exactly
+    // like pushed filters (intersected IN-lists, tightened bounds)
+    val plannedFiles =
+      if (runtimeFilters.isEmpty) this.plannedFiles
+      else plannedFilesFor(filters ++ runtimeFilters)
     // byteStringAsBytes understands the unit forms Spark accepts for these
     // confs ("128MB", "64m", bare bytes) — hand-parsing broke on them
     // (ADVICE r9 medium).

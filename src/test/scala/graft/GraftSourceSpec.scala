@@ -244,6 +244,50 @@ class GraftSourceSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("runtime (dynamic-pruning) filters re-prune the planned files to " +
+      "the join's address image") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (root, ns) = freshStore("graft-v2-dpp")
+    // unit contract: filter() folds into the same targetObjs machinery
+    val scan = graftScan(graftDf(root, ns).where("kind = 'simple'"))
+    val all = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.GraftInputPartition].files)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("address", Array(4L, 12L))))
+    val pruned = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.GraftInputPartition].files)
+    assert(pruned.length < all.length,
+      s"runtime address set must prune files: ${pruned.length}/${all.length}")
+    val allowedBuckets = Seq(4L, 12L)
+      .map(a => EpochIndex.placeBucket(8, a)).toSet
+    assert(pruned.forall(f => allowedBuckets.contains(f.bucket)),
+      "only the runtime set's buckets survive")
+    // conjunction with the pushed filters still applies
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("address", 4L)))
+    val tighter = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[graft.sources.GraftInputPartition].files)
+    assert(tighter.forall(_.bucket == EpochIndex.placeBucket(8, 4L)))
+    // end to end: a selective dim join PLANTS the dynamic filter on the
+    // graft side and the join result is exact
+    import spark.implicits._
+    val dim = (0L until 64L).map(a => (a, a % 31)).toDF("address", "grp")
+    dim.write.mode("overwrite").parquet(s"$root/dim")
+    val dimF = spark.read.parquet(s"$root/dim").where("grp = 2")
+    val joined = graftDf(root, ns).where("kind = 'simple'")
+      .join(dimF, "address")
+    assert(joined.queryExecution.executedPlan.toString
+        .contains("RuntimeFilters: [dynamicpruning"),
+      joined.queryExecution.executedPlan.toString.take(1500))
+    // dim grp=2 selects addresses {2, 33}; the store's simple kind holds
+    // only even addresses, so the exact join result is address 2
+    assert(joined.select("address").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("pending tombstones keep the VECTORIZED scan and mask batches " +
       "exactly — including projections that pruned address/time away") {
     val (root, ns) = freshStore("graft-v2-delmask")
