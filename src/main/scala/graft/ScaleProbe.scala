@@ -1360,7 +1360,7 @@ object ScaleProbe {
       // zero-shuffle broadcast-anti-join generation rewrite. Each read
       // path measured clean / tombstoned / vacuumed, plus the delete and
       // vacuum themselves. ~10% of addresses over the middle half of time.
-      if (only.contains("store_delete_ab", "epoch_order_ab")) {
+      if (only.contains("store_delete_ab")) {
         import graft.sources.TimeStore
         import graft.core.Point
         import spark.implicits._

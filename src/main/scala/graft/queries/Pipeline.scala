@@ -442,7 +442,11 @@ object Pipeline {
     * sharded for parallel data-loader workers, bit-identical on every
     * rerun and across engines. Shard and order both derive from the
     * md5(seed || id) digest (the cross-engine hash every sampling op here
-    * uses): shard = the digest's first byte mod nShards, within-shard
+    * uses): shard = the digest's first 32 BITS mod nShards (8 hex chars —
+    * a first-BYTE key silently capped the knob at 256 shards, the r15
+    * code-review catch: past the cap rows/shard floors at corpus/256 and
+    * the max window task grows linearly after all; 32 bits supports 2³²
+    * shards, far past any real rows-per-task budget), within-shard
     * position = rank by (digest, id). NO global total order is ever
     * materialized — a corpus-wide row_number would serialize the corpus
     * through one window task (the pack_ab lesson); the only shuffle is
@@ -455,11 +459,18 @@ object Pipeline {
     val h = md5(concat(lit(s"epoch:$seed:"), col(idCol).cast("string"))
       .cast("binary"))
     import org.apache.spark.sql.expressions.Window
+    // hex→int via instr arithmetic — the engine-portable idiom (DuckDB has
+    // no conv()); CAST each place value to BIGINT or int×int wraps at the
+    // top places. The twin spells the identical sum.
+    val keyExpr = (1 to 8).map { i =>
+      val shift = 4 * (8 - i)
+      val digit = s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      if (shift == 0) digit
+      else s"$digit * CAST(${1L << shift} AS BIGINT)"
+    }.mkString(" + ")
     val keyed = docs.select(col(idCol), h.as("h"))
       .withColumn("shard",
-        pmod(expr("(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16" +
-          " + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)"),
-          lit(nShards)).cast("int"))
+        pmod(expr(keyExpr), lit(nShards.toLong)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
     keyed.withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"), col("h").as("order_key"))
@@ -470,20 +481,26 @@ object Pipeline {
         nShards = 8)
       .orderBy(col("shard"), col("pos"))
 
-  val epochOrderSql: String =
-    """WITH h AS (
+  val epochOrderSql: String = {
+    val keyExpr = (1 to 8).map { i =>
+      val shift = 4 * (8 - i)
+      val digit = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      if (shift == 0) digit
+      else s"$digit * CAST(${1L << shift} AS BIGINT)"
+    }.mkString(" +\n     ")
+    s"""WITH h AS (
       |  SELECT doc_id, md5('epoch:7:' || CAST(doc_id AS VARCHAR)) AS h
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, h,
-      |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-      |     (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8 AS shard
+      |    ($keyExpr) % 8 AS shard
       |  FROM h)
       |SELECT doc_id, CAST(shard AS INT) AS shard,
       |  CAST(row_number() OVER (
       |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
       |  h AS order_key
       |FROM s ORDER BY shard, pos""".stripMargin
+  }
 
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequencesOver(Tables.documents(s, dir))

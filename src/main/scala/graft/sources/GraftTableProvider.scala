@@ -227,12 +227,17 @@ case class GraftTable(root: String, ns: String) extends Table
     else if (lo >= 0 || hi < 0)
       // both bounds in one sign half: the signed interval IS an unsigned one
       TimeStore.deletePoints(spark, n, addrs, lo, hi)
-    else {
-      // signed [lo, hi] with lo < 0 <= hi crosses the unsigned wrap:
-      // it denotes unsigned [0, hi] ∪ [lo-as-unsigned, 2^64-1]
-      TimeStore.deletePoints(spark, n, addrs, 0L, hi)
-      TimeStore.deletePoints(spark, n, addrs, lo, -1L)
-    }
+    else
+      // signed [lo, hi] with lo < 0 <= hi crosses the unsigned wrap: it
+      // denotes unsigned [0, hi] ∪ [lo-as-unsigned, 2^64-1]. BOTH
+      // tombstone files land under ONE writer-lease acquisition — two
+      // independent deletePoints calls would let a lease contention (or a
+      // crash) between them report the DELETE failed with half the
+      // takedown already applied (r15 code-review catch).
+      TimeStore.withWriterLease(spark, n) {
+        TimeStore.deletePointsHeld(spark, n, addrs, 0L, hi)
+        TimeStore.deletePointsHeld(spark, n, addrs, lo, -1L)
+      }
   }
 }
 
@@ -770,22 +775,24 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
       while (c < outSlots.length) {
         val src = raw.column(outSlots(c))
         val dst = out(c)
-        val dt = required.fields(c).dataType
+        // type dispatch hoisted OUT of the row loop: one match per column
+        // per batch, not per row (touched batches are the hot path of a
+        // bulk takedown window)
+        val copyRow: Int => Unit = required.fields(c).dataType match {
+          case LongType => i => dst.appendLong(src.getLong(i))
+          case IntegerType => i => dst.appendInt(src.getInt(i))
+          case BinaryType => i =>
+            val b = src.getBinary(i); dst.appendByteArray(b, 0, b.length); ()
+          case StringType => i =>
+            val b = src.getUTF8String(i).getBytes
+            dst.appendByteArray(b, 0, b.length); ()
+          case other => throw new IllegalStateException(
+            s"unexpected store column type $other")
+        }
         var i = 0
         while (i < n) {
           if (keep(i)) {
-            if (src.isNullAt(i)) dst.appendNull()
-            else dt match {
-              case LongType => dst.appendLong(src.getLong(i))
-              case IntegerType => dst.appendInt(src.getInt(i))
-              case BinaryType =>
-                val b = src.getBinary(i); dst.appendByteArray(b, 0, b.length)
-              case StringType =>
-                val s = src.getUTF8String(i)
-                val b = s.getBytes; dst.appendByteArray(b, 0, b.length)
-              case other => throw new IllegalStateException(
-                s"unexpected store column type $other")
-            }
+            if (src.isNullAt(i)) dst.appendNull() else copyRow(i)
           }
           i += 1
         }
