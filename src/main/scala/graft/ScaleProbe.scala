@@ -162,7 +162,7 @@ object ScaleProbe {
       // such a probe)
       val selfContained = Seq("kv_point_ops", "store_write",
         "store_read_pruned", "store_compact", "store_decade", "dsv2_ab",
-        "store_delete_ab", "epoch_order_ab")
+        "store_delete_ab", "epoch_order_ab", "delmask_ab", "dpp_ab")
       val inputsNeeded = only.isEmpty || !only.forall(selfContained.contains)
       val lvl =
         if (diskOnly) org.apache.spark.storage.StorageLevel.DISK_ONLY
@@ -1402,6 +1402,103 @@ object ScaleProbe {
           timeAction("sdel_sql_vacuumed_vectorized", n) { sqlCount(); () }
         } finally {
           only = saved18
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
+      // Point-get cost vs pending-takedown volume (VERDICT r14 #6 "done"
+      // criterion): the local readers share the per-address DeleteMask
+      // hash AND a signature-keyed mask cache, so a driver-local point
+      // get must stay FLAT as the pending tombstone backlog grows from 0
+      // to 10^5 ranges (the first get after a takedown pays one mask
+      // rebuild; every subsequent get pays a signature listing + O(ranges
+      // for its own address)). 100 gets per arm, real addresses.
+      if (only.contains("delmask_ab")) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-dmask-$n").toString
+        val ns = TimeStore.namespace(root, "DMASK")
+        TimeStore.register(spark, ns, 64, 64)
+        val pts = spark.range(n).select(
+            (pmod(col("id"), lit(100000L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved20 = only
+        only = Nil
+        try {
+          TimeStore.writePoints(spark, ns, pts)
+          def get100(): Unit = (0 until 100).foreach { i =>
+            TimeStore.readSimpleLocal(spark, ns, 0L, -1L,
+              Seq((i * 997L % 100000L) * 2))
+          }
+          timeAction("dmask_pointget_0pending", n) { get100() }
+          // tombstones over addresses OUTSIDE the data range: they grow
+          // the backlog without changing any get's result
+          TimeStore.deletePoints(spark, ns,
+            (100000L until 100100L).map(_ * 2), 0L, 1L)
+          timeAction("dmask_pointget_100pending", n) { get100() }
+          TimeStore.deletePoints(spark, ns,
+            (200000L until 300000L).map(_ * 2), 0L, 1L)
+          timeAction("dmask_pointget_100kpending", n) { get100() }
+        } finally {
+          only = saved20
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(root))
+        }
+      }
+      // Runtime-filter (dynamic pruning) join A/B (r15): a selective dim
+      // join against the graft SQL table with SupportsRuntimeFiltering —
+      // the dim's 8-address image should prune the fact scan to 8 of 1024
+      // addresses' buckets at RUNTIME. Same plan measured with Spark's
+      // dynamic pruning ON (first — cold, conservative for the claim)
+      // and OFF (the full-scan join the r14 scan always paid).
+      if (only.contains("dpp_ab")) {
+        import graft.sources.TimeStore
+        import graft.core.Point
+        import spark.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-dpp-$n").toString
+        val ns = TimeStore.namespace(root, "DPP")
+        TimeStore.register(spark, ns, 64, 64)
+        val rows = n * 64
+        val pts = spark.range(rows).select(
+            (pmod(col("id"), lit(1024L)) * 2).as("address"),
+            (col("id") * 1000L).as("time"),
+            xxhash64(col("id")).as("payload"),
+            lit(null).cast("binary").as("value"))
+          .as[Point]
+        val saved21 = only
+        only = Nil
+        try {
+          TimeStore.writePoints(spark, ns, pts)
+          spark.range(2048).select(col("id").as("address"),
+              pmod(col("id"), lit(256L)).as("grp"))
+            .write.mode("overwrite").parquet(s"$root/dim")
+          val fact = spark.read.format("graft")
+            .option("root", root).option("ns", "DPP").load()
+            .where("kind = 'simple'")
+          def joined() = fact.join(
+            spark.read.parquet(s"$root/dim").where("grp = 2"), "address")
+          val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+          try {
+            // one untimed warmup so neither arm pays first-query JIT
+            spark.conf.set(key, "false")
+            joined().count()
+            spark.conf.set(key, "true")
+            timeAction("dpp_join_runtime_pruned", n) { joined().count(); () }
+            spark.conf.set(key, "false")
+            timeAction("dpp_join_full_scan", n) { joined().count(); () }
+          } finally spark.conf.set(key, "true")
+        } finally {
+          only = saved21
           def rm(p: java.io.File): Unit = {
             Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
           }

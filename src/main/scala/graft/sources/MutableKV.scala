@@ -172,9 +172,7 @@ object MutableKV {
   private def deleteHorizon(spark: SparkSession,
                             shadowNs: TimeStore.Namespace,
                             addr: Long): Long = {
-    val triples = TimeStore.loadDeleteTriples(
-      spark.sparkContext.hadoopConfiguration,
-      TimeStore.deleteFiles(spark, shadowNs))
+    val triples = TimeStore.deleteTriplesCached(spark, shadowNs)
     var h = 0L
     var i = 0
     while (i < triples.length) {

@@ -935,6 +935,45 @@ object TimeStore {
     }
   }
 
+  /** Driver-side [[DeleteMask]] cache for the LOCAL point ops, keyed by
+    * the pending delete FILES' signature (path+length+mtime — a new
+    * delete is a new UUID file, a vacuum removes files; either changes
+    * the signature): without it every point-get re-reads the whole
+    * tombstone parquet, O(pending) per call — the hash made the per-ROW
+    * test O(1) but the per-READ load still scaled with the takedown
+    * backlog (r15; the point-get twin of the r14 row-reader lesson). One
+    * entry per namespace, bounded by the pending volume, dropped the
+    * moment the signature moves. */
+  private val maskCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Long], DeleteMask)]()
+
+  private def maskEntry(spark: SparkSession,
+                        n: Namespace): (String, Array[Long], DeleteMask) = {
+    val files = deleteFiles(spark, n)
+    val sig = files.map(st =>
+        s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val cached = maskCache.get(n.dir)
+    if (cached != null && cached._1 == sig) cached
+    else {
+      val triples = loadDeleteTriples(
+        spark.sparkContext.hadoopConfiguration, files)
+      val entry = (sig, triples, new DeleteMask(triples))
+      maskCache.put(n.dir, entry)
+      entry
+    }
+  }
+
+  private[graft] def deleteMask(spark: SparkSession, n: Namespace): DeleteMask =
+    maskEntry(spark, n)._3
+
+  /** The packed pending triples through the same signature cache — for
+    * [[MutableKV]]'s tombstone-horizon scan, which otherwise re-reads the
+    * delete parquet on every re-creating insert. */
+  private[sources] def deleteTriplesCached(spark: SparkSession,
+                                           n: Namespace): Array[Long] =
+    maskEntry(spark, n)._2
+
   /** Anti-join a point scan against the namespace's pending delete
     * tombstones (no-op when none): equi-key on address with the unsigned
     * range as the join residual, delete side broadcast under
@@ -1241,10 +1280,10 @@ object TimeStore {
       java.lang.Long.compareUnsigned(p.time, end) <= 0)
     // pending takedown tombstones suppress rows here exactly like the
     // distributed scan's anti-join (local/distributed parity is spec- and
-    // oracle-pinned); applied BEFORE the pinned-winner dedup. The mask
-    // hashes by address once per read — point-get cost stays flat in the
-    // pending-tombstone count.
-    val mask = new DeleteMask(loadDeleteTriples(conf, deleteFiles(spark, n)))
+    // oracle-pinned); applied BEFORE the pinned-winner dedup. The mask is
+    // signature-cached and hashes by address — point-get cost stays flat
+    // in the pending-tombstone count (one rebuild per takedown change).
+    val mask = deleteMask(spark, n)
     val live2 =
       if (mask.isEmpty) rows
       else rows.filterNot(p => mask.deleted(p.address, p.time))
