@@ -1524,18 +1524,17 @@ object NorthStar {
     * relaxed.) */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val m = TextAnalysis.bpeMerges(docs, "text", k = 6)
-      .select(col("lhs"), col("rhs")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", trainedBpeMerges(docs))
       .orderBy(col("doc_id"))
   }
 
-  val textBpeEncodeSql: String = {
+  /** Train + encode as CTEs ending in `enc(doc_id, sym)` — shared by the
+    * encode twin and the BPE-true packing twin. */
+  private[queries] def bpeEncodeCtes: String = {
     val applied = (1 to 6).foldLeft("d.sym") { (acc, t) =>
       s"replace($acc, ' '||b$t.lhs||'  '||b$t.rhs||' ', ' '||b$t.merged||' ')"
     }
-    s"""WITH ${bpeTrainCtes(6)},
+    s"""${bpeTrainCtes(6)},
        |docsym AS (
        |  SELECT doc_id,
        |    CASE WHEN len(regexp_extract_all(lower(text), '\\w+')) = 0 THEN ''
@@ -1546,7 +1545,18 @@ object NorthStar {
        |  FROM documents),
        |enc AS (
        |  SELECT d.doc_id, $applied AS sym
-       |  FROM docsym d, best1 b1, best2 b2, best3 b3, best4 b4, best5 b5, best6 b6)
+       |  FROM docsym d, best1 b1, best2 b2, best3 b3, best4 b4, best5 b5, best6 b6)""".stripMargin
+  }
+
+  /** The trained 6-rule merge list, collected as driver-side model state
+    * (k rows, a centroid-sized collect) — encode-side callers share it. */
+  private[queries] def trainedBpeMerges(docs: DataFrame): Seq[(String, String)] =
+    TextAnalysis.bpeMerges(docs, "text", k = 6)
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  val textBpeEncodeSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT doc_id,
        |  CASE WHEN sym = '' THEN CAST(0 AS BIGINT)
        |    ELSE CAST(len(string_split_regex(trim(sym), ' {2,}')) AS BIGINT)
@@ -1555,7 +1565,6 @@ object NorthStar {
        |    ELSE array_to_string(string_split_regex(trim(sym), ' {2,}'), ' ')
        |  END) AS fp
        |FROM enc ORDER BY doc_id""".stripMargin
-  }
 
   /** In-engine TRAINED quality model, closed form: a ridge-regularized
     * linear probe (two cheap features — stopword ratio, chars-per-token —

@@ -600,6 +600,41 @@ object Pipeline {
       |    AS tail_straddles
       |FROM spans GROUP BY s ORDER BY seq_id""".stripMargin
 
+  /** TOKENIZER-TRUE global packing (VERDICT r14 #4's point): the same
+    * two-stage prefix-sum packing, but over the REAL subword token counts
+    * [[graft.operators.TextAnalysis.bpeEncode]] produces from the trained
+    * merge list, instead of whitespace-ish word counts — the layout an
+    * actual pretraining run needs, since sequence budgets are spent in
+    * tokenizer tokens. Train (6 rules) → encode (k literal replaces,
+    * row-local) → pack (one range exchange + per-partition window): the
+    * corpus never shuffles for the encode, and the twin replays the full
+    * train/encode/pack chain — a single token miscounted anywhere moves
+    * every later document's start offset and breaks the hash. */
+  def packBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", NorthStar.trainedBpeMerges(docs))
+      .select(col("doc_id"), col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    packOffsetsOver(toks, 512).orderBy(col("doc_id"))
+  }
+
+  val packBpeSql: String =
+    s"""WITH ${NorthStar.bpeEncodeCtes},
+       |toks AS (SELECT doc_id,
+       |  CASE WHEN sym = '' THEN 0
+       |    ELSE len(string_split_regex(trim(sym), ' {2,}')) END AS n
+       |  FROM enc),
+       |offs AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) soff
+       |  FROM toks WHERE n > 0)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(soff AS BIGINT) AS start_offset,
+       |  CAST(soff // 512 AS BIGINT) AS first_seq,
+       |  CAST((soff + n - 1) // 512 AS BIGINT) AS last_seq,
+       |  CAST((soff + n - 1) // 512 - soff // 512 + 1 AS BIGINT) AS n_seqs
+       |FROM offs ORDER BY doc_id""".stripMargin
+
   val packSequencesSql: String =
     """WITH toks AS (SELECT doc_id,
       |  len(regexp_extract_all(lower(text), '\w+')) n FROM documents),
@@ -614,6 +649,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack_sequences" -> packSequences,
+    "pipeline_pack_bpe" -> packBpe,
     "pipeline_epoch_order" -> epochOrder,
     "pipeline_pack_manifest" -> packManifest,
     "pipeline_mix_domains" -> mixDomains,
@@ -627,6 +663,7 @@ object Pipeline {
 
   def oracleSql: Map[String, String] = Map(
     "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_pack_bpe" -> packBpeSql,
     "pipeline_epoch_order" -> epochOrderSql,
     "pipeline_pack_manifest" -> packManifestSql,
     "pipeline_mix_domains" -> mixDomainsSql,
