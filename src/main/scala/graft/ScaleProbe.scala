@@ -939,7 +939,7 @@ object ScaleProbe {
         } finally only = saved16
       }
       // Deterministic epoch ordering A/B (VERDICT r14 #7): the sharded
-      // order (shard from the digest's first byte, only shuffle the
+      // order (shard from the digest's first 32 bits, only shuffle the
       // per-shard rank window) vs the naive corpus-wide row_number — the
       // pack_ab method applied to the r14 epoch-order operator. Two knobs
       // measured as same-run pairs: corpus growth at fixed nShards (across

@@ -459,15 +459,7 @@ object Pipeline {
     val h = md5(concat(lit(s"epoch:$seed:"), col(idCol).cast("string"))
       .cast("binary"))
     import org.apache.spark.sql.expressions.Window
-    // hex→int via instr arithmetic — the engine-portable idiom (DuckDB has
-    // no conv()); CAST each place value to BIGINT or int×int wraps at the
-    // top places. The twin spells the identical sum.
-    val keyExpr = (1 to 8).map { i =>
-      val shift = 4 * (8 - i)
-      val digit = s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
-      if (shift == 0) digit
-      else s"$digit * CAST(${1L << shift} AS BIGINT)"
-    }.mkString(" + ")
+    val keyExpr = hexShardKey("substring")
     val keyed = docs.select(col(idCol), h.as("h"))
       .withColumn("shard",
         pmod(expr(keyExpr), lit(nShards.toLong)).cast("int"))
@@ -481,13 +473,23 @@ object Pipeline {
         nShards = 8)
       .orderBy(col("shard"), col("pos"))
 
-  val epochOrderSql: String = {
-    val keyExpr = (1 to 8).map { i =>
+  /** The 32-bit shard key over a digest column `h`, as engine-portable
+    * SQL text — hex→int via instr arithmetic (DuckDB has no conv()),
+    * each place value CAST to BIGINT or int×int wraps at the top places.
+    * ONE generator parameterized on the substring function name
+    * ('substring' Spark / 'substr' DuckDB), so the two engines can never
+    * drift apart on the parity-critical expression (r15 review catch —
+    * it was maintained as two copies). */
+  private def hexShardKey(substrFn: String): String =
+    (1 to 8).map { i =>
       val shift = 4 * (8 - i)
-      val digit = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val digit = s"(instr('0123456789abcdef', $substrFn(h, $i, 1)) - 1)"
       if (shift == 0) digit
       else s"$digit * CAST(${1L << shift} AS BIGINT)"
-    }.mkString(" +\n     ")
+    }.mkString(" + ")
+
+  val epochOrderSql: String = {
+    val keyExpr = hexShardKey("substr")
     s"""WITH h AS (
       |  SELECT doc_id, md5('epoch:7:' || CAST(doc_id AS VARCHAR)) AS h
       |  FROM documents),

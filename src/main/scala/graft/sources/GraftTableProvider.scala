@@ -229,14 +229,16 @@ case class GraftTable(root: String, ns: String) extends Table
       TimeStore.deletePoints(spark, n, addrs, lo, hi)
     else
       // signed [lo, hi] with lo < 0 <= hi crosses the unsigned wrap: it
-      // denotes unsigned [0, hi] ∪ [lo-as-unsigned, 2^64-1]. BOTH
-      // tombstone files land under ONE writer-lease acquisition — two
-      // independent deletePoints calls would let a lease contention (or a
-      // crash) between them report the DELETE failed with half the
-      // takedown already applied (r15 code-review catch).
+      // denotes unsigned [0, hi] ∪ [lo-as-unsigned, 2^64-1]. Both ranges
+      // land in ONE staged file under ONE lease acquisition, so the
+      // split interval publishes all-or-nothing — two independent
+      // deletePoints calls would let lease contention, an IO error, or a
+      // crash between them report the DELETE failed with half the
+      // takedown already suppressing rows (r15 code-review catch, both
+      // passes).
       TimeStore.withWriterLease(spark, n) {
-        TimeStore.deletePointsHeld(spark, n, addrs, 0L, hi)
-        TimeStore.deletePointsHeld(spark, n, addrs, lo, -1L)
+        TimeStore.deleteRangesHeld(spark, n, addrs,
+          Seq((0L, hi), (lo, -1L)))
       }
   }
 }
@@ -533,12 +535,14 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     * the mask to decoded column batches — untouched batches pass through
     * zero-copy, touched ones compact — so a single pending tombstone no
     * longer de-vectorizes every full scan until the next vacuum. */
-  private lazy val deleteTriples: Array[Long] = {
-    val spark = SparkSession.active
-    val n = TimeStore.Namespace(root, ns)
-    TimeStore.loadDeleteTriples(spark.sparkContext.hadoopConfiguration,
-      TimeStore.deleteFiles(spark, n))
-  }
+  private lazy val deleteTriples: Array[Long] =
+    // the signature-keyed cache: a dashboard's many small queries against
+    // a namespace with a pending takedown backlog must not re-decode the
+    // tombstone parquet per PLAN, only when a delete or vacuum moves the
+    // file signature (the same O(pending)-per-read fix the local point
+    // ops got this round)
+    TimeStore.deleteTriplesCached(SparkSession.active,
+      TimeStore.Namespace(root, ns))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -833,13 +833,24 @@ object TimeStore {
     * alive after the takedown "completed"). */
   private[sources] def deletePointsHeld(spark: SparkSession, n: Namespace,
                                         addrs: Seq[Long], start: Long,
-                                        end: Long): Unit = {
+                                        end: Long): Unit =
+    deleteRangesHeld(spark, n, addrs, Seq((start, end)))
+
+  /** Multi-range form of [[deletePointsHeld]]: ALL (address × range)
+    * tombstone rows land in ONE staged-then-renamed file, so a takedown
+    * whose signed SQL interval splits at the unsigned wrap (two ranges)
+    * publishes all-or-nothing — two independent files would let a crash
+    * between renames report the DELETE failed with half of it already
+    * suppressing rows (r15 review catch). */
+  private[sources] def deleteRangesHeld(spark: SparkSession, n: Namespace,
+                                        addrs: Seq[Long],
+                                        ranges: Seq[(Long, Long)]): Unit = {
       // "invalid namespace" discipline UNCONDITIONALLY: a takedown issued
       // against an unregistered namespace must fail loudly whatever the
       // argument shape — an empty address list silently no-op'ing here
       // diverged from the non-empty case (ADVICE r14)
       mustFetchIndex(spark, n, "simple")
-      if (addrs.nonEmpty) {
+      if (addrs.nonEmpty && ranges.nonEmpty) {
         val conf = spark.sparkContext.hadoopConfiguration
         val dir = new Path(deletesDir(n))
         val f = fs(spark, dir.toString)
@@ -856,11 +867,13 @@ object TimeStore {
         try {
           val factory = new SimpleGroupFactory(DeleteFileSchema)
           addrs.distinct.foreach { a =>
-            val g = factory.newGroup()
-            g.append("address", a)
-            g.append("tstart", start)
-            g.append("tend", end)
-            writer.write(g)
+            ranges.foreach { case (start, end) =>
+              val g = factory.newGroup()
+              g.append("address", a)
+              g.append("tstart", start)
+              g.append("tend", end)
+              writer.write(g)
+            }
           }
         } finally writer.close()
         if (!f.rename(tmp, new Path(dir, base)))
@@ -959,6 +972,12 @@ object TimeStore {
       val triples = loadDeleteTriples(
         spark.sparkContext.hadoopConfiguration, files)
       val entry = (sig, triples, new DeleteMask(triples))
+      // bound the cache: a long-lived driver touching many short-lived
+      // namespaces must not pin one dead multi-MB mask per namespace for
+      // the JVM lifetime (r15 review catch) — past the cap, drop
+      // everything and let live namespaces re-fill (one tombstone read
+      // each; correctness never depends on a hit)
+      if (maskCache.size >= 64) maskCache.clear()
       maskCache.put(n.dir, entry)
       entry
     }
