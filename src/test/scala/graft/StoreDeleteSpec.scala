@@ -205,8 +205,12 @@ class StoreDeleteSpec extends SparkSpec {
     assert(afterGe.contains(-5L),
       s"signed >= 300 must NOT match signed -5 (huge unsigned): $afterGe")
     // … and `time <= 0` crosses the unsigned wrap: it splits into
-    // unsigned [0,0] ∪ [2^63, 2^64), killing exactly the -5 row
+    // unsigned [0,0] ∪ [2^63, 2^64), killing exactly the -5 row — and
+    // BOTH intervals publish as ONE tombstone file (all-or-nothing)
+    val filesBefore = TimeStore.deleteFiles(spark, n).size
     spark.sql("DELETE FROM sqldel_t WHERE address = 2 AND time <= 0")
+    assert(TimeStore.deleteFiles(spark, n).size === filesBefore + 1,
+      "a wrap-crossing DELETE must land one atomic tombstone file")
     val afterLe = t2()
     assert(!afterLe.contains(-5L),
       s"signed <= 0 spans the unsigned wrap and kills -5: $afterLe")
