@@ -288,6 +288,34 @@ class GraftSourceSpec extends SparkSpec {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("runtime pruning composes with pending tombstones: the pruned, " +
+      "batch-masked join is exact") {
+    val (root, ns) = freshStore("graft-v2-dppdel")
+    val n = TimeStore.Namespace(root, ns)
+    // dim grp=2 selects addresses {2, 33}; tombstone address 2 as well —
+    // the runtime-pruned scan must still apply the batch mask, so the
+    // join of (pruned ∩ masked) returns nothing for 2
+    TimeStore.deletePoints(spark, n, Seq(2L))
+    import spark.implicits._
+    val dim = (0L until 64L).map(a => (a, a % 31)).toDF("address", "grp")
+    dim.write.mode("overwrite").parquet(s"$root/dim")
+    val joined = graftDf(root, ns).where("kind = 'simple'")
+      .join(spark.read.parquet(s"$root/dim").where("grp = 2"), "address")
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("RuntimeFilters: [dynamicpruning"))
+    assert(joined.select("address").collect().isEmpty,
+      "address 2 is tombstoned; 33 is odd (extended kind) — empty join")
+    // a non-tombstoned image still serves through the same composition:
+    // grp=4 selects {4, 35}; 4 is a live simple address
+    val joined2 = graftDf(root, ns).where("kind = 'simple'")
+      .join(spark.read.parquet(s"$root/dim").where("grp = 4"), "address")
+    assert(joined2.select("address").collect().map(_.getLong(0)).toSeq
+      === Seq(4L))
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("pending tombstones keep the VECTORIZED scan and mask batches " +
       "exactly — including projections that pruned address/time away") {
     val (root, ns) = freshStore("graft-v2-delmask")
