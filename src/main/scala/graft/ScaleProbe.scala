@@ -1488,6 +1488,10 @@ object ScaleProbe {
           def joined() = fact.join(
             spark.read.parquet(s"$root/dim").where("grp = 2"), "address")
           val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+          // restore whatever the session ran with, not a hardcoded "true" —
+          // a session that disabled DPP must leave the probe with it still
+          // disabled (ADVICE r15)
+          val savedDpp = spark.conf.getOption(key)
           try {
             // one untimed warmup so neither arm pays first-query JIT
             spark.conf.set(key, "false")
@@ -1496,7 +1500,10 @@ object ScaleProbe {
             timeAction("dpp_join_runtime_pruned", n) { joined().count(); () }
             spark.conf.set(key, "false")
             timeAction("dpp_join_full_scan", n) { joined().count(); () }
-          } finally spark.conf.set(key, "true")
+          } finally savedDpp match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
         } finally {
           only = saved21
           def rm(p: java.io.File): Unit = {

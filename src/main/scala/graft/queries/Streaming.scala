@@ -938,12 +938,15 @@ object Streaming {
     q.awaitTermination()
     // catch-up: lexical queries whose id surfaced in NO probe batch still
     // owe their lexical-only fused rows (one extra serve per stream
-    // LIFECYCLE, not per batch; empty — and skipped — whenever the query
-    // ids are a subset of the probe ids, as in the gate fixture)
+    // LIFECYCLE, not per batch). Written UNCONDITIONALLY from the
+    // anti-join — an empty `missed` fuses to an empty partition write,
+    // the same end state the old existence probe guarded, without its
+    // extra `limit(1).count()` Spark job per stream lifecycle (ADVICE
+    // r15 / VERDICT r15 #7)
     val missed = lexQs.join(
       probes.select(col("vec_id").cast("long").as("query_id")),
       Seq("query_id"), "left_anti")
-    if (missed.limit(1).count() > 0) {
+    locally {
       import s.implicits._
       val lex = TextIndex.bm25IndexSearch(s, missed, "query_id", "qtext",
         bmPath, k = 10)

@@ -189,6 +189,90 @@ object TimeSeries {
        |  SELECT 'vacuumed' AS phase, * FROM served)
        |ORDER BY phase, ts_ns, user_id""".stripMargin
 
+  /** Generation-pinned SNAPSHOT reads (VERDICT r15 #1) — time travel for
+    * training-data lineage: the reference's append-only model made every
+    * past read reproducible forever (`FuzzyTests.hs:150-200`); the
+    * engine's takedown mandate (compact/vacuum rewrite generations, the
+    * lease horizon retires them) broke that, and this closes it. The
+    * whole events fixture ingests through the store protocol; the live
+    * generation is PINNED ([[graft.sources.TimeStore.pinGeneration]] — the
+    * retention override that survives retirement); a takedown then deletes
+    * two addresses over a sub-range and [[graft.sources.TimeStore
+    * .vacuumDeletes]] physically rewrites the store as a NEW generation.
+    * Three reads serve under ONE hash: the API snapshot read
+    * (`readSimple(generation = g)`) and the DSv2 SQL snapshot read
+    * (`option("generation", g)`) must BOTH still serve the full
+    * pre-delete corpus from the pinned generation's immutable files —
+    * bit-reproducible lineage ("which corpus version trained run X") —
+    * while the live read reflects the takedown. A snapshot read that
+    * leaks the tombstone overlay, resolves the wrong generation, or loses
+    * rows to the vacuum breaks the hash; so does a live read that still
+    * serves deleted rows. */
+  def storeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-snapshot")
+    val n = TimeStore.namespace(root, "SNAP")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    val gen = TimeStore.liveGeneration(s, n).get
+    TimeStore.pinGeneration(s, n, gen) // the lineage retention override
+    TimeStore.deletePoints(s, n, Seq(4L, 16L), D0, D1)
+    TimeStore.vacuumDeletes(s, n) // live is now generation gen+1
+    def serve(df: org.apache.spark.sql.DataFrame, phase: String) = df
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+      .withColumn("phase", lit(phase))
+    val api = serve(TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2),
+      generation = Some(gen)), "snapshot-api")
+    val sql = s.read.format("graft").option("root", root).option("ns", "SNAP")
+      .option("generation", gen).load()
+      .filter(col("kind") === "simple" &&
+        col("address").isin(Addrs.map(_ * 2): _*) &&
+        col("time").between(T0, T1))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("address"), col("time")).orderBy(col("payload"))))
+      .filter(col("rn") === 1)
+    val live = serve(TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2)),
+      "live")
+    api.unionByName(serve(sql, "snapshot-sql")).unionByName(live)
+      .select(col("phase"), col("user_id"), col("ts_ns"), col("event_id"))
+      .orderBy(col("phase"), col("ts_ns"), col("user_id"))
+  }
+
+  val storeSnapshotSql: String =
+    s"""WITH pre_delete AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |), surviving AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |    AND NOT (user_id IN (2,8) AND epoch_ns(ts) BETWEEN $D0 AND $D1)
+       |)
+       |SELECT phase, user_id, ts_ns, event_id FROM (
+       |  SELECT 'snapshot-api' AS phase, user_id, ts_ns, event_id
+       |  FROM pre_delete WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'snapshot-sql' AS phase, user_id, ts_ns, event_id
+       |  FROM pre_delete WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'live' AS phase, user_id, ts_ns, event_id
+       |  FROM surviving WHERE rn = 1)
+       |ORDER BY phase, ts_ns, user_id""".stripMargin
+
   /** The store ingest as PURE SQL (VERDICT r10 #3): `CREATE TABLE … USING
     * graft` + `INSERT INTO … SELECT` drive the WHOLE write protocol — lease,
     * route, one shuffle on (kind, epoch, bucket), partitioned append,
@@ -1123,6 +1207,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScan,
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_delete" -> storeDelete,
+    "ts_store_snapshot" -> storeSnapshot,
     "ts_store_kv_delete" -> storeKvDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
@@ -1149,6 +1234,7 @@ object TimeSeries {
     "ts_range_scan"     -> rangeScanSql,
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_delete" -> storeDeleteSql,
+    "ts_store_snapshot" -> storeSnapshotSql,
     "ts_store_kv_delete" -> storeKvDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,

@@ -140,8 +140,24 @@ case class GraftTable(root: String, ns: String) extends Table
     // AppendDataExecV1 — V1_BATCH_WRITE declares that honestly.
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, ns)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // snapshot read: option("generation", g) pins the scan to generation
+    // g's immutable files (TimeStore.pinGeneration is the retention
+    // override that keeps them on disk) — the SQL surface of the lineage
+    // read, e.g. "which corpus version trained run X". Resolved EAGERLY so
+    // a retired/unknown generation fails at analysis, not mid-scan.
+    val generation = Option(options.get("generation")).map { s =>
+      val g = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft option 'generation' must be a non-negative integer, got '$s'")
+      }
+      require(g >= 0, s"graft option 'generation' must be >= 0, got $g")
+      TimeStore.snapshotPath(SparkSession.active,
+        TimeStore.Namespace(root, ns), g) // loud on retired/incomplete
+      g
+    }
+    new GraftScanBuilder(root, ns, generation)
+  }
 
   /** DSv2 write path (VERDICT r10 #3): `INSERT INTO <graft table> SELECT …`
     * and `df.write.format("graft").mode("append")`, so the reference's
@@ -288,7 +304,8 @@ object GraftTable {
   }
 }
 
-class GraftScanBuilder(root: String, ns: String)
+class GraftScanBuilder(root: String, ns: String,
+                       generation: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -336,24 +353,33 @@ class GraftScanBuilder(root: String, ns: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = GraftScan(root, ns, pushed, required)
+  override def build(): Scan = GraftScan(root, ns, pushed, required, generation)
 }
 
 /** One input split: a pruned, bin-packed set of data files, each with its
-  * directory-derived partition values. */
+  * directory-derived partition values. `delTouched` is the plan-time
+  * tombstone scope (VERDICT r15 #5): true iff some pending tombstone
+  * address's `placeBucket` image under this file's epoch lands in this
+  * file's bucket — every row in the file was routed by that same image, so
+  * an untouched file provably holds no tombstoned row and its reader skips
+  * the mask (and the address/time extras decode) entirely, keeping the
+  * exactly-clean vectorized path for most of the corpus during a takedown
+  * window. */
 case class GraftFileSlice(path: String, kind: String, epoch: Long,
-                          bucket: Int, bytes: Long)
+                          bucket: Int, bytes: Long,
+                          delTouched: Boolean = false)
 case class GraftInputPartition(files: Seq[GraftFileSlice]) extends InputPartition
 
 case class GraftScan(root: String, ns: String, filters: Array[Filter],
-                     required: StructType)
+                     required: StructType, generation: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftScan ns=$ns pushed=[${filters.mkString(", ")}]"
+    s"GraftScan ns=$ns${generation.fold("")(g => s" gen=$g")} " +
+      s"pushed=[${filters.mkString(", ")}]"
 
   // ---- runtime (dynamic) pruning ----------------------------------------
   //
@@ -442,7 +468,23 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
   private[graft] def plannedFilesFor(fs0: Array[Filter]): Seq[GraftFileSlice] = {
     val spark = SparkSession.active
     val n = TimeStore.Namespace(root, ns)
-    TimeStore.livePointsPath(spark, n) match {
+    // the distinct pending-tombstone addresses, for plan-time bucket
+    // scoping (empty on snapshot scans and vacuumed stores)
+    val delAddrs: Array[Long] = {
+      val t = deleteTriples
+      if (t.isEmpty) Array.emptyLongArray
+      else {
+        val s = new java.util.HashSet[java.lang.Long]()
+        var i = 0
+        while (i < t.length) { s.add(t(i)); i += 3 }
+        val out = new Array[Long](s.size)
+        val it = s.iterator(); var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    }
+    generation.map(g => Some(TimeStore.snapshotPath(spark, n, g)))
+      .getOrElse(TimeStore.livePointsPath(spark, n)) match {
       case None => Nil
       case Some(live) =>
         val f = new Path(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -468,6 +510,18 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
                       as.map(a => EpochIndex.placeBucket(bc, a)).distinct
                     case None => 0 until bc
                   }
+                  // tombstone scope for this epoch: the placeBucket image
+                  // of the pending-delete addresses under ITS bucket count
+                  // — a file outside the image provably holds no
+                  // tombstoned row (rows route by the same image at write)
+                  val delBuckets: java.util.BitSet =
+                    if (delAddrs.isEmpty) null
+                    else {
+                      val bs = new java.util.BitSet(bc)
+                      delAddrs.foreach(a =>
+                        bs.set(EpochIndex.placeBucket(bc, a)))
+                      bs
+                    }
                   buckets.filter(b => bucketSel.forall(_.contains(b)))
                     .flatMap { b =>
                       val dir = new Path(s"$live/kind=$kind/epoch=$epoch/bucket=$b")
@@ -478,7 +532,8 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
                           !nm.startsWith("_") && !nm.startsWith(".")
                         }
                       }.map(st => GraftFileSlice(st.getPath.toString, kind,
-                        epoch, b, st.getLen))
+                        epoch, b, st.getLen,
+                        delTouched = delBuckets != null && delBuckets.get(b)))
                     }
                 }
           }
@@ -540,8 +595,11 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
     // a namespace with a pending takedown backlog must not re-decode the
     // tombstone parquet per PLAN, only when a delete or vacuum moves the
     // file signature (the same O(pending)-per-read fix the local point
-    // ops got this round)
-    TimeStore.deleteTriplesCached(SparkSession.active,
+    // ops got this round). Snapshot (generation-pinned) scans serve the
+    // pinned generation's files VERBATIM — no mutable tombstone overlay —
+    // so they never load the mask at all.
+    if (generation.isDefined) Array.emptyLongArray
+    else TimeStore.deleteTriplesCached(SparkSession.active,
       TimeStore.Namespace(root, ns))
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -566,8 +624,11 @@ case class GraftScan(root: String, ns: String, filters: Array[Filter],
   private lazy val footerRowCount: OptionalLong =
     // pending takedown tombstones suppress rows the footers still count —
     // an "exact" statistic would overcount, so degrade to bytes-only
-    // until the vacuum folds them in
-    if (deleteTriples.nonEmpty) OptionalLong.empty()
+    // until the vacuum folds them in. Scoped per file (r16): only a plan
+    // whose pruned set actually intersects the tombstones' bucket image
+    // degrades; a scan of untouched buckets keeps exact row statistics.
+    if (deleteTriples.nonEmpty && plannedFiles.exists(_.delTouched))
+      OptionalLong.empty()
     else if (plannedFiles.isEmpty) OptionalLong.of(0L)
     else if (plannedFiles.length > GraftScan.MaxStatFooterReads) OptionalLong.empty()
     else try {
@@ -704,7 +765,7 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
 
   import org.apache.parquet.hadoop.ParquetInputFormat
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.execution.vectorized.{OffHeapColumnVector, OnHeapColumnVector, WritableColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val DataColNames = Set("address", "time", "payload", "value")
@@ -713,7 +774,10 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
   // away — they append after the projected data columns (extras), and the
   // output batch projects them back out. The mask hashes ranges by
   // address once per reader (TimeStore.DeleteMask, shared with the row
-  // reader and the local point ops).
+  // reader and the local point ops). Scoped PER FILE (VERDICT r15 #5):
+  // only files whose (epoch, bucket) intersects the tombstones' placeBucket
+  // image (`delTouched`, computed at plan time) decode extras and test the
+  // mask — every other file keeps the exactly-clean vectorized path.
   private val mask = new TimeStore.DeleteMask(deleteTriples)
   private val dataSchema = StructType(required.fields.filter(f => DataColNames(f.name)))
   private val extraSchema: StructType =
@@ -721,6 +785,8 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
     else StructType(Seq("address", "time")
       .filterNot(dataSchema.fieldNames.contains)
       .map(c => GraftTableProvider.StoreSchema(c)))
+  // masked layout: [dataSchema][extras][partSchema]; clean layout drops the
+  // extras — which makes the raw batch exactly the `required` shape
   private val decodeSchema = StructType(dataSchema.fields ++ extraSchema.fields)
   private val partSchema = StructType(required.fields.filterNot(f => DataColNames(f.name)))
   // batch layout: [decodeSchema cols][partSchema cols]; the output batch
@@ -736,11 +802,13 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
   private val rowGroupPredicate = GraftParquetFilters.rowGroupPredicate(filters)
 
   private var fileIdx = -1
+  // whether the CURRENT file decodes extras and masks (plan-time scope)
+  private var curMasked = false
   private var reader: VectorizedParquetRecordReader = _
   private var batch: ColumnarBatch = _
   // vectors WE allocated for a compacted batch — closed before the next
   // batch replaces them (the reader's own vectors are owned by `reader`)
-  private var owned: Array[OnHeapColumnVector] = _
+  private var owned: Array[WritableColumnVector] = _
 
   private def closeOwned(): Unit =
     if (owned != null) { owned.foreach(_.close()); owned = null }
@@ -754,7 +822,7 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
     * the clean path. */
   private def maskBatch(raw: ColumnarBatch): ColumnarBatch = {
     val n = raw.numRows()
-    if (mask.isEmpty)
+    if (!curMasked)
       return raw // no extras were decoded either: raw IS the output shape
     val addr = raw.column(addrSlot)
     val time = raw.column(timeSlot)
@@ -774,7 +842,17 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
       new ColumnarBatch(outSlots.map(raw.column(_): ColumnVector), n)
     else {
       closeOwned()
-      val out = OnHeapColumnVector.allocateColumns(math.max(kept, 1), required)
+      // honor the session's memory mode: compacted batches allocate in the
+      // same mode as the reader's own vectors, so
+      // spark.sql.columnVector.offheap.enabled accounting stays truthful
+      // through a takedown window (ADVICE r15)
+      val out: Array[WritableColumnVector] =
+        if (offHeap)
+          OffHeapColumnVector.allocateColumns(math.max(kept, 1), required)
+            .map(v => v: WritableColumnVector)
+        else
+          OnHeapColumnVector.allocateColumns(math.max(kept, 1), required)
+            .map(v => v: WritableColumnVector)
       var c = 0
       while (c < outSlots.length) {
         val src = raw.column(outSlots(c))
@@ -828,7 +906,11 @@ class GraftColumnarReader(conf: SerializableHadoopConf, required: StructType,
       // file schema against
       c.set("parquet.read.support.class",
         "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-      c.set("org.apache.spark.sql.parquet.row.requested_schema", decodeSchema.json)
+      // per-file tombstone scope: untouched files decode the clean
+      // projection (no address/time extras) and skip the mask entirely
+      curMasked = !mask.isEmpty && f.delTouched
+      c.set("org.apache.spark.sql.parquet.row.requested_schema",
+        (if (curMasked) decodeSchema else dataSchema).json)
       // ParquetToSparkSchemaConverter(conf) reads these with NO defaults
       // (Spark's own scans set them from SQLConf before shipping the conf);
       // the store schema is flat INT64/BINARY so the values are inert, but
@@ -912,15 +994,20 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
   // Pending takedown tombstones test (address, time) — those columns must
   // decode even if the projection pruned them away. The shared mask
   // (TimeStore.DeleteMask) hashes the triples by address once per reader.
+  // Scoped PER FILE (VERDICT r15 #5): only files whose bucket intersects
+  // the tombstones' placeBucket image (`delTouched`) decode the extra
+  // columns and pay the per-row mask test.
   private val mask = new TimeStore.DeleteMask(deleteTriples)
 
-  private val delCols: Array[String] =
-    if (deleteTriples.isEmpty) Array.empty else Array("address", "time")
-  private val dataCols = (required.fieldNames.filter(DataColNames.contains) ++
-    filters.flatMap(_.references).filter(DataColNames.contains) ++
-    delCols).distinct
-  private val readCols: Array[String] =
+  private val baseCols = (required.fieldNames.filter(DataColNames.contains) ++
+    filters.flatMap(_.references).filter(DataColNames.contains)).distinct
+  private def readColsFor(touched: Boolean): Array[String] = {
+    val dataCols =
+      if (touched && deleteTriples.nonEmpty)
+        (baseCols ++ Array("address", "time")).distinct
+      else baseCols
     if (dataCols.nonEmpty) dataCols else Array("address")
+  }
 
   private var fileIdx = -1
   private var fileReader: ParquetFileReader = _
@@ -1007,6 +1094,7 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
       rowGroupPredicate.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
       fileReader = ParquetFileReader.open(in, optsB.build())
       val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+      val readCols = readColsFor(curFile.delTouched)
       val keep = fileSchema.getFields.asScala
         .filter(f => readCols.contains(f.getName))
       projSchema = new MessageType(fileSchema.getName, keep.asJava)
@@ -1063,7 +1151,7 @@ class GraftPartitionReader(conf: SerializableHadoopConf, required: StructType,
         val time = if (timeSlot >= 0) readLongAt(timeSlot) else 0L
         val payload = if (paySlot >= 0) readLongAt(paySlot) else 0L
         val value = if (valSlot >= 0) readBinaryAt(valSlot) else null
-        if (!mask.deleted(address, time) &&
+        if ((!curFile.delTouched || !mask.deleted(address, time)) &&
             rowPred(address, time, payload, value, curFile)) {
           val vals: Array[Any] = required.fieldNames.map {
             case "address" => address

@@ -455,15 +455,20 @@ object TimeStore {
     * become partition-column predicates Catalyst prunes before any IO.
     */
   def readSimple(spark: SparkSession, n: Namespace, start: Long, end: Long,
-                 addrs: Seq[Long]): DataFrame =
-    readKind(spark, n, "simple", start, end, addrs)
+                 addrs: Seq[Long], generation: Option[Long] = None): DataFrame =
+    readKind(spark, n, "simple", start, end, addrs, generation)
       .select("address", "time", "payload")
 
   /** `readExtended` (`TimeStore.hs:158-177`): same contract with the blob
-    * column; the pointer-dereference join is pre-done at ingest. */
+    * column; the pointer-dereference join is pre-done at ingest.
+    *
+    * `generation = Some(g)` on either read pins the scan to generation
+    * `g`'s immutable files — the snapshot/lineage read (see
+    * [[pinGeneration]]): no pending-tombstone overlay applies, so the
+    * result is reproducible bit-for-bit for as long as the pin holds. */
   def readExtended(spark: SparkSession, n: Namespace, start: Long, end: Long,
-                   addrs: Seq[Long]): DataFrame =
-    readKind(spark, n, "extended", start, end, addrs)
+                   addrs: Seq[Long], generation: Option[Long] = None): DataFrame =
+    readKind(spark, n, "extended", start, end, addrs, generation)
       .select("address", "time", "payload", "value")
 
   /** The routed on-disk schema: the point columns plus the partition
@@ -527,8 +532,11 @@ object TimeStore {
     f.exists(new Path(p, "_SUCCESS"))
 
   /** Superseded generations old enough to retire: complete generations
-    * below `live` whose supersession is older than [[LeaseTimeoutMs]]. Any
-    * reader still scanning such a generation resolved it before that, i.e.
+    * below `live` whose supersession is older than [[LeaseTimeoutMs]] and
+    * which are not PINNED ([[pinGeneration]] — the snapshot-read retention
+    * override; a pinned generation survives any number of compact/vacuum
+    * passes until [[unpinGeneration]]). Any reader still scanning an
+    * unpinned retireable generation resolved it before the horizon, i.e.
     * has been running longer than the lease horizon — outside the reader
     * guarantee (the reference draws the same line with its 120 s lock
     * watchdog).
@@ -547,7 +555,7 @@ object TimeStore {
                          live: Long): Seq[(Long, Path)] = {
     val complete = gens.filter(g => isComplete(f, g._2))
     complete.filter(_._1 < live).filter { case (g, p) =>
-      complete.exists(_._1 > g) && {
+      complete.exists(_._1 > g) && !isPinned(f, p) && {
         val marker = s"$p/_SUPERSEDED_AT"
         readSmall(spark, marker).map(_.trim.toLong) match {
           case None =>
@@ -558,6 +566,89 @@ object TimeStore {
         }
       }
     }
+  }
+
+  // ---- generation pins: snapshot reads / time travel (VERDICT r15 #1) ---
+  //
+  // The reference store is append-only, so any past read is reproducible
+  // forever (`FuzzyTests.hs:150-200`: every written point stays findable).
+  // The engine's takedown mandate necessarily broke that — compact/vacuum
+  // rewrite generations and the lease horizon retires old ones — which
+  // made "which corpus version trained run X" unanswerable after one
+  // maintenance pass. The generations already exist on disk; a PIN is the
+  // retention override that keeps one alive past its supersession, and a
+  // generation-pinned read serves exactly its files. Lineage contract: a
+  // pinned read is a PURE FUNCTION of the pinned generation's immutable
+  // files — it applies NO pending tombstone overlay (the overlay is
+  // mutable shared state; folding it in would make the "snapshot" drift
+  // as takedowns arrive). To snapshot a post-takedown corpus, vacuum
+  // first and pin the resulting generation. Conversely a takedown that
+  // must reach ARCHIVED corpus versions requires dropping their pins —
+  // the pin IS the explicit record that such versions exist.
+
+  private def isPinned(f: FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_PINNED"))
+
+  /** All on-disk generations with their state, ascending:
+    * (generation, complete, pinned). The live generation is the highest
+    * complete one. */
+  def storeGenerations(spark: SparkSession, n: Namespace)
+      : Seq[(Long, Boolean, Boolean)] = {
+    val f = fs(spark, n.dir)
+    generations(spark, n).map { case (g, p) =>
+      (g, isComplete(f, p), isPinned(f, p))
+    }
+  }
+
+  /** The live generation number (highest complete), or None if never
+    * written. */
+  def liveGeneration(spark: SparkSession, n: Namespace): Option[Long] =
+    storeGenerations(spark, n).filter(_._2).lastOption.map(_._1)
+
+  /** Pin generation `g` so it survives lease-horizon retirement — the
+    * snapshot/lineage retention override. Under the writer lease: pins
+    * gate retirement decisions, which only writers make, so pin/retire
+    * cannot race. Fails loudly on an unknown or incomplete generation (an
+    * incomplete generation is a dead compaction attempt — there is
+    * nothing reproducible to pin). Idempotent. */
+  def pinGeneration(spark: SparkSession, n: Namespace, g: Long): Unit =
+    withWriterLease(spark, n) {
+      val f = fs(spark, n.dir)
+      val p = generations(spark, n).collectFirst { case (`g`, path) => path }
+        .getOrElse(throw new IllegalStateException(
+          s"namespace '${n.ns}': generation $g does not exist " +
+            "(already retired, or never created)"))
+      require(isComplete(f, p),
+        s"namespace '${n.ns}': generation $g is incomplete (dead compaction " +
+          "attempt) — only complete generations can be pinned")
+      writeSmall(spark, s"$p/_PINNED",
+        System.currentTimeMillis().toString)
+    }
+
+  /** Drop generation `g`'s pin; if superseded it retires on the normal
+    * lease-horizon clock from its recorded supersession time. Idempotent;
+    * no-op on an unknown generation (its files are already gone). */
+  def unpinGeneration(spark: SparkSession, n: Namespace, g: Long): Unit =
+    withWriterLease(spark, n) {
+      val f = fs(spark, n.dir)
+      generations(spark, n).collectFirst { case (`g`, path) => path }
+        .foreach(p => f.delete(new Path(p, "_PINNED"), false))
+    }
+
+  /** Resolve a pinned/snapshot generation's points path — loud on a
+    * generation that is missing (retired) or incomplete. Shared by the
+    * Scala snapshot reads and the DSv2 `generation` scan option. */
+  private[graft] def snapshotPath(spark: SparkSession, n: Namespace,
+                                  g: Long): String = {
+    val f = fs(spark, n.dir)
+    val p = generations(spark, n).collectFirst { case (`g`, path) => path }
+      .getOrElse(throw new IllegalStateException(
+        s"namespace '${n.ns}': generation $g does not exist (retired or " +
+          "never created) — pin generations you need reproducible reads of " +
+          "(TimeStore.pinGeneration)"))
+    require(isComplete(f, p),
+      s"namespace '${n.ns}': generation $g is incomplete and cannot be read")
+    p.toString
   }
 
   /** The live points directory: highest complete generation; a sole
@@ -572,14 +663,18 @@ object TimeStore {
   }
 
   private def readKind(spark: SparkSession, n: Namespace, kind: String,
-                       start: Long, end: Long, addrs: Seq[Long]): DataFrame = {
+                       start: Long, end: Long, addrs: Seq[Long],
+                       generation: Option[Long] = None): DataFrame = {
     val idx = mustFetchIndex(spark, n, kind)
     // targetObjs over an empty address list is the empty object set — the
     // reference reads nothing rather than scanning every bucket
     // (StoreHelpers.hs:86-104); mirror that contract explicitly instead of
     // burying it in a false predicate
     if (addrs.isEmpty) return emptyPoints(spark)
-    val liveOpt = livePointsPath(spark, n)
+    // snapshot reads resolve the PINNED generation's path (loud if retired)
+    // and skip the pending-tombstone overlay — see [[pinGeneration]]
+    val liveOpt = generation.map(g => snapshotPath(spark, n, g))
+      .orElse(livePointsPath(spark, n))
     if (liveOpt.isEmpty) return emptyPoints(spark)
     val entries = idx.rangeEntries(start, end)
     val epochs = entries.map(_._1)
@@ -599,12 +694,14 @@ object TimeStore {
       if (start >= 0 && end >= 0) col("time").between(start, end)
       else if (start >= 0) col("time") >= start || col("time") < 0
       else col("time").between(start, end)
-    val df = applyDeletes(spark, n,
-      spark.read.schema(storeSchema).parquet(liveOpt.get)
-        .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
-        .filter(addrPred && signedRange &&
-          PointFunctions.unsignedGte(col("time"), lit(start)) &&
-          PointFunctions.unsignedLte(col("time"), lit(end))))
+    val scan = spark.read.schema(storeSchema).parquet(liveOpt.get)
+      .filter(col("kind") === kind && col("epoch").isin(epochs: _*) && bucketPred)
+      .filter(addrPred && signedRange &&
+        PointFunctions.unsignedGte(col("time"), lit(start)) &&
+        PointFunctions.unsignedLte(col("time"), lit(end)))
+    val df =
+      if (generation.isDefined) scan // snapshot: no mutable-overlay anti-join
+      else applyDeletes(spark, n, scan)
     // First-wins dedup with a PINNED winner (`deDuplicate`,
     // Algorithms.hs:273-298): `dropDuplicates` keeps an arbitrary row that
     // can flip under repartitioning when two points share (address, time)
@@ -957,8 +1054,30 @@ object TimeStore {
     * backlog (r15; the point-get twin of the r14 row-reader lesson). One
     * entry per namespace, bounded by the pending volume, dropped the
     * moment the signature moves. */
-  private val maskCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[Long], DeleteMask)]()
+  // Bounded LRU: a long-lived driver touching many short-lived namespaces
+  // must not pin one dead multi-MB mask per namespace for the JVM lifetime
+  // (r15 review catch), and a driver CYCLING through >cap live namespaces
+  // must not drop every hot entry each time the cap trips (ADVICE r15 —
+  // the previous clear-all made such a driver re-read every namespace's
+  // tombstone parquet once per cycle). Access-ordered LinkedHashMap evicts
+  // exactly the least-recently-used entry; correctness never depends on a
+  // hit. All access goes through the map's own monitor — mask loads are
+  // driver-side and rare, contention is nil.
+  private[graft] val MaskCacheCap = 64
+  private val maskCache =
+    new java.util.LinkedHashMap[String, (String, Array[Long], DeleteMask)](
+      MaskCacheCap, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Array[Long], DeleteMask)])
+          : Boolean = size() > MaskCacheCap
+    }
+
+  /** Cache introspection for the eviction-order spec: the cached keys,
+    * least-recently-used first. */
+  private[graft] def maskCacheKeys: Seq[String] = maskCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    maskCache.keySet().asScala.toVector
+  }
 
   private def maskEntry(spark: SparkSession,
                         n: Namespace): (String, Array[Long], DeleteMask) = {
@@ -966,19 +1085,13 @@ object TimeStore {
     val sig = files.map(st =>
         s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("|")
-    val cached = maskCache.get(n.dir)
+    val cached = maskCache.synchronized(maskCache.get(n.dir))
     if (cached != null && cached._1 == sig) cached
     else {
       val triples = loadDeleteTriples(
         spark.sparkContext.hadoopConfiguration, files)
       val entry = (sig, triples, new DeleteMask(triples))
-      // bound the cache: a long-lived driver touching many short-lived
-      // namespaces must not pin one dead multi-MB mask per namespace for
-      // the JVM lifetime (r15 review catch) — past the cap, drop
-      // everything and let live namespaces re-fill (one tombstone read
-      // each; correctness never depends on a hit)
-      if (maskCache.size >= 64) maskCache.clear()
-      maskCache.put(n.dir, entry)
+      maskCache.synchronized(maskCache.put(n.dir, entry))
       entry
     }
   }

@@ -256,4 +256,84 @@ class StoreDeleteSpec extends SparkSpec {
     fs.delete(new Path(root), true)
     fs.delete(new Path(root2), true)
   }
+
+  test("snapshot reads (VERDICT r15 #1): a pinned generation survives " +
+      "aged retirement, serves the pre-delete corpus verbatim (API and " +
+      "DSv2 option), and retires only after unpin") {
+    val (root, n) = mkStore("snap")
+    val pre = readAddrs(n)
+    val gen0 = TimeStore.liveGeneration(spark, n).get
+    assert(gen0 === 0L)
+    TimeStore.pinGeneration(spark, n, gen0)
+    // pinning an unknown/incomplete generation fails loudly
+    intercept[IllegalStateException] {
+      TimeStore.pinGeneration(spark, n, 7L)
+    }
+    // a takedown lands and vacuums: live moves to generation 1
+    TimeStore.deletePoints(spark, n, Seq(4L), 0L, 100000L)
+    TimeStore.vacuumDeletes(spark, n)
+    assert(TimeStore.liveGeneration(spark, n).get === 1L)
+    assert(readAddrs(n).forall(_._1 != 4L), "live read reflects takedown")
+    // the snapshot read serves generation 0's files verbatim — pre-delete
+    def snapAddrs() = TimeStore.readSimple(spark, n, 0L, 100000L,
+        (0 until 8).map(_.toLong * 2), generation = Some(gen0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snapAddrs() === pre, "snapshot read must be the pre-delete corpus")
+    // …including while a NEW tombstone pends (no mutable overlay applies)
+    TimeStore.deletePoints(spark, n, Seq(6L))
+    assert(snapAddrs() === pre,
+      "a pending tombstone must not leak into a snapshot read")
+    // the DSv2 generation option serves the same files
+    val sqlSnap = spark.read.format("graft")
+      .option("root", root).option("ns", "DEL").option("generation", gen0)
+      .load().filter("kind = 'simple'")
+      .select("address", "time").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlSnap === pre.toSet, "DSv2 snapshot scan must match the API")
+    // age generation 0 past the lease horizon: PINNED -> survives the
+    // retirement pass; snapshot reads keep working
+    val old = System.currentTimeMillis() - TimeStore.LeaseTimeoutMs - 5000
+    val out = fs.create(new Path(s"${n.pointsDir}/_SUPERSEDED_AT"), true)
+    try out.write(old.toString.getBytes) finally out.close()
+    TimeStore.recoverStranded(spark, n)
+    assert(fs.exists(new Path(n.pointsDir)),
+      "a pinned generation must survive aged retirement")
+    assert(snapAddrs() === pre)
+    // unpin -> the normal age rule applies and generation 0 retires; the
+    // snapshot read now fails LOUDLY (never silently serves another gen)
+    TimeStore.unpinGeneration(spark, n, gen0)
+    TimeStore.recoverStranded(spark, n)
+    assert(!fs.exists(new Path(n.pointsDir)),
+      "an unpinned aged generation retires on the normal clock")
+    intercept[IllegalStateException] { snapAddrs() }
+    // the DSv2 option validates when the scan PLANS (newScanBuilder) —
+    // a retired generation fails the query, never silently serves another
+    intercept[IllegalStateException] {
+      spark.read.format("graft").option("root", root).option("ns", "DEL")
+        .option("generation", gen0).load().select("address").collect()
+    }
+    // generation listing reflects the end state: live gen 1 only
+    assert(TimeStore.storeGenerations(spark, n) === Seq((1L, true, false)))
+    fs.delete(new Path(root), true)
+  }
+
+  test("delete-mask cache is LRU (ADVICE r15): eviction drops the " +
+      "least-recently-used entry, not the whole cache") {
+    val root = Files.createTempDirectory("graft-del-lru").toString
+    def ns(i: Int) = TimeStore.Namespace(root, s"LRU$i")
+    // fill the cache past its cap; entries 0.. insert in order
+    (0 to TimeStore.MaskCacheCap).foreach(i => TimeStore.deleteMask(spark, ns(i)))
+    val keys1 = TimeStore.maskCacheKeys.filter(_.contains("LRU"))
+    assert(keys1.size === TimeStore.MaskCacheCap)
+    assert(!keys1.contains(ns(0).dir), "eldest entry evicted at the cap")
+    assert(keys1.contains(ns(1).dir), "only ONE entry evicted, not all")
+    // touch the current LRU (entry 1), then overflow again: entry 2 (the
+    // new LRU) evicts, the touched entry survives
+    TimeStore.deleteMask(spark, ns(1))
+    TimeStore.deleteMask(spark, ns(TimeStore.MaskCacheCap + 1))
+    val keys2 = TimeStore.maskCacheKeys.filter(_.contains("LRU"))
+    assert(keys2.contains(ns(1).dir), "recently-used entry survives eviction")
+    assert(!keys2.contains(ns(2).dir), "LRU entry is the one evicted")
+    fs.delete(new Path(root), true)
+  }
 }
