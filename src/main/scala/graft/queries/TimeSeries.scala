@@ -273,6 +273,84 @@ object TimeSeries {
        |  FROM surviving WHERE rn = 1)
        |ORDER BY phase, ts_ns, user_id""".stripMargin
 
+  /** STREAMING takedown (VERDICT r15 #3) — deletes arrive as a STREAM in
+    * production (user-deletion feeds), and this gates the
+    * [[graft.sources.TimeStore.deletePointsBatch]] arm end to end: the
+    * events fixture ingests through the store protocol, then a takedown
+    * FEED of (address, tstart, tend) requests arrives as real micro-batches
+    * (users 2 and 8 over the middle sub-range, user 3 whole-address), each
+    * batch publishing its requests as ONE batchId-keyed tombstone file
+    * inside `foreachBatch` — the idempotent at-least-once shape (a replayed
+    * batch replaces its own file; StoreDeleteSpec pins the replay). The
+    * read serves TWICE under one hash, exactly like the bulk-delete gate:
+    * first through the pending-tombstone anti-join, then after
+    * [[graft.sources.TimeStore.vacuumDeletes]] folded the stream's
+    * tombstones in physically — so the streamed takedown must be
+    * indistinguishable from the bulk `deletePoints` twin. The per-batch
+    * collect is the takedown REQUEST feed (human/legal-request-sized,
+    * never corpus-sized) — the rows it carries are the model-state-sized
+    * input of the tombstone write, which is driver-side by design. */
+  def streamStoreDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-stream-store-delete")
+    val n = TimeStore.namespace(root, "STREAMDEL")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+      .as[Point]
+    TimeStore.writePoints(s, n, pts)
+    // the takedown feed: three requests, arriving as three micro-batches
+    val reqs = Seq((4L, D0, D1), (16L, D0, D1), (6L, 0L, -1L))
+      .toDF("address", "tstart", "tend")
+    val staged = s"$root/staged"
+    reqs.repartition(3).write.parquet(staged)
+    val src = s.readStream.schema(reqs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        TimeStore.deletePointsBatch(s, n, rows, "gate", id)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def read() = TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+    val preOut = s"$root/pre"
+    read().withColumn("phase", lit("tombstoned")).write.parquet(preOut)
+    TimeStore.vacuumDeletes(s, n)
+    s.read.parquet(preOut)
+      .unionByName(read().withColumn("phase", lit("vacuumed")))
+      .select(col("phase"), col("user_id"), col("ts_ns"), col("event_id"))
+      .orderBy(col("phase"), col("ts_ns"), col("user_id"))
+  }
+
+  val streamStoreDeleteSql: String =
+    s"""WITH surviving AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |    AND NOT (user_id IN (2,8) AND epoch_ns(ts) BETWEEN $D0 AND $D1)
+       |    AND user_id <> 3
+       |), served AS (
+       |  SELECT user_id, ts_ns, event_id FROM surviving WHERE rn = 1)
+       |SELECT phase, user_id, ts_ns, event_id FROM (
+       |  SELECT 'tombstoned' AS phase, * FROM served
+       |  UNION ALL
+       |  SELECT 'vacuumed' AS phase, * FROM served)
+       |ORDER BY phase, ts_ns, user_id""".stripMargin
+
   /** The store ingest as PURE SQL (VERDICT r10 #3): `CREATE TABLE … USING
     * graft` + `INSERT INTO … SELECT` drive the WHOLE write protocol — lease,
     * route, one shuffle on (kind, epoch, bucket), partitioned append,
@@ -1208,6 +1286,7 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_delete" -> storeDelete,
     "ts_store_snapshot" -> storeSnapshot,
+    "stream_store_delete" -> streamStoreDelete,
     "ts_store_kv_delete" -> storeKvDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
@@ -1235,6 +1314,7 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_delete" -> storeDeleteSql,
     "ts_store_snapshot" -> storeSnapshotSql,
+    "stream_store_delete" -> streamStoreDeleteSql,
     "ts_store_kv_delete" -> storeKvDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,

@@ -947,36 +947,86 @@ object TimeStore {
       // argument shape — an empty address list silently no-op'ing here
       // diverged from the non-empty case (ADVICE r14)
       mustFetchIndex(spark, n, "simple")
-      if (addrs.nonEmpty && ranges.nonEmpty) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val dir = new Path(deletesDir(n))
-        val f = fs(spark, dir.toString)
-        f.mkdirs(dir)
-        import org.apache.parquet.hadoop.example.ExampleParquetWriter
-        import org.apache.parquet.hadoop.metadata.CompressionCodecName
-        import org.apache.parquet.example.data.simple.SimpleGroupFactory
-        val base = s"del-${java.util.UUID.randomUUID()}.parquet"
-        val tmp = new Path(dir, s".$base.inprogress")
-        val writer = ExampleParquetWriter.builder(tmp)
-          .withConf(conf).withType(DeleteFileSchema)
-          .withCompressionCodec(CompressionCodecName.SNAPPY)
-          .build()
-        try {
-          val factory = new SimpleGroupFactory(DeleteFileSchema)
-          addrs.distinct.foreach { a =>
-            ranges.foreach { case (start, end) =>
-              val g = factory.newGroup()
-              g.append("address", a)
-              g.append("tstart", start)
-              g.append("tend", end)
-              writer.write(g)
-            }
-          }
-        } finally writer.close()
-        if (!f.rename(tmp, new Path(dir, base)))
-          throw new java.io.IOException(s"failed to publish delete: $tmp")
+      if (addrs.nonEmpty && ranges.nonEmpty)
+        publishDeleteFile(spark, n,
+          for (a <- addrs.distinct; (start, end) <- ranges)
+            yield (a, start, end),
+          s"del-${java.util.UUID.randomUUID()}.parquet")
+    }
+
+  /** Write one atomically-published tombstone file of (address, tstart,
+    * tend) rows under `deletes/`. A `base` that already exists is REPLACED
+    * (delete + rename) — the idempotence hook for deterministic
+    * (batchId-keyed) names: an at-least-once retry re-publishes identical
+    * content instead of accumulating duplicates. */
+  private def publishDeleteFile(spark: SparkSession, n: Namespace,
+                                rows: Seq[(Long, Long, Long)],
+                                base: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(deletesDir(n))
+    val f = fs(spark, dir.toString)
+    f.mkdirs(dir)
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val tmp = new Path(dir, s".$base.inprogress")
+    val writer = ExampleParquetWriter.builder(tmp)
+      .withConf(conf).withType(DeleteFileSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory = new SimpleGroupFactory(DeleteFileSchema)
+      rows.foreach { case (a, start, end) =>
+        val g = factory.newGroup()
+        g.append("address", a)
+        g.append("tstart", start)
+        g.append("tend", end)
+        writer.write(g)
+      }
+    } finally writer.close()
+    val dst = new Path(dir, base)
+    if (!f.rename(tmp, dst)) {
+      // deterministic-name replay on a store whose rename won't clobber:
+      // replace the earlier identical publish. The brief absence window
+      // reads as the pre-batch state — exactly what a reader saw before
+      // the first publish committed; never torn data.
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"failed to publish delete: $tmp")
       }
     }
+  }
+
+  /** STREAMING takedown (VERDICT r15 #3): publish one micro-batch of
+    * delete requests `(address, unsigned tstart, unsigned tend)` from a
+    * `foreachBatch` sink. Deletes arrive as a STREAM in production
+    * (user-deletion feeds); this is the tombstone-protocol arm for that
+    * shape, idempotent under foreachBatch's at-least-once contract: the
+    * batch lands as ONE staged-then-renamed file whose name is keyed by
+    * (sinkId, batchId), so a replayed batch — same batchId, same rows,
+    * the Structured Streaming replay guarantee — REPLACES its own earlier
+    * publish instead of stacking duplicate tombstones, and a crash
+    * between batches leaves every completed batch fully published. Cost
+    * per batch is the request volume (takedown feeds are request-sized,
+    * never corpus-sized), corpus-independent, under one lease
+    * acquisition; every read path suppresses the rows from the moment
+    * the rename lands, and [[vacuumDeletes]] folds them in on the normal
+    * maintenance cadence. */
+  def deletePointsBatch(spark: SparkSession, n: Namespace,
+                        rows: Seq[(Long, Long, Long)],
+                        sinkId: String, batchId: Long): Unit = {
+    require(sinkId.nonEmpty && sinkId.forall(c =>
+        c.isLetterOrDigit || c == '-'),
+      s"sinkId must be [A-Za-z0-9-]+ (it names the tombstone file): '$sinkId'")
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    withWriterLease(spark, n) {
+      mustFetchIndex(spark, n, "simple") // loud on an unregistered namespace
+      if (rows.nonEmpty)
+        publishDeleteFile(spark, n, rows,
+          s"del-stream-$sinkId-$batchId.parquet")
+    }
+  }
 
   private[graft] def deleteFiles(spark: SparkSession, n: Namespace)
       : Seq[org.apache.hadoop.fs.FileStatus] =

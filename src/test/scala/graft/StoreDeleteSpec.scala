@@ -317,6 +317,42 @@ class StoreDeleteSpec extends SparkSpec {
     fs.delete(new Path(root), true)
   }
 
+  test("streaming takedown batches (VERDICT r15 #3): batchId-keyed publish " +
+      "is idempotent under at-least-once replay; batches accumulate; " +
+      "unregistered namespace and bad ids fail loudly") {
+    val (root, n) = mkStore("stream")
+    // batch 0: address 4 whole-range
+    TimeStore.deletePointsBatch(spark, n, Seq((4L, 0L, -1L)), "sink", 0L)
+    assert(TimeStore.deleteFiles(spark, n).size === 1)
+    assert(readAddrs(n).forall(_._1 != 4L))
+    // at-least-once REPLAY of batch 0 (same rows, same id): the publish
+    // replaces itself — still one file, same suppression
+    TimeStore.deletePointsBatch(spark, n, Seq((4L, 0L, -1L)), "sink", 0L)
+    assert(TimeStore.deleteFiles(spark, n).size === 1,
+      "a replayed batch must replace its own file, not stack a duplicate")
+    val after = readAddrs(n)
+    assert(after.forall(_._1 != 4L))
+    // batch 1 is a NEW file; both suppress together
+    TimeStore.deletePointsBatch(spark, n, Seq((6L, 0L, 150L)), "sink", 1L)
+    assert(TimeStore.deleteFiles(spark, n).size === 2)
+    assert(readAddrs(n).forall(p => p._1 != 4L && (p._1 != 6L || p._2 > 150L)))
+    // an empty batch publishes nothing but still validates the namespace
+    TimeStore.deletePointsBatch(spark, n, Nil, "sink", 2L)
+    assert(TimeStore.deleteFiles(spark, n).size === 2)
+    intercept[IllegalStateException] {
+      TimeStore.deletePointsBatch(spark,
+        TimeStore.namespace(root, "NOPE"), Seq((1L, 0L, -1L)), "sink", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeStore.deletePointsBatch(spark, n, Nil, "bad/sink", 0L)
+    }
+    // vacuum folds the streamed tombstones exactly like bulk ones
+    TimeStore.vacuumDeletes(spark, n)
+    assert(TimeStore.deleteFiles(spark, n).isEmpty)
+    assert(readAddrs(n) === after.filter(p => p._1 != 6L || p._2 > 150L))
+    fs.delete(new Path(root), true)
+  }
+
   test("delete-mask cache is LRU (ADVICE r15): eviction drops the " +
       "least-recently-used entry, not the whole cache") {
     val root = Files.createTempDirectory("graft-del-lru").toString
