@@ -351,6 +351,105 @@ object TimeSeries {
        |  SELECT 'vacuumed' AS phase, * FROM served)
        |ORDER BY phase, ts_ns, user_id""".stripMargin
 
+  // 2024-01-15T00:00:00Z in epoch ns — splits the fixture into two
+  // non-empty write batches for the fragmentation stats.
+  private val MID = 1705276800000000000L
+
+  /** Store MAINTENANCE stats (VERDICT r15 #4) —
+    * [[graft.sources.TimeStore.storeStats]], the primary store's twin of
+    * the index families' decision views (`imiIndexStats`): per kind, the
+    * live generation, on-disk generation count, index shape, leaf/file
+    * fragmentation (when to [[graft.sources.TimeStore.compact]]), the
+    * unsigned watermark, and the pending-tombstone backlog vs the
+    * broadcast gate (when [[graft.sources.TimeStore.vacuumDeletes]] is
+    * due, and whether it would degrade to the shuffled path). The gate
+    * drives the stats through a REAL maintenance story — two append
+    * batches (2 files/leaf), a pending takedown (1 file, 2 ranges), then
+    * a compaction (new generation, 1 file/leaf) — and the twin recomputes
+    * every deterministic field from the raw fixture: leaves/files from
+    * the `placeBucket` image of the written addresses per batch, the
+    * watermark from the max written time, the protocol counters from the
+    * story itself. A mis-grouped leaf listing, a watermark regression, a
+    * generation miscount, or a lost tombstone file breaks the hash.
+    * (`bytes` is excluded — parquet encoding size is not cross-engine
+    * deterministic; the stats API reports it for operators.) */
+  def storeStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-stats")
+    val n = TimeStore.namespace(root, "STATS")
+    TimeStore.register(s, n, 8, 8)
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+    // two append batches -> 2 files in every leaf both halves touch
+    TimeStore.writePoints(s, n, pts.filter(col("time") < MID).as[Point])
+    TimeStore.writePoints(s, n, pts.filter(col("time") >= MID).as[Point])
+    // a pending takedown: one tombstone file carrying two (addr, range) rows
+    TimeStore.deletePoints(s, n, Seq(4L, 16L), D0, D1)
+    def statRows(phase: String) = TimeStore.storeStatsDF(s, n).select(
+      lit(phase).as("phase"), col("kind"), col("generation"),
+      col("generationsOnDisk").as("generations_on_disk"),
+      col("pinnedGenerations").as("pinned_generations"),
+      col("epochs"), col("buckets"), col("leaves"), col("files"),
+      col("maxFilesPerLeaf").as("max_files_per_leaf"), col("watermark"),
+      col("pendingDeleteFiles").as("pending_delete_files"),
+      col("pendingDeleteRanges").as("pending_delete_ranges"),
+      col("deleteOverBroadcastGate").as("delete_over_gate"),
+      col("hasKvShadow").as("has_kv_shadow"))
+    val fresh = statRows("fresh") // storeStats lists eagerly at call time
+    TimeStore.compact(s, n)
+    fresh.unionByName(statRows("compacted"))
+      .orderBy(col("phase"), col("kind"))
+  }
+
+  val storeStatsSql: String =
+    s"""WITH b AS (
+       |  SELECT ((user_id*2) % 8) AS bucket,
+       |    CASE WHEN epoch_ns(ts) < $MID THEN 0 ELSE 1 END AS half,
+       |    epoch_ns(ts) - epoch_ns(ts) % 1000 AS tns
+       |  FROM events),
+       |leaf AS (
+       |  SELECT bucket, CAST(COUNT(DISTINCT half) AS BIGINT) nf
+       |  FROM b GROUP BY bucket),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) leaves, CAST(SUM(nf) AS BIGINT) files,
+       |    CAST(MAX(nf) AS BIGINT) maxf, (SELECT MAX(tns) FROM b) wm
+       |  FROM leaf)
+       |SELECT phase, kind, generation, generations_on_disk,
+       |  pinned_generations, epochs, buckets, leaves, files,
+       |  max_files_per_leaf, watermark, pending_delete_files,
+       |  pending_delete_ranges, delete_over_gate, has_kv_shadow
+       |FROM (
+       |  SELECT 'fresh' AS phase, 'simple' AS kind,
+       |    CAST(0 AS BIGINT) generation, CAST(1 AS BIGINT) generations_on_disk,
+       |    CAST(0 AS BIGINT) pinned_generations, CAST(1 AS BIGINT) epochs,
+       |    CAST(8 AS BIGINT) buckets, leaves, files, maxf AS max_files_per_leaf,
+       |    wm AS watermark, CAST(1 AS BIGINT) pending_delete_files,
+       |    CAST(2 AS BIGINT) pending_delete_ranges, FALSE AS delete_over_gate,
+       |    FALSE AS has_kv_shadow FROM m
+       |  UNION ALL
+       |  SELECT 'fresh', 'extended', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    FALSE, FALSE
+       |  UNION ALL
+       |  SELECT 'compacted', 'simple', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
+       |    leaves, leaves, CAST(1 AS BIGINT), wm, CAST(1 AS BIGINT),
+       |    CAST(2 AS BIGINT), FALSE, FALSE FROM m
+       |  UNION ALL
+       |  SELECT 'compacted', 'extended', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    FALSE, FALSE)
+       |ORDER BY phase, kind""".stripMargin
+
   /** The store ingest as PURE SQL (VERDICT r10 #3): `CREATE TABLE … USING
     * graft` + `INSERT INTO … SELECT` drive the WHOLE write protocol — lease,
     * route, one shuffle on (kind, epoch, bucket), partitioned append,
@@ -1287,6 +1386,7 @@ object TimeSeries {
     "ts_store_delete" -> storeDelete,
     "ts_store_snapshot" -> storeSnapshot,
     "stream_store_delete" -> streamStoreDelete,
+    "ts_store_stats" -> storeStats,
     "ts_store_kv_delete" -> storeKvDelete,
     "ts_store_sql"      -> storeSql,
     "ts_store_sql_write" -> storeSqlWrite,
@@ -1315,6 +1415,7 @@ object TimeSeries {
     "ts_store_delete" -> storeDeleteSql,
     "ts_store_snapshot" -> storeSnapshotSql,
     "stream_store_delete" -> streamStoreDeleteSql,
+    "ts_store_stats" -> storeStatsSql,
     "ts_store_kv_delete" -> storeKvDeleteSql,
     "ts_store_sql"      -> storeSqlSql,
     "ts_store_sql_write" -> storeSqlWriteSql,

@@ -1251,6 +1251,100 @@ object TimeStore {
       }
     }
 
+  /** One row of [[storeStats]] — the primary store's maintenance view. */
+  final case class KindStats(
+      kind: String,
+      generation: Long,          // live generation number
+      generationsOnDisk: Long,   // incl. superseded-but-retained + pinned
+      pinnedGenerations: Long,
+      epochs: Long,              // index entries in force
+      buckets: Long,             // latest entry's bucket count
+      leaves: Long,              // non-empty (epoch, bucket) directories
+      files: Long,               // data files across those leaves
+      maxFilesPerLeaf: Long,     // fragmentation: compact when >> 1
+      bytes: Long,               // data bytes in the live generation
+      watermark: Long,           // unsigned high-water time for this kind
+      pendingDeleteFiles: Long,  // namespace-level, repeated per kind
+      pendingDeleteRanges: Long,
+      pendingDeleteBytes: Long,
+      deleteOverBroadcastGate: Boolean, // vacuum overdue: rewrite may shuffle
+      hasKvShadow: Boolean)
+
+  /** Maintenance stats for a namespace (VERDICT r15 #4) — the primary
+    * store's twin of the index families' decision views
+    * ([[graft.operators.Similarity.imiIndexStats]]): one row per kind
+    * telling a 100 TB operator WHEN to run [[compact]] (maxFilesPerLeaf
+    * grows with appends since the last compaction — the read side
+    * degrades on file count) and WHEN [[vacuumDeletes]] is due
+    * (pendingDelete* grows with the takedown backlog;
+    * `deleteOverBroadcastGate` means the backlog passed
+    * [[DeleteBroadcastBytes]] and the vacuum rewrite may shuffle the
+    * points generation instead of running zero-exchange). Driver-side
+    * METADATA only: one recursive listing of the live generation, the
+    * index/latest/generation-marker reads, and the signature-cached
+    * pending-tombstone triples — no Spark job, no footer decode, cost
+    * independent of the corpus row count. */
+  def storeStats(spark: SparkSession, n: Namespace): Seq[KindStats] = {
+    mustFetchIndex(spark, n, "simple") // loud on an unregistered namespace
+    val f = fs(spark, n.dir)
+    val gens = storeGenerations(spark, n)
+    val liveGen = gens.filter(_._2).lastOption.map(_._1)
+    val (sWm, eWm) = fetchLatest(spark, n)
+    // one recursive walk of the live generation: per-leaf file counts/bytes
+    val leafFiles = scala.collection.mutable.HashMap
+      .empty[(String, Long, Int), (Long, Long)] // leaf -> (files, bytes)
+    livePointsPath(spark, n).foreach { live =>
+      val LeafRe = "kind=([a-z]+)/epoch=([0-9]+)/bucket=([0-9]+)".r
+      val walk = f.listFiles(new Path(live), true)
+      while (walk.hasNext) {
+        val st = walk.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+          st.getPath.getParent.toString.stripPrefix(live)
+            .stripPrefix("/") match {
+            case LeafRe(k, e, b) =>
+              val key = (k, java.lang.Long.parseUnsignedLong(e), b.toInt)
+              val (c0, b0) = leafFiles.getOrElse(key, (0L, 0L))
+              leafFiles.update(key, (c0 + 1, b0 + st.getLen))
+            case _ => ()
+          }
+        }
+      }
+    }
+    val delFiles = deleteFiles(spark, n)
+    val delRanges = deleteTriplesCached(spark, n).length / 3
+    val delBytes = delFiles.map(_.getLen).sum
+    val kvShadow = isRegistered(spark, n.copy(ns = s"${n.ns}-INTERNAL"))
+    Seq("simple", "extended").map { kind =>
+      val idx = mustFetchIndex(spark, n, kind)
+      val leaves = leafFiles.filter(_._1._1 == kind)
+      KindStats(
+        kind = kind,
+        generation = liveGen.getOrElse(0L),
+        generationsOnDisk = gens.size.toLong,
+        pinnedGenerations = gens.count(_._3).toLong,
+        epochs = idx.entries.size.toLong,
+        buckets = idx.latestEntry._2.toLong,
+        leaves = leaves.size.toLong,
+        files = leaves.valuesIterator.map(_._1).sum,
+        maxFilesPerLeaf = leaves.valuesIterator.map(_._1)
+          .foldLeft(0L)(math.max),
+        bytes = leaves.valuesIterator.map(_._2).sum,
+        watermark = if (kind == "simple") sWm else eWm,
+        pendingDeleteFiles = delFiles.size.toLong,
+        pendingDeleteRanges = delRanges.toLong,
+        pendingDeleteBytes = delBytes,
+        deleteOverBroadcastGate = delBytes > DeleteBroadcastBytes,
+        hasKvShadow = kvShadow)
+    }
+  }
+
+  /** [[storeStats]] as a DataFrame, for SQL consumers and the gate. */
+  def storeStatsDF(spark: SparkSession, n: Namespace): DataFrame = {
+    import spark.implicits._
+    storeStats(spark, n).toDF()
+  }
+
   /** Latest point per address over a namespace kind (`latestUniques`,
     * `Algorithms.hs:248-262`) — max_by hash aggregate, map-side partials.
     *
