@@ -970,6 +970,63 @@ object ScaleProbe {
           }
         } finally only = saved19
       }
+      // BPE-encode plan-size A/B (VERDICT r15 #2): the codegen'd
+      // broadcast-map expression (graft.functions.BpeCodec — ONE plan node,
+      // merge list in the reference array) against the k-chained `replace`
+      // fold it replaced, same docs, growing merge count. The fold's cost
+      // is ANALYSIS + codegen of a k-deep expression tree, so each arm is
+      // timed end-to-end from a FRESH plan (build → analyze → codegen →
+      // execute). Synthetic never-firing merges isolate exactly that plan
+      // cost (firing behavior is bit-equality-gated in BpeEncodeSpec and
+      // the text_bpe_encode oracle). The chain arm stops at 1024 — past it
+      // the analysis runaway IS the wall this probe documents; the
+      // expression runs flat to 32768 (production tokenizer scale).
+      if (only.contains("bpe_encode_ab")) {
+        import graft.operators.TextAnalysis
+        val saved20 = only
+        only = Nil
+        try {
+          def merges(k: Int) = (1 to k).map(i => (s"q$i", s"z$i"))
+          def chainEncode(k: Int): DataFrame = {
+            val ms = merges(k)
+            val words = regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))
+            val sym0 = when(size(words) === 0, lit(""))
+              .otherwise(concat(lit("  "),
+                array_join(transform(words, w =>
+                  array_join(regexp_extract_all(w, lit("."), lit(0)), "  ")),
+                  "  </w>    "),
+                lit("  </w>  ")))
+            val symN = ms.foldLeft(sym0) { case (c, (l, r)) =>
+              replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+            }
+            val toks = split(trim(col("sym")), " {2,}")
+            docs.select(col("doc_id"), symN.as("sym"))
+              .select(col("doc_id"),
+                when(col("sym") === "", lit(0L))
+                  .otherwise(size(toks).cast("long")).as("n_tokens"),
+                md5(when(col("sym") === "", lit(""))
+                  .otherwise(array_join(toks, " ")).cast("binary")).as("fp"))
+          }
+          for (k <- Seq(64, 256, 1024, 4096, 32768))
+            time(s"bpe_expr_k$k", n) {
+              TextAnalysis.bpeEncode(docs, "doc_id", "text", merges(k))
+            }
+          for (k <- Seq(64, 256, 1024))
+            // the chain arm is EXPECTED to die at depth (measured: analyzer
+            // StackOverflowError at k=1024) — report the blowup as data
+            // instead of crashing the probe run; that failure is the wall
+            // the expression removes
+            try time(s"bpe_chain_k$k", n) { chainEncode(k) }
+            catch {
+              case e: StackOverflowError =>
+                println(s"""{"op":"bpe_chain_k$k","n":$n,""" +
+                  s""""failed":"${e.getClass.getSimpleName}"}""")
+              case scala.util.control.NonFatal(e) =>
+                println(s"""{"op":"bpe_chain_k$k","n":$n,""" +
+                  s""""failed":"${e.getClass.getSimpleName}"}""")
+            }
+        } finally only = saved20
+      }
       // Decimal- vs double-precision centroid update A/B (VERDICT r11 #6):
       // the exact-decimal accumulation exists for the cross-engine bit
       // determinism the GATES need; a production trainer doesn't. Same-run

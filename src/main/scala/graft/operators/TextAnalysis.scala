@@ -706,47 +706,36 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
-  /** BPE ENCODE (VERDICT r14 #4) — apply a TRAINED [[bpeMerges]] merge
-    * list to a corpus, yielding each document's real subword token
-    * sequence (compactly: its token count and a fingerprint of the full
-    * sequence), so the packing/mixing surface can consume tokenizer-true
-    * counts instead of whitespace counts. Encoding is the training
-    * rewrite replayed in merge order: each document lowercases, splits to
-    * `\w+` words, renders every word in the double-space sentinel form
-    * (word boundaries join with FOUR spaces, which no ` l  r ` pattern
-    * can cross — merges stay word-local exactly as in training), and the
-    * k merges apply as a chain of LITERAL string replaces. Left-to-right
-    * non-overlapping replace over the double-space representation IS
-    * greedy-left BPE (the trainer's own discipline), and sequential
-    * application of the ordered merge list reproduces the trainer's
-    * per-round rewrites bit-exactly — a word seen in training encodes to
-    * exactly its final trained symbol string; an unseen word encodes by
-    * the standard greedy merge-order rule.
+  /** BPE ENCODE (VERDICT r14 #4; made scale-true in r16 per VERDICT r15
+    * #2) — apply a TRAINED [[bpeMerges]] merge list to a corpus, yielding
+    * each document's real subword token sequence (compactly: its token
+    * count and a fingerprint of the full sequence), so the packing/mixing
+    * surface can consume tokenizer-true counts instead of whitespace
+    * counts. Encoding is the training rewrite replayed in merge order:
+    * each document lowercases, splits to `\w+` words, and every word's
+    * symbol list (chars + `</w>`) replays the ordered merge list, each
+    * merge one left-to-right non-overlapping pass — greedy-left BPE, the
+    * trainer's own discipline, so a word seen in training encodes to
+    * exactly its final trained symbol string and an unseen word encodes
+    * by the standard greedy merge-order rule.
     *
-    * 100 TB shape: the merge table is driver-side MODEL state (k rows —
-    * a k-means-centroid-sized collect), applied as k codegen'd literal
-    * replaces in one row-local projection: no shuffle, no join, output
-    * one row per document, pipelining straight into
-    * [[graft.queries.Pipeline]] packing. */
+    * 100 TB shape: the merge table is driver-side MODEL state, shipped to
+    * executors as ONE pair→rank hash map through a codegen'd expression's
+    * reference array ([[graft.functions.BpeCodec]]) — O(1) PLAN size in
+    * the merge count (the previous k-chained `replace` fold was bit-exact
+    * but its k-deep expression tree stopped analyzing around production
+    * merge counts; SCALE.md bpe_encode_ab measures the wall). Row-local:
+    * no shuffle, no join, one output row per document, pipelining
+    * straight into [[graft.queries.Pipeline]] packing. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val words = regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))
-    val sym0 = when(size(words) === 0, lit(""))
-      .otherwise(concat(lit("  "),
-        array_join(transform(words, w =>
-          array_join(regexp_extract_all(w, lit("."), lit(0)), "  ")),
-          "  </w>    "),
-        lit("  </w>  ")))
-    val symN = merges.foldLeft(sym0) { case (c, (l, r)) =>
-      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
-    val toks = split(trim(col("sym")), " {2,}")
-    df.select(col(idCol), symN.as("sym"))
+    df.select(col(idCol),
+        graft.functions.BpeOps.bpeTokens(words, merges).as("sym"))
       .select(col(idCol),
         when(col("sym") === "", lit(0L))
-          .otherwise(size(toks).cast("long")).as("n_tokens"),
-        md5(when(col("sym") === "", lit(""))
-          .otherwise(array_join(toks, " ")).cast("binary")).as("fp"))
+          .otherwise(size(split(col("sym"), " ")).cast("long")).as("n_tokens"),
+        md5(col("sym").cast("binary")).as("fp"))
   }
 
   /** Overlapping token-window chunking (RAG / context-window prep): fixed
