@@ -1445,13 +1445,26 @@ object ScaleProbe {
             "SELECT count(*) FROM sdel_pts WHERE kind = 'simple'")
             .collect()(0).getLong(0)
           timeAction("sdel_sql_clean_vectorized", n) { sqlCount(); () }
+          // touched-fraction arm (VERDICT r15 #5): a takedown whose
+          // addresses all land in ONE of the 64 buckets — plan-time
+          // tombstone scoping gives the other 63 buckets' files an empty
+          // mask (no address/time extras decode, zero-copy batches), so
+          // this scan should price like the clean one
+          timeAction("sdel_delete_1bucket", n) {
+            TimeStore.deletePoints(spark, ns,
+              (0 until 1024 by 64).map(_.toLong * 2), // all placeBucket 0
+              rows * 250L, rows * 750L)
+          }
+          timeAction("sdel_sql_tombstoned_1of64_buckets", n) { sqlCount(); () }
           timeAction("sdel_delete_103addrs", n) {
             TimeStore.deletePoints(spark, ns,
               (0 until 1024 by 10).map(_.toLong * 2),
               rows * 250L, rows * 750L)
           }
           time("sdel_read_tombstoned", n)(read())
-          timeAction("sdel_sql_tombstoned_masked", n) { sqlCount(); () }
+          // 103 addresses image to 16 of 64 buckets: 3/4 of the corpus
+          // still takes the exactly-clean path under scoping
+          timeAction("sdel_sql_tombstoned_16of64_buckets", n) { sqlCount(); () }
           timeAction("sdel_vacuum", n) {
             TimeStore.vacuumDeletes(spark, ns)
           }
