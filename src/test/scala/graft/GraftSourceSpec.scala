@@ -353,4 +353,62 @@ class GraftSourceSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
+
+  test("plan-time tombstone scoping (VERDICT r15 #5): only files in the " +
+      "deleted addresses' placeBucket image are delTouched; results " +
+      "unchanged; a vacuum clears every flag") {
+    val (root, ns) = freshStore("graft-v2-scope")
+    val n = TimeStore.Namespace(root, ns)
+    // tombstone addresses 4 and 12 — both land in bucket placeBucket(8, 4)
+    // and placeBucket(8, 12): {4, 4} distinct buckets under 8 buckets
+    TimeStore.deletePoints(spark, n, Seq(4L, 12L))
+    val touchedBuckets = Set(EpochIndex.placeBucket(8, 4L),
+      EpochIndex.placeBucket(8, 12L))
+    val df = graftDf(root, ns).where("kind = 'simple'")
+    val files = graftScan(df).plannedFiles
+    assert(files.nonEmpty)
+    assert(files.filter(_.delTouched).map(_.bucket).toSet === touchedBuckets,
+      "delTouched must be exactly the tombstones' bucket image")
+    assert(files.filterNot(_.delTouched).nonEmpty,
+      "untouched buckets must exist and carry no flag")
+    // rows are exact either way — scoping is a decode-cost optimization
+    val addrs = df.select("address").collect().map(_.getLong(0)).toSet
+    assert(!addrs.contains(4L) && !addrs.contains(12L) && addrs.contains(8L))
+    TimeStore.vacuumDeletes(spark, n)
+    val clean = graftScan(graftDf(root, ns).where("kind = 'simple'"))
+      .plannedFiles
+    assert(clean.nonEmpty && clean.forall(!_.delTouched),
+      "a vacuumed store must plan with no touched files")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("generation-pinned scan plans from the pinned generation's files " +
+      "and never loads the tombstone mask") {
+    val (root, ns) = freshStore("graft-v2-gen")
+    val n = TimeStore.Namespace(root, ns)
+    val before = graftDf(root, ns).where("kind = 'simple'")
+      .select("address").collect().map(_.getLong(0)).toSet
+    TimeStore.pinGeneration(spark, n, 0L)
+    TimeStore.deletePoints(spark, n, Seq(4L))
+    TimeStore.vacuumDeletes(spark, n) // live -> generation 1
+    val snap = spark.read.format("graft").option("root", root)
+      .option("ns", ns).option("generation", 0).load()
+      .where("kind = 'simple'")
+    val files = graftScan(snap).plannedFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.path.contains("/points/")),
+      s"snapshot must plan generation 0's directory: ${files.head.path}")
+    assert(files.forall(!_.delTouched),
+      "snapshot scans serve files verbatim — no mask, no touched flags")
+    assert(snap.select("address").collect().map(_.getLong(0)).toSet === before)
+    // the live scan plans the vacuumed generation
+    val live = graftScan(graftDf(root, ns).where("kind = 'simple'"))
+      .plannedFiles
+    assert(live.nonEmpty && live.forall(_.path.contains("/points-g1/")))
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
 }
