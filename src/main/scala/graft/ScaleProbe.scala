@@ -1018,10 +1018,8 @@ object ScaleProbe {
             // the expression removes
             try time(s"bpe_chain_k$k", n) { chainEncode(k) }
             catch {
-              case e: StackOverflowError =>
-                println(s"""{"op":"bpe_chain_k$k","n":$n,""" +
-                  s""""failed":"${e.getClass.getSimpleName}"}""")
-              case scala.util.control.NonFatal(e) =>
+              case e if scala.util.control.NonFatal(e) ||
+                  e.isInstanceOf[StackOverflowError] =>
                 println(s"""{"op":"bpe_chain_k$k","n":$n,""" +
                   s""""failed":"${e.getClass.getSimpleName}"}""")
             }

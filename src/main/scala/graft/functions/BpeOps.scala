@@ -35,16 +35,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeCodec {
 
-  /** pair→rank map for [[encode]]; symbols never contain spaces, so
-    * `lhs + " " + rhs` is an injective pair key. Ranks start at 1. */
-  def ranks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+  /** pair→ranks map for [[encode]]; symbols never contain spaces, so
+    * `lhs + " " + rhs` is an injective pair key. Ranks start at 1. A pair
+    * may appear at MULTIPLE ranks and every one is kept (ascending): a
+    * duplicate's later pass CAN fire when an intervening merge assembles
+    * its lhs anew (e.g. (ab,c),(a,b),(ab,c) on "abc" — pass 3 merges the
+    * "ab c" that pass 2 just created), so [[rankAbove]] resolves the
+    * smallest rank still ahead of the walk. */
+  def ranks(merges: Seq[(String, String)]): java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
-      // a duplicate pair later in the list can never fire (its first pass
-      // already merged every occurrence) — keep the FIRST rank
-      m.putIfAbsent(l + " " + r, Integer.valueOf(i + 1))
+      val k = l + " " + r
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i + 1) else prev :+ (i + 1))
     }
     m
+  }
+
+  /** The smallest rank of `key` strictly above `prev`, or Int.MaxValue.
+    * Rank arrays are ascending by construction and almost always length 1. */
+  private def rankAbove(ranks: java.util.HashMap[String, Array[Int]],
+                        key: String, prev: Int): Int = {
+    val rs = ranks.get(key)
+    if (rs == null) Int.MaxValue
+    else {
+      var j = 0
+      while (j < rs.length && rs(j) <= prev) j += 1
+      if (j < rs.length) rs(j) else Int.MaxValue
+    }
   }
 
   /** Encode one document given its extracted words (the `\w+` matches of
@@ -52,55 +70,59 @@ object BpeCodec {
     * symbol sequence across all words joined by single spaces — "" for a
     * wordless document. Called from codegen'd projections via the
     * expression's reference object; everything here is per-row local. */
-  def encode(words: ArrayData, ranks: java.util.HashMap[String, Integer])
+  def encode(words: ArrayData, ranks: java.util.HashMap[String, Array[Int]])
       : UTF8String = {
     val nWords = words.numElements()
     val out = new java.lang.StringBuilder()
     var w = 0
     while (w < nWords) {
-      val word = words.getUTF8String(w).toString
-      // symbols: the word's chars + the </w> terminal (training form)
-      val syms = new java.util.ArrayList[String](word.length + 1)
-      var c = 0
-      while (c < word.length) { syms.add(String.valueOf(word.charAt(c))); c += 1 }
-      syms.add("</w>")
-      if (!ranks.isEmpty) {
-        var prevRank = 0
-        var continue = true
-        while (continue && syms.size > 1) {
-          // the minimum-ranked pair present that is ranked ABOVE the last
-          // applied merge (list order: earlier passes already ran)
-          var best = Int.MaxValue
-          var i = 0
-          while (i < syms.size - 1) {
-            val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
-            if (r != null && r.intValue > prevRank && r.intValue < best)
-              best = r.intValue
-            i += 1
-          }
-          if (best == Int.MaxValue) continue = false
-          else {
-            // one left-to-right non-overlapping pass of merge `best`
-            i = 0
+      // a null element (containsNull arrays through the public Column API)
+      // contributes nothing, like a wordless document
+      val u = words.getUTF8String(w)
+      if (u != null) {
+        val word = u.toString
+        // symbols: the word's chars + the </w> terminal (training form)
+        val syms = new java.util.ArrayList[String](word.length + 1)
+        var c = 0
+        while (c < word.length) { syms.add(String.valueOf(word.charAt(c))); c += 1 }
+        syms.add("</w>")
+        if (!ranks.isEmpty) {
+          var prevRank = 0
+          var continue = true
+          while (continue && syms.size > 1) {
+            // the minimum-ranked pair present that is ranked ABOVE the last
+            // applied merge (list order: earlier passes already ran)
+            var best = Int.MaxValue
+            var i = 0
             while (i < syms.size - 1) {
-              val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
-              if (r != null && r.intValue == best) {
-                syms.set(i, syms.get(i) + syms.get(i + 1))
-                syms.remove(i + 1)
-              }
-              // advance past the (merged or unmatched) symbol either way:
-              // a merged symbol is never the LEFT of a match in this pass
+              val r = rankAbove(ranks, syms.get(i) + " " + syms.get(i + 1), prevRank)
+              if (r < best) best = r
               i += 1
             }
-            prevRank = best
+            if (best == Int.MaxValue) continue = false
+            else {
+              // one left-to-right non-overlapping pass of merge `best`
+              i = 0
+              while (i < syms.size - 1) {
+                if (rankAbove(ranks, syms.get(i) + " " + syms.get(i + 1),
+                    prevRank) == best) {
+                  syms.set(i, syms.get(i) + syms.get(i + 1))
+                  syms.remove(i + 1)
+                }
+                // advance past the (merged or unmatched) symbol either way:
+                // a merged symbol is never the LEFT of a match in this pass
+                i += 1
+              }
+              prevRank = best
+            }
           }
         }
-      }
-      var s = 0
-      while (s < syms.size) {
-        if (out.length > 0) out.append(' ')
-        out.append(syms.get(s))
-        s += 1
+        var s = 0
+        while (s < syms.size) {
+          if (out.length > 0) out.append(' ')
+          out.append(syms.get(s))
+          s += 1
+        }
       }
       w += 1
     }
@@ -132,7 +154,7 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
     // the merge-ranking map rides the reference array — ONE object however
     // long the merge list, the BloomMightContain/codebook pattern
     val ranksRef = ctx.addReferenceObj("bpeRanks", rankMap,
-      "java.util.HashMap<String, Integer>")
+      "java.util.HashMap<String, int[]>")
     nullSafeCodeGen(ctx, ev, w =>
       s"${ev.value} = graft.functions.BpeCodec.encode($w, $ranksRef);")
   }

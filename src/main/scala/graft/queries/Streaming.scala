@@ -938,23 +938,27 @@ object Streaming {
     q.awaitTermination()
     // catch-up: lexical queries whose id surfaced in NO probe batch still
     // owe their lexical-only fused rows (one extra serve per stream
-    // LIFECYCLE, not per batch). Written UNCONDITIONALLY from the
-    // anti-join — an empty `missed` fuses to an empty partition write,
-    // the same end state the old existence probe guarded, without its
-    // extra `limit(1).count()` Spark job per stream lifecycle (ADVICE
-    // r15 / VERDICT r15 #7)
+    // LIFECYCLE, not per batch). The anti-join is computed ONCE, persisted,
+    // and its count doubles as the existence probe — the common case
+    // (every query surfaced) pays that one job and skips the serve
+    // entirely, and the non-empty case serves from the cached join instead
+    // of recomputing it (VERDICT r15 #7 + the r16 review: an unconditional
+    // serve spent the full search + fuse + empty write where the old probe
+    // spent one job)
     val missed = lexQs.join(
       probes.select(col("vec_id").cast("long").as("query_id")),
-      Seq("query_id"), "left_anti")
-    locally {
-      import s.implicits._
-      val lex = TextIndex.bm25IndexSearch(s, missed, "query_id", "qtext",
-        bmPath, k = 10)
-      val emptySem = Seq.empty[(Long, Int, Long, Double)]
-        .toDF("query_id", "rnk", "nbr_id", "cos_sim")
-      fuse(lex, emptySem).write.mode("overwrite")
-        .parquet(s"$out/batch=catchup")
-    }
+      Seq("query_id"), "left_anti").persist()
+    try {
+      if (missed.count() > 0) {
+        import s.implicits._
+        val lex = TextIndex.bm25IndexSearch(s, missed, "query_id", "qtext",
+          bmPath, k = 10)
+        val emptySem = Seq.empty[(Long, Int, Long, Double)]
+          .toDF("query_id", "rnk", "nbr_id", "cos_sim")
+        fuse(lex, emptySem).write.mode("overwrite")
+          .parquet(s"$out/batch=catchup")
+      }
+    } finally missed.unpersist()
     s.read.parquet(out).drop("batch")
       .orderBy(col("query_id"), col("rnk"))
   }

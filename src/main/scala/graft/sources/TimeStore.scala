@@ -626,13 +626,26 @@ object TimeStore {
     }
 
   /** Drop generation `g`'s pin; if superseded it retires on the normal
-    * lease-horizon clock from its recorded supersession time. Idempotent;
-    * no-op on an unknown generation (its files are already gone). */
+    * lease-horizon clock FROM THE UNPIN — the `_SUPERSEDED_AT` marker is
+    * (re)stamped here so the clock restarts, giving any reader who
+    * resolved the pinned snapshot the full [[LeaseTimeoutMs]] grace
+    * before its files vanish (a months-old supersession time would retire
+    * it on the very next maintenance pass, under a reader's feet).
+    * Idempotent; no-op on an unknown generation (its files are already
+    * gone). */
   def unpinGeneration(spark: SparkSession, n: Namespace, g: Long): Unit =
     withWriterLease(spark, n) {
       val f = fs(spark, n.dir)
-      generations(spark, n).collectFirst { case (`g`, path) => path }
-        .foreach(p => f.delete(new Path(p, "_PINNED"), false))
+      val gens = generations(spark, n)
+      gens.collectFirst { case (`g`, path) => path }.foreach { p =>
+        f.delete(new Path(p, "_PINNED"), false)
+        // only meaningful once a higher complete generation exists — a
+        // still-live generation must NOT carry a marker (it would
+        // pre-date its real supersession and cut the readers' grace)
+        if (gens.exists { case (og, op) => og > g && isComplete(f, op) })
+          writeSmall(spark, s"$p/_SUPERSEDED_AT",
+            System.currentTimeMillis().toString)
+      }
     }
 
   /** Resolve a pinned/snapshot generation's points path — loud on a
@@ -955,10 +968,15 @@ object TimeStore {
     }
 
   /** Write one atomically-published tombstone file of (address, tstart,
-    * tend) rows under `deletes/`. A `base` that already exists is REPLACED
-    * (delete + rename) — the idempotence hook for deterministic
-    * (batchId-keyed) names: an at-least-once retry re-publishes identical
-    * content instead of accumulating duplicates. */
+    * tend) rows under `deletes/`. A `base` that already exists is KEPT —
+    * the idempotence hook for deterministic (batchId-keyed) names: an
+    * at-least-once retry carries identical content (the Structured
+    * Streaming replay guarantee), so the earlier publish already says
+    * everything this one would. Replacing (delete + rename) instead would
+    * open a window with the committed tombstone ABSENT — a concurrent
+    * reader could serve taken-down rows mid-replay, and a crash between
+    * the delete and the rename would leave the takedown silently
+    * unpublished until the stream's next retry. */
   private def publishDeleteFile(spark: SparkSession, n: Namespace,
                                 rows: Seq[(Long, Long, Long)],
                                 base: String): Unit = {
@@ -987,14 +1005,11 @@ object TimeStore {
     val dst = new Path(dir, base)
     if (!f.rename(tmp, dst)) {
       // deterministic-name replay on a store whose rename won't clobber:
-      // replace the earlier identical publish. The brief absence window
-      // reads as the pre-batch state — exactly what a reader saw before
-      // the first publish committed; never torn data.
-      f.delete(dst, false)
-      if (!f.rename(tmp, dst)) {
-        f.delete(tmp, false)
+      // the earlier publish is this batch verbatim — keep it, drop the
+      // staged copy. Anything else is a genuine failure.
+      f.delete(tmp, false)
+      if (!f.exists(dst))
         throw new java.io.IOException(s"failed to publish delete: $tmp")
-      }
     }
   }
 
@@ -1005,9 +1020,9 @@ object TimeStore {
     * shape, idempotent under foreachBatch's at-least-once contract: the
     * batch lands as ONE staged-then-renamed file whose name is keyed by
     * (sinkId, batchId), so a replayed batch — same batchId, same rows,
-    * the Structured Streaming replay guarantee — REPLACES its own earlier
-    * publish instead of stacking duplicate tombstones, and a crash
-    * between batches leaves every completed batch fully published. Cost
+    * the Structured Streaming replay guarantee — finds its own earlier
+    * publish and KEEPS it instead of stacking duplicate tombstones, and a
+    * crash between batches leaves every completed batch fully published. Cost
     * per batch is the request volume (takedown feeds are request-sized,
     * never corpus-sized), corpus-independent, under one lease
     * acquisition; every read path suppresses the rows from the moment
@@ -1285,7 +1300,9 @@ object TimeStore {
     * pending-tombstone triples — no Spark job, no footer decode, cost
     * independent of the corpus row count. */
   def storeStats(spark: SparkSession, n: Namespace): Seq[KindStats] = {
-    mustFetchIndex(spark, n, "simple") // loud on an unregistered namespace
+    // loud on an unregistered namespace — and reused for the "simple" row
+    // below (each fetch is a settled small-file read; no double round-trip)
+    val simpleIdx = mustFetchIndex(spark, n, "simple")
     val f = fs(spark, n.dir)
     val gens = storeGenerations(spark, n)
     val liveGen = gens.filter(_._2).lastOption.map(_._1)
@@ -1316,7 +1333,8 @@ object TimeStore {
     val delBytes = delFiles.map(_.getLen).sum
     val kvShadow = isRegistered(spark, n.copy(ns = s"${n.ns}-INTERNAL"))
     Seq("simple", "extended").map { kind =>
-      val idx = mustFetchIndex(spark, n, kind)
+      val idx = if (kind == "simple") simpleIdx
+                else mustFetchIndex(spark, n, kind)
       val leaves = leafFiles.filter(_._1._1 == kind)
       KindStats(
         kind = kind,

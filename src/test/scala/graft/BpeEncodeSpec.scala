@@ -85,6 +85,14 @@ class BpeEncodeSpec extends SparkSpec {
     assertSame(df, Seq(("a", "n"), ("an", "an"), ("x", "x"), ("xx", "xx")))
     assertSame(df, Seq(("c", "</w>"), ("b", "c</w>"), ("a", "b")))
     assertSame(df, Seq(("a", "b"), ("a", "b"), ("ab", "ab")))
+    // a duplicate whose LATER occurrence fires: pass 1 of (ab,c) is a no-op,
+    // (a,b) assembles the lhs, pass 3 merges the fresh "ab c" — the rank map
+    // must keep BOTH ranks, not just the first
+    assertSame(df, Seq(("ab", "c"), ("a", "b"), ("ab", "c")))
+    val dup = TextAnalysis.bpeEncode(docs(Seq("abc")), "doc_id", "text",
+        Seq(("ab", "c"), ("a", "b"), ("ab", "c")))
+      .collect().head
+    assert(dup.getLong(1) === 2L, "abc -> [abc, </w>]: the duplicate re-fires")
   }
 
   test("bit-identical on randomized merge lists over hash-derived docs") {

@@ -299,9 +299,18 @@ class StoreDeleteSpec extends SparkSpec {
     assert(fs.exists(new Path(n.pointsDir)),
       "a pinned generation must survive aged retirement")
     assert(snapAddrs() === pre)
-    // unpin -> the normal age rule applies and generation 0 retires; the
-    // snapshot read now fails LOUDLY (never silently serves another gen)
+    // unpin -> the retirement clock RESTARTS at the unpin (a reader who
+    // resolved the pinned snapshot keeps the full lease-horizon grace; a
+    // months-old supersession time must not retire it under their feet),
+    // so an immediate pass does NOT retire…
     TimeStore.unpinGeneration(spark, n, gen0)
+    TimeStore.recoverStranded(spark, n)
+    assert(fs.exists(new Path(n.pointsDir)),
+      "unpin must restart the retirement clock, not retire same-instant")
+    // …and once the restarted clock ages past the horizon, it retires; the
+    // snapshot read now fails LOUDLY (never silently serves another gen)
+    val out2 = fs.create(new Path(s"${n.pointsDir}/_SUPERSEDED_AT"), true)
+    try out2.write(old.toString.getBytes) finally out2.close()
     TimeStore.recoverStranded(spark, n)
     assert(!fs.exists(new Path(n.pointsDir)),
       "an unpinned aged generation retires on the normal clock")
@@ -326,10 +335,12 @@ class StoreDeleteSpec extends SparkSpec {
     assert(TimeStore.deleteFiles(spark, n).size === 1)
     assert(readAddrs(n).forall(_._1 != 4L))
     // at-least-once REPLAY of batch 0 (same rows, same id): the publish
-    // replaces itself — still one file, same suppression
+    // lands on its own earlier file (clobbered on a POSIX rename, KEPT on
+    // a non-clobbering FS — identical content either way, and the
+    // committed tombstone is never absent mid-replay) — still one file
     TimeStore.deletePointsBatch(spark, n, Seq((4L, 0L, -1L)), "sink", 0L)
     assert(TimeStore.deleteFiles(spark, n).size === 1,
-      "a replayed batch must replace its own file, not stack a duplicate")
+      "a replayed batch must land on its own file, not stack a duplicate")
     val after = readAddrs(n)
     assert(after.forall(_._1 != 4L))
     // batch 1 is a NEW file; both suppress together
