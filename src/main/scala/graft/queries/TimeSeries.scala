@@ -770,6 +770,74 @@ object TimeSeries {
     * indistinguishable from the bulk write. */
   val storeStreamSql: String = storeRoundtripSql
 
+  /** STREAMING tail OF the store ([[graft.sources.TimeStore.tailPoints]])
+    * under the gate — the read arm completing the store's streaming story
+    * (ingest `ts_store_stream`, takedown `stream_store_delete`, and now
+    * the store as a streaming SOURCE of record). The fixture lands as
+    * FOUR real incremental [[graft.sources.TimeStore.writePoints]]
+    * appends; after EACH, one `AvailableNow` tail pass over the SAME
+    * checkpoint must deliver exactly the files that append committed
+    * (per-pass delivery is spec-pinned in StoreTailSpec; here the union
+    * must reconstruct the corpus). The tailed generation is pinned, a
+    * [[graft.sources.TimeStore.compact]] swaps the live generation, and a
+    * FIFTH pass must deliver NOTHING — the rewrite lands in a new
+    * generation directory outside the tail's path, so maintenance can
+    * never double-feed rows already delivered. The accumulated feed,
+    * read back through the store's own scan semantics (range + address
+    * filter, pinned smallest-payload dedup, (time, address) order), must
+    * hash-equal the [[storeRoundtrip]] twin: tail + scan semantics ≡
+    * `readSimple`. */
+  def streamStoreTail(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-tail")
+    val n = TimeStore.namespace(root, "TAILED")
+    TimeStore.register(s, n, 8, 8)
+    val out = s"$root/tailed"
+    val ckpt = s"$root/ckpt"
+    val pts = Tables.events(s, dir).select(
+        (col("user_id") * 2).as("address"),
+        nsTruncUs(col("ts")).as("time"),
+        col("event_id").as("payload"),
+        lit(null).cast("binary").as("value"))
+    def tailPass(gen: Long): Unit = {
+      val q = TimeStore.tailPoints(s, n, generation = Some(gen))
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // batchIds increase across restarts on one checkpoint, so the
+          // batchId-keyed overwrite is the idempotent at-least-once sink
+          b.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (0 until 4).foreach { i =>
+      TimeStore.writePoints(s, n,
+        pts.filter(pmod(col("payload"), lit(4L)) === i).as[Point])
+      if (i == 0) // long-lived-tail discipline: pin the tailed generation
+        TimeStore.pinGeneration(s, n, TimeStore.liveGeneration(s, n).get)
+      tailPass(0L)
+    }
+    TimeStore.compact(s, n) // live moves to generation 1; gen 0 pinned
+    tailPass(0L)            // must deliver nothing new
+    val acc = s.read.parquet(out).where(col("kind") === "simple")
+      .filter(col("address").isin(Addrs.map(_ * 2): _*) &&
+        col("time").between(T0, T1))
+    graft.operators.TimeSeriesOps.firstWinsDedup(
+        acc, Seq("address", "time"),
+        Seq(col("payload").bitwiseXOR(lit(Long.MinValue)), col("value")))
+      .select(expr("address div 2").as("user_id"), col("time").as("ts_ns"),
+        col("payload").as("event_id"))
+      .orderBy(col("ts_ns"), col("user_id"))
+  }
+
+  /** Same contract as [[storeRoundtripSql]]: the tailed feed re-scanned ≡
+    * the bulk read. */
+  val streamStoreTailSql: String = storeRoundtripSql
+
   /** O2-O4 (`Algorithms.hs:111-186`) under the gate: wire-format binary
     * ingest end to end. A MIXED wire blob — 24-byte little-endian
     * `(address, time, payload)` headers, odd addresses carrying an inline
@@ -1396,6 +1464,7 @@ object TimeSeries {
     "ts_store_mutable"  -> storeMutable,
     "ts_store_wire"     -> storeWire,
     "ts_store_stream"   -> storeStream,
+    "stream_store_tail" -> streamStoreTail,
     "ts_latest_per_key" -> latestPerKey,
     "ts_downsample"     -> downsample,
     "ts_gapfill"        -> gapFill,
@@ -1425,6 +1494,7 @@ object TimeSeries {
     "ts_store_mutable"  -> storeMutableSql,
     "ts_store_wire"     -> storeWireSql,
     "ts_store_stream"   -> storeStreamSql,
+    "stream_store_tail" -> streamStoreTailSql,
     "ts_latest_per_key" -> latestPerKeySql,
     "ts_downsample"     -> downsampleSql,
     "ts_gapfill"        -> gapFillSql,

@@ -471,6 +471,51 @@ object TimeStore {
     readKind(spark, n, "extended", start, end, addrs, generation)
       .select("address", "time", "payload", "value")
 
+  /** STREAMING tail of a namespace's committed points — the read arm of
+    * the store's streaming story (ingest: [[graft.streaming
+    * .StreamingIngest]]; takedown: [[deletePointsBatch]]; this closes the
+    * loop: the store as a streaming SOURCE of record, feeding incremental
+    * index builds / decontamination / downstream training pipelines).
+    *
+    * A Structured Streaming file source over ONE generation's leaf files:
+    * the writer protocol commits every data file by staged-then-rename
+    * (hidden while staged), so each committed file surfaces in exactly one
+    * micro-batch, atomically, in commit order — the append CDC feed. Rows
+    * carry the full routed schema (point columns + kind/epoch/bucket), raw:
+    * no dedup, no tombstone overlay — the tail is the feed of what was
+    * WRITTEN; compose [[graft.operators.TimeSeriesOps]] / the takedown
+    * stream downstream for read semantics.
+    *
+    * Generation discipline: the tail binds to the generation resolved HERE
+    * (live by default, or an explicit pinned one). Compaction/vacuum write
+    * their rewrite into a NEW `points-g<k>` directory, OUTSIDE this path —
+    * so a maintenance pass can never double-feed rewritten copies of rows
+    * the tail already delivered. The cost of that safety: appends after a
+    * generation swap land in the new generation, invisible here — a
+    * long-lived tail should [[pinGeneration]] its generation (retirement
+    * would otherwise empty the directory from under the source's listing)
+    * and restart on a fresh checkpoint when [[storeGenerations]] shows a
+    * swap. 100 TB: per-trigger cost is one recursive listing of the
+    * generation's leaves (the standard file-source cost — bounded by file
+    * count, which compaction exists to keep low), decode is the columnar
+    * parquet scan itself, zero shuffle; `maxFilesPerTrigger` bounds batch
+    * size and the checkpoint's seen-files log grows with FILE count, never
+    * row count. */
+  def tailPoints(spark: SparkSession, n: Namespace,
+                 generation: Option[Long] = None,
+                 maxFilesPerTrigger: Int = 32): DataFrame = {
+    mustFetchIndex(spark, n, "simple") // loud on an unregistered namespace
+    val base = generation.map(g => snapshotPath(spark, n, g))
+      .orElse(livePointsPath(spark, n))
+      .getOrElse(throw new IllegalStateException(
+        s"namespace '${n.ns}' has never been written — nothing to tail " +
+          "(the file source needs an existing generation directory)"))
+    spark.readStream
+      .schema(storeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(base)
+  }
+
   /** The routed on-disk schema: the point columns plus the partition
     * columns. Declared explicitly on every scan so a registered namespace
     * whose first append is still in flight (or crashed mid-job, leaving
