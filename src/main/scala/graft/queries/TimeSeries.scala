@@ -29,6 +29,19 @@ object TimeSeries {
   private def nsTruncUs(c: org.apache.spark.sql.Column) =
     c - pmod(c, lit(1000L))
 
+  /** The store-gate point projection shared by every `ts_store_*` /
+    * `stream_store_*` gate: address = user_id·2 (even ⇒ simple kind),
+    * time µs-truncated so Spark and the DuckDB twin see identical
+    * instants, payload = event_id. ONE definition — changing this mapping
+    * changes every store gate and the shared [[storeRoundtripSql]] twin
+    * together, never one copy of ten. */
+  private def simplePts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (col("user_id") * 2).as("address"),
+      nsTruncUs(col("ts")).as("time"),
+      col("event_id").as("payload"),
+      lit(null).cast("binary").as("value"))
+
   /** The FULL store protocol under the DuckDB hash gate — every other ts_*
     * query scans the fixture parquet directly, so the write path (route →
     * one shuffle on (kind, epoch, bucket) → partitioned append → latest
@@ -57,11 +70,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-roundtrip")
     val n = TimeStore.namespace(root, "ROUNDTRIP")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     TimeStore.readSimple(s, n, T0, T1, Addrs.map(_ * 2))
@@ -101,11 +110,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-sql")
     val n = TimeStore.namespace(root, "SQLTBL")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     s.read.format("graft").option("root", root).option("ns", "SQLTBL").load()
@@ -150,11 +155,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-delete")
     val n = TimeStore.namespace(root, "TAKEDOWN")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     // the takedown: users 2 and 8 (addresses 4, 16), middle sub-range
@@ -215,11 +216,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-snapshot")
     val n = TimeStore.namespace(root, "SNAP")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     val gen = TimeStore.liveGeneration(s, n).get
@@ -298,11 +295,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-stream-store-delete")
     val n = TimeStore.namespace(root, "STREAMDEL")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     // the takedown feed: three requests, arriving as three micro-batches
@@ -380,11 +373,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-stats")
     val n = TimeStore.namespace(root, "STATS")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
     // two append batches -> 2 files in every leaf both halves touch
     TimeStore.writePoints(s, n, pts.filter(col("time") < MID).as[Point])
     TimeStore.writePoints(s, n, pts.filter(col("time") >= MID).as[Point])
@@ -504,11 +493,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-sql-delete")
     val n = TimeStore.namespace(root, "SQLDEL")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     s.sql("DROP TABLE IF EXISTS graft_sqldel")
@@ -548,11 +533,7 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-latest")
     val n = TimeStore.namespace(root, "LATEST")
     TimeStore.register(s, n, 8, 8)
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
       .as[Point]
     TimeStore.writePoints(s, n, pts)
     TimeStore.latestPerAddress(s, n, "simple")
@@ -748,11 +729,7 @@ object TimeSeries {
     val n = TimeStore.namespace(root, "STREAMED")
     TimeStore.register(s, n, 8, 8)
     val staged = s"$root/staged"
-    val pts0 = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts0 = simplePts(s, dir)
     pts0.repartition(4).write.parquet(staged)
     val src = s.readStream.schema(pts0.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -795,13 +772,11 @@ object TimeSeries {
     val root = Streaming.tempWorkspace("graft-store-tail")
     val n = TimeStore.namespace(root, "TAILED")
     TimeStore.register(s, n, 8, 8)
-    val out = s"$root/tailed"
+    // NOT "$root/tailed" — differing from the namespace dir only by case
+    // would collide on a case-insensitive filesystem
+    val out = s"$root/feed"
     val ckpt = s"$root/ckpt"
-    val pts = Tables.events(s, dir).select(
-        (col("user_id") * 2).as("address"),
-        nsTruncUs(col("ts")).as("time"),
-        col("event_id").as("payload"),
-        lit(null).cast("binary").as("value"))
+    val pts = simplePts(s, dir)
     def tailPass(gen: Long): Unit = {
       val q = TimeStore.tailPoints(s, n, generation = Some(gen))
         .writeStream
@@ -814,15 +789,18 @@ object TimeSeries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    var gen = -1L // the ONE tailed generation: resolved once, pinned, tailed
     (0 until 4).foreach { i =>
       TimeStore.writePoints(s, n,
         pts.filter(pmod(col("payload"), lit(4L)) === i).as[Point])
-      if (i == 0) // long-lived-tail discipline: pin the tailed generation
-        TimeStore.pinGeneration(s, n, TimeStore.liveGeneration(s, n).get)
-      tailPass(0L)
+      if (i == 0) { // long-lived-tail discipline: pin the tailed generation
+        gen = TimeStore.liveGeneration(s, n).get
+        TimeStore.pinGeneration(s, n, gen)
+      }
+      tailPass(gen)
     }
-    TimeStore.compact(s, n) // live moves to generation 1; gen 0 pinned
-    tailPass(0L)            // must deliver nothing new
+    TimeStore.compact(s, n) // live moves past `gen`, which stays pinned
+    tailPass(gen)           // must deliver nothing new
     val acc = s.read.parquet(out).where(col("kind") === "simple")
       .filter(col("address").isin(Addrs.map(_ * 2): _*) &&
         col("time").between(T0, T1))

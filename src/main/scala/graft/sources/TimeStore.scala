@@ -672,22 +672,27 @@ object TimeStore {
 
   /** Drop generation `g`'s pin; if superseded it retires on the normal
     * lease-horizon clock FROM THE UNPIN — the `_SUPERSEDED_AT` marker is
-    * (re)stamped here so the clock restarts, giving any reader who
-    * resolved the pinned snapshot the full [[LeaseTimeoutMs]] grace
-    * before its files vanish (a months-old supersession time would retire
-    * it on the very next maintenance pass, under a reader's feet).
-    * Idempotent; no-op on an unknown generation (its files are already
-    * gone). */
+    * re-stamped on the pin's actual removal so the clock restarts, giving
+    * any reader who resolved the pinned snapshot the full
+    * [[LeaseTimeoutMs]] grace before its files vanish (a months-old
+    * supersession time would retire it on the very next maintenance pass,
+    * under a reader's feet). Idempotent: the stamp fires ONLY on the
+    * pinned→unpinned transition — a repeated (or never-pinned) unpin call
+    * changes nothing, so a defensive at-least-once cleanup loop cannot
+    * refresh the clock forever and recreate the permanent-retention bug
+    * the write-once marker discipline exists to prevent. No-op on an
+    * unknown generation (its files are already gone). */
   def unpinGeneration(spark: SparkSession, n: Namespace, g: Long): Unit =
     withWriterLease(spark, n) {
       val f = fs(spark, n.dir)
       val gens = generations(spark, n)
       gens.collectFirst { case (`g`, path) => path }.foreach { p =>
-        f.delete(new Path(p, "_PINNED"), false)
+        val hadPin = f.delete(new Path(p, "_PINNED"), false)
         // only meaningful once a higher complete generation exists — a
         // still-live generation must NOT carry a marker (it would
         // pre-date its real supersession and cut the readers' grace)
-        if (gens.exists { case (og, op) => og > g && isComplete(f, op) })
+        if (hadPin &&
+            gens.exists { case (og, op) => og > g && isComplete(f, op) })
           writeSmall(spark, s"$p/_SUPERSEDED_AT",
             System.currentTimeMillis().toString)
       }
@@ -1033,6 +1038,13 @@ object TimeStore {
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val tmp = new Path(dir, s".$base.inprogress")
+    // sweep a stale staged copy from a writer that died before its rename:
+    // the tmp name is deterministic for batchId-keyed publishes, and the
+    // parquet writer creates in no-overwrite mode — without the sweep a
+    // replayed batch would throw FileAlreadyExists on every retry forever,
+    // wedging the takedown feed (only this writer, under the lease, ever
+    // touches the staged name — same sweep discipline as writePointsLocal)
+    f.delete(tmp, false)
     val writer = ExampleParquetWriter.builder(tmp)
       .withConf(conf).withType(DeleteFileSchema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
