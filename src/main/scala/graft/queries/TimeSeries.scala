@@ -270,6 +270,83 @@ object TimeSeries {
        |  FROM surviving WHERE rn = 1)
        |ORDER BY phase, ts_ns, user_id""".stripMargin
 
+  /** SQL-NATIVE time travel through the [[graft.sources.GraftCatalog]]
+    * `TableCatalog` — the catalog-qualified spelling of the snapshot read:
+    * Spark routes `VERSION AS OF` / `TIMESTAMP AS OF` only through a
+    * catalog's `loadTable(ident, version)` hooks, which no `TableProvider`
+    * path receives, so [[storeSnapshot]]'s `option("generation", g)` was
+    * the only SQL spelling until this. Same protocol story (ingest → pin →
+    * takedown → vacuum to a new generation), three reads under ONE hash,
+    * all pure SQL against the catalog: `VERSION AS OF <pinned gen>` serves
+    * the pre-delete corpus verbatim from the pinned generation's immutable
+    * files; `TIMESTAMP AS OF now()` resolves the generation whose
+    * `_SUCCESS` commit was newest — the vacuumed live one — via
+    * [[graft.sources.TimeStore.generationAsOf]]; the unqualified read is
+    * the live table. A version read that leaks the takedown, a timestamp
+    * that resolves the wrong generation's commit time, or a live read
+    * still serving deleted rows each break the hash. The catalog name is
+    * fresh per invocation because Spark caches a catalog instance (and so
+    * its root) at first use. */
+  def storeSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Point
+    import graft.sources.TimeStore
+    import s.implicits._
+    val root = Streaming.tempWorkspace("graft-store-timetravel")
+    val n = TimeStore.namespace(root, "TT")
+    TimeStore.register(s, n, 8, 8)
+    TimeStore.writePoints(s, n, simplePts(s, dir).as[Point])
+    val gen = TimeStore.liveGeneration(s, n).get
+    TimeStore.pinGeneration(s, n, gen) // the lineage retention override
+    TimeStore.deletePoints(s, n, Seq(4L, 16L), D0, D1)
+    TimeStore.vacuumDeletes(s, n) // live is now generation gen+1
+    val cat = "gtt" + java.util.UUID.randomUUID().toString.replace("-", "")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def serve(df: DataFrame, phase: String) = df
+      .filter(col("kind") === "simple" &&
+        col("address").isin(Addrs.map(_ * 2): _*) &&
+        col("time").between(T0, T1))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("address"), col("time")).orderBy(col("payload"))))
+      .filter(col("rn") === 1)
+      .select(lit(phase).as("phase"), expr("address div 2").as("user_id"),
+        col("time").as("ts_ns"), col("payload").as("event_id"))
+    val ver = serve(
+      s.sql(s"SELECT * FROM $cat.`TT` VERSION AS OF $gen"), "version")
+    val ts = serve(
+      s.sql(s"SELECT * FROM $cat.`TT` TIMESTAMP AS OF now()"), "timestamp")
+    val live = serve(s.sql(s"SELECT * FROM $cat.`TT`"), "live")
+    ver.unionByName(ts).unionByName(live)
+      .orderBy(col("phase"), col("ts_ns"), col("user_id"))
+  }
+
+  val storeSqlTimeTravelSql: String =
+    s"""WITH pre_delete AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |), surviving AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+       |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) rn
+       |  FROM events
+       |  WHERE user_id IN (1,2,3,5,8)
+       |    AND epoch_ns(ts) BETWEEN $T0 AND $T1
+       |    AND NOT (user_id IN (2,8) AND epoch_ns(ts) BETWEEN $D0 AND $D1)
+       |)
+       |SELECT phase, user_id, ts_ns, event_id FROM (
+       |  SELECT 'version' AS phase, user_id, ts_ns, event_id
+       |  FROM pre_delete WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'timestamp' AS phase, user_id, ts_ns, event_id
+       |  FROM surviving WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'live' AS phase, user_id, ts_ns, event_id
+       |  FROM surviving WHERE rn = 1)
+       |ORDER BY phase, ts_ns, user_id""".stripMargin
+
   /** STREAMING takedown (VERDICT r15 #3) — deletes arrive as a STREAM in
     * production (user-deletion feeds), and this gates the
     * [[graft.sources.TimeStore.deletePointsBatch]] arm end to end: the
@@ -1431,6 +1508,7 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtrip,
     "ts_store_delete" -> storeDelete,
     "ts_store_snapshot" -> storeSnapshot,
+    "ts_store_sql_timetravel" -> storeSqlTimeTravel,
     "stream_store_delete" -> streamStoreDelete,
     "ts_store_stats" -> storeStats,
     "ts_store_kv_delete" -> storeKvDelete,
@@ -1461,6 +1539,7 @@ object TimeSeries {
     "ts_store_roundtrip" -> storeRoundtripSql,
     "ts_store_delete" -> storeDeleteSql,
     "ts_store_snapshot" -> storeSnapshotSql,
+    "ts_store_sql_timetravel" -> storeSqlTimeTravelSql,
     "stream_store_delete" -> streamStoreDeleteSql,
     "ts_store_stats" -> storeStatsSql,
     "ts_store_kv_delete" -> storeKvDeleteSql,

@@ -129,9 +129,15 @@ object GraftTableProvider {
   }
 }
 
-case class GraftTable(root: String, ns: String) extends Table
+case class GraftTable(root: String, ns: String,
+                      pinnedGeneration: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
-  override def name(): String = s"graft.`$root/$ns`"
+  // pinnedGeneration: set by GraftCatalog.loadTable(ident, version) — the
+  // SQL `VERSION AS OF` / `TIMESTAMP AS OF` relation. The pin rides the
+  // TABLE (time-travel is resolved before scan options exist), every scan
+  // it builds serves that generation, and the relation is read-only.
+  override def name(): String =
+    s"graft.`$root/$ns`" + pinnedGeneration.fold("")(g => s"@g$g")
   override def schema(): StructType = GraftTableProvider.StoreSchema
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE satisfies DataFrameWriter.save()'s capability probe (it
@@ -152,10 +158,11 @@ case class GraftTable(root: String, ns: String) extends Table
           s"graft option 'generation' must be a non-negative integer, got '$s'")
       }
       require(g >= 0, s"graft option 'generation' must be >= 0, got $g")
-      TimeStore.snapshotPath(SparkSession.active,
-        TimeStore.Namespace(root, ns), g) // loud on retired/incomplete
       g
-    }
+    }.orElse(pinnedGeneration)
+    generation.foreach(g => // loud on retired/incomplete, at analysis
+      TimeStore.snapshotPath(SparkSession.active,
+        TimeStore.Namespace(root, ns), g))
     new GraftScanBuilder(root, ns, generation)
   }
 
@@ -183,7 +190,10 @@ case class GraftTable(root: String, ns: String) extends Table
     * form — the routed columns are nullable in the declared schema exactly
     * so this works) is the natural spelling. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (pinnedGeneration.isDefined) throw new UnsupportedOperationException(
+      s"${name()} is a time-travel relation (VERSION/TIMESTAMP AS OF) — " +
+      "read-only; write to the live table")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -207,6 +217,7 @@ case class GraftTable(root: String, ns: String) extends Table
             }
         }
     }
+  }
 
   /** SQL-surface takedown (VERDICT r14 #1): `DELETE FROM <graft table>
     * WHERE address IN (…) [AND time …]` maps onto the store's tombstone
@@ -228,6 +239,9 @@ case class GraftTable(root: String, ns: String) extends Table
     GraftTable.deleteSpec(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (pinnedGeneration.isDefined) throw new UnsupportedOperationException(
+      s"${name()} is a time-travel relation (VERSION/TIMESTAMP AS OF) — " +
+      "read-only; DELETE from the live table")
     val (addrs, lo, hi) = GraftTable.deleteSpec(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"graft DELETE requires a conjunction of address =/IN and optional " +

@@ -650,6 +650,23 @@ object TimeStore {
   def liveGeneration(spark: SparkSession, n: Namespace): Option[Long] =
     storeGenerations(spark, n).filter(_._2).lastOption.map(_._1)
 
+  /** The generation that was live at wall-clock `millis` — the newest
+    * complete generation whose `_SUCCESS` commit mtime is ≤ `millis`
+    * (SQL `TIMESTAMP AS OF` resolution; a generation becomes visible to
+    * readers exactly when that marker commits). None when the store's
+    * first generation postdates `millis`. Only generations still ON DISK
+    * resolve — pin the ones you need historical reads of. */
+  def generationAsOf(spark: SparkSession, n: Namespace,
+                     millis: Long): Option[Long] = {
+    val f = fs(spark, n.dir)
+    generations(spark, n)
+      .filter { case (_, p) =>
+        val m = new Path(p, "_SUCCESS")
+        f.exists(m) && f.getFileStatus(m).getModificationTime <= millis
+      }
+      .lastOption.map(_._1)
+  }
+
   /** Pin generation `g` so it survives lease-horizon retirement — the
     * snapshot/lineage retention override. Under the writer lease: pins
     * gate retirement decisions, which only writers make, so pin/retire
