@@ -317,6 +317,11 @@ object TimeSeries {
     val ts = serve(
       s.sql(s"SELECT * FROM $cat.`TT` TIMESTAMP AS OF now()"), "timestamp")
     val live = serve(s.sql(s"SELECT * FROM $cat.`TT`"), "live")
+    // the catalog is resolved at the s.sql() analysis above — drop the
+    // conf entries so repeated invocations (bench's 3 passes) don't
+    // accumulate dead catalog registrations in the session
+    s.conf.unset(s"spark.sql.catalog.$cat")
+    s.conf.unset(s"spark.sql.catalog.$cat.root")
     ver.unionByName(ts).unionByName(live)
       .orderBy(col("phase"), col("ts_ns"), col("user_id"))
   }

@@ -27,8 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * then `<name>.<NS>` is the live table (same relation the provider
   * serves: vectorized scans, runtime filtering, INSERT INTO, DELETE),
   * `<name>.<NS> VERSION AS OF <g>` is generation g's immutable snapshot,
-  * and `<name>.<NS> TIMESTAMP AS OF <t>` resolves the generation whose
-  * `_SUCCESS` commit was newest at `t` ([[TimeStore.generationAsOf]]).
+  * and `<name>.<NS> TIMESTAMP AS OF <t>` resolves the generation that
+  * was live at `t` ([[TimeStore.generationAsOf]] over the write-once
+  * `_BORN_AT` birth markers; generation-granular, and a resolution to
+  * the current live generation serves the LIVE relation so published
+  * takedowns stay suppressed — see the timestamp overload's doc).
   * Time-travel relations are read-only (writes/DELETE fail loudly at
   * analysis) and resolve only generations still on disk — pin the ones
   * you need historical reads of.
@@ -58,11 +61,24 @@ class GraftCatalog extends TableCatalog {
   private def spark: SparkSession = SparkSession.active
 
   /** Tables are top-level (`<cat>.<NS>`): the store root has exactly one
-    * level of namespaces, so a multi-level identifier cannot resolve. */
-  private def namespaceOf(ident: Identifier): TimeStore.Namespace = {
-    if (ident.namespace().nonEmpty)
-      throw new NoSuchTableException(ident)
-    TimeStore.namespace(root, ident.name()) // validates the name
+    * level of namespaces, so a multi-level identifier cannot resolve. On
+    * the LOAD paths an invalid name (contains '_', reserved '-INTERNAL'
+    * suffix) maps to NoSuchTableException — such a table cannot exist,
+    * and the analyzer's `tableExists` / IF NOT EXISTS flows probe through
+    * loadTable and must see absence, not a crash. CREATE keeps the loud
+    * IllegalArgumentException: there the user needs to know WHY the name
+    * is rejected. */
+  private def namespaceOf(ident: Identifier,
+                          forLoad: Boolean): TimeStore.Namespace = {
+    if (ident.namespace().nonEmpty) {
+      if (forLoad) throw new NoSuchTableException(ident)
+      else throw new NoSuchNamespaceException(ident.namespace())
+    }
+    try TimeStore.namespace(root, ident.name()) // validates the name
+    catch {
+      case e: IllegalArgumentException =>
+        if (forLoad) throw new NoSuchTableException(ident) else throw e
+    }
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -73,8 +89,9 @@ class GraftCatalog extends TableCatalog {
     else f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
       .filter { nm =>
         // the `-INTERNAL` KV shadow namespaces are implementation detail
-        // (loadable, but not listed); anything else must both pass name
-        // validation and carry the store's own registration marker
+        // (their name is reserved — validation rejects it as a table, so
+        // they are neither listed nor loadable); anything else must both
+        // pass name validation and carry the store's registration marker
         !nm.endsWith("-INTERNAL") &&
         (try TimeStore.isRegistered(spark, TimeStore.namespace(root, nm))
          catch { case _: IllegalArgumentException => false })
@@ -83,7 +100,7 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val n = namespaceOf(ident)
+    val n = namespaceOf(ident, forLoad = true)
     if (!TimeStore.isRegistered(spark, n)) throw new NoSuchTableException(ident)
     GraftTable(root, ident.name())
   }
@@ -91,7 +108,7 @@ class GraftCatalog extends TableCatalog {
   /** SQL `VERSION AS OF <g>`: generation g's immutable files, verbatim —
     * loud at analysis on a retired/unknown/incomplete generation. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val n = namespaceOf(ident)
+    val n = namespaceOf(ident, forLoad = true)
     if (!TimeStore.isRegistered(spark, n)) throw new NoSuchTableException(ident)
     val g = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
@@ -104,22 +121,34 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** SQL `TIMESTAMP AS OF <t>` (micros): the generation live at `t` —
-    * newest whose `_SUCCESS` committed by then and still on disk. */
+    * newest born (`_BORN_AT`) by then and still on disk. Resolution is
+    * GENERATION-granular: appends within a generation are not versioned.
+    * When `t` resolves to the CURRENT live generation the LIVE relation
+    * is returned — crucially including the pending-tombstone overlay: a
+    * pinned scan serves files verbatim with no overlay, so pinning the
+    * live generation would hand back rows a published takedown already
+    * suppresses from every other read path. Takedown correctness beats
+    * bit-exact historical fidelity here; for bit-reproducible lineage
+    * reads use `VERSION AS OF` a pinned generation (that verbatim
+    * no-overlay contract is the documented snapshot semantics). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val n = namespaceOf(ident)
+    val n = namespaceOf(ident, forLoad = true)
     if (!TimeStore.isRegistered(spark, n)) throw new NoSuchTableException(ident)
     val g = TimeStore.generationAsOf(spark, n, timestampMicros / 1000L)
       .getOrElse(throw new IllegalStateException(
         s"namespace '${n.ns}': no generation existed at " +
           s"timestamp $timestampMicros µs (first commit is later, or the " +
           "generation retired — pin generations you need historical reads of)"))
-    GraftTable(root, ident.name(), pinnedGeneration = Some(g))
+    if (TimeStore.liveGeneration(spark, n).contains(g))
+      GraftTable(root, ident.name()) // live: tombstone overlay applies
+    else
+      GraftTable(root, ident.name(), pinnedGeneration = Some(g))
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val n = namespaceOf(ident)
+    val n = namespaceOf(ident, forLoad = false)
     if (TimeStore.isRegistered(spark, n))
       throw new TableAlreadyExistsException(ident)
     // the relation is fixed: reject a schema that isn't ours (empty = let

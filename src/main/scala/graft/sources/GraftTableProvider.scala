@@ -158,6 +158,12 @@ case class GraftTable(root: String, ns: String,
           s"graft option 'generation' must be a non-negative integer, got '$s'")
       }
       require(g >= 0, s"graft option 'generation' must be >= 0, got $g")
+      // an explicit scan option on a time-travel relation must AGREE with
+      // the pin: silently overriding it would make the relation's name
+      // (…@gN — the lineage audit trail) disagree with the data served
+      pinnedGeneration.foreach(p => require(g == p,
+        s"scan option generation=$g conflicts with ${name()}'s " +
+          s"time-travel pin (generation $p)"))
       g
     }.orElse(pinnedGeneration)
     generation.foreach(g => // loud on retired/incomplete, at analysis

@@ -364,6 +364,9 @@ object TimeStore {
         .write.mode(SaveMode.Append)
         .partitionBy("kind", "epoch", "bucket")
         .parquet(target)
+      // birth marker for generation 0 (and self-healing for pre-marker
+      // stores): one exists() probe per batch, write-once
+      stampBornAt(spark, fs(spark, target), new Path(target))
       crashPoint("after-parquet-commit")
 
       def unflip(v: Any): Long = v match {
@@ -650,19 +653,39 @@ object TimeStore {
   def liveGeneration(spark: SparkSession, n: Namespace): Option[Long] =
     storeGenerations(spark, n).filter(_._2).lastOption.map(_._1)
 
+  /** Stamp a generation's `_BORN_AT` marker ONCE (first writer to observe
+    * it unstamped; always under the lease). The birth time must be its own
+    * write-once marker and NOT the `_SUCCESS` mtime: every micro-batch
+    * append to the live generation re-commits `_SUCCESS` and refreshes
+    * that mtime (the same trap the `_SUPERSEDED_AT` design comment
+    * documents), which would make [[generationAsOf]] resolve a hot
+    * generation as "not yet born" and time-travel to its PREDECESSOR —
+    * on a takedown-vacuumed store, serving deleted rows. */
+  private def stampBornAt(spark: SparkSession, f: FileSystem,
+                          genDir: Path): Unit = {
+    val p = new Path(genDir, "_BORN_AT")
+    if (!f.exists(p))
+      writeSmall(spark, p.toString, System.currentTimeMillis().toString)
+  }
+
   /** The generation that was live at wall-clock `millis` — the newest
-    * complete generation whose `_SUCCESS` commit mtime is ≤ `millis`
-    * (SQL `TIMESTAMP AS OF` resolution; a generation becomes visible to
-    * readers exactly when that marker commits). None when the store's
-    * first generation postdates `millis`. Only generations still ON DISK
-    * resolve — pin the ones you need historical reads of. */
+    * complete generation born (`_BORN_AT`, stamped once at creation) at or
+    * before `millis` (SQL `TIMESTAMP AS OF` resolution). Falls back to the
+    * `_SUCCESS` mtime for a generation whose marker has not landed yet
+    * (pre-marker stores self-heal: the next append stamps it). None when
+    * the store's first generation postdates `millis`. Only generations
+    * still ON DISK resolve — pin the ones you need historical reads of. */
   def generationAsOf(spark: SparkSession, n: Namespace,
                      millis: Long): Option[Long] = {
     val f = fs(spark, n.dir)
     generations(spark, n)
       .filter { case (_, p) =>
-        val m = new Path(p, "_SUCCESS")
-        f.exists(m) && f.getFileStatus(m).getModificationTime <= millis
+        isComplete(f, p) && {
+          val born = readSmall(spark, s"$p/_BORN_AT").map(_.trim.toLong)
+            .getOrElse(f.getFileStatus(new Path(p, "_SUCCESS"))
+              .getModificationTime)
+          born <= millis
+        }
       }
       .lastOption.map(_._1)
   }
@@ -861,6 +884,7 @@ object TimeStore {
         // than the lease horizon — curGen and any recently-superseded
         // predecessor stay for readers that resolved them pre-swap (two
         // fast back-to-back compactions must not strand an in-flight scan)
+        stampBornAt(spark, f, next) // before visibility: born ≤ live-from
         f.create(new Path(next, "_SUCCESS"), true).close()
         retireable(spark, f, gens, curGen + 1).foreach(g => f.delete(g._2, true))
     }
@@ -1331,7 +1355,11 @@ object TimeStore {
               .partitionBy("kind", "epoch", "bucket")
               .parquet(next.toString)
             // the write's _SUCCESS commit made the vacuumed generation
-            // live; superseded generations retire on the lease horizon
+            // live; superseded generations retire on the lease horizon.
+            // Birth marker after the job (the Overwrite job would delete
+            // a pre-written one); a crash in between self-heals via the
+            // _SUCCESS-mtime fallback, then the next append stamps it.
+            stampBornAt(spark, f, next)
             crashPoint("vacuum-after-gen-commit")
             retireable(spark, f, generations(spark, n), curGen + 1)
               .foreach(g => f.delete(g._2, true))

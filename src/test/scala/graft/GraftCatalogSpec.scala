@@ -51,21 +51,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM $cat.`CTT` TIMESTAMP AS OF now()").count() === 7)
 
-    // time-travel relations are read-only: INSERT and DELETE fail loudly
-    val insErr = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.`CTT` VERSION AS OF 0 " +
-        "(address, time, payload, value) VALUES (2, 999, 1, NULL)")
+    // time-travel relations are read-only. The SQL grammar already rejects
+    // a temporal clause on INSERT/DELETE targets, so exercise the table's
+    // OWN guards directly — the parser must not be the only line of
+    // defense (a programmatic caller reaches the table object)
+    intercept[UnsupportedOperationException] {
+      graft.sources.GraftTable(root, "CTT", Some(0L)).newWriteBuilder(null)
     }
-    val delErr = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.`CTT` VERSION AS OF 0 WHERE address = 2")
+    intercept[UnsupportedOperationException] {
+      graft.sources.GraftTable(root, "CTT", Some(0L))
+        .deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
     }
-    assert((insErr.getMessage + delErr.getMessage).nonEmpty)
-    // …while the live table accepts both through the same catalog
+    // an explicit generation option that disagrees with the pin is loud
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftTable(root, "CTT", Some(0L)).newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("generation", "1")))
+    }
+
+    // TIMESTAMP AS OF must resolve by the write-once _BORN_AT birth time,
+    // not the _SUCCESS mtime a later append refreshes: capture an instant
+    // AFTER generation 1 went live, then append (which re-commits gen 1's
+    // _SUCCESS) — resolution at that instant must still be generation 1
+    Thread.sleep(20)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    // …while the live table accepts writes through the same catalog
     spark.sql(s"INSERT INTO $cat.`CTT` (address, time, payload, value) " +
       "VALUES (20, 999, 9, NULL)")
     assert(spark.sql(s"SELECT * FROM $cat.`CTT`").count() === 8)
+    assert(spark.sql(s"SELECT * FROM $cat.`CTT` TIMESTAMP AS OF " +
+        s"timestamp_micros(${tMid}000) WHERE address = 4").count() === 0,
+      "an mtime-refreshed _SUCCESS must not time-travel to the " +
+        "PRE-VACUUM generation (address 4 was taken down before tMid)")
+    // a pending (unvacuumed) takedown must stay suppressed under
+    // timestamp travel that resolves the live generation — a pinned
+    // no-overlay scan here would leak the tombstoned rows
     spark.sql(s"DELETE FROM $cat.`CTT` WHERE address = 20")
     assert(spark.sql(s"SELECT * FROM $cat.`CTT`").count() === 7)
+    assert(spark.sql(
+        s"SELECT * FROM $cat.`CTT` TIMESTAMP AS OF now()").count() === 7,
+      "timestamp travel to the live generation must apply the pending-" +
+        "tombstone overlay (takedown wins over bit-exact fidelity)")
+    // …while VERSION AS OF the live generation is the documented verbatim
+    // lineage read: no overlay, the pending tombstone does not apply
+    assert(spark.sql(
+        s"SELECT * FROM $cat.`CTT` VERSION AS OF 1").count() === 8)
 
     // loud edges: unknown table, unknown/garbage version, pre-history
     // timestamp, unsupported DDL
