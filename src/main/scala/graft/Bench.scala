@@ -78,6 +78,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // r16 session tuning (static confs — must be set before the context
+      // exists; both scale-independent, see OPTIMIZATION_r16.md):
+      //  - codegen.cache.maxEntries: the default 100 compiled-class slots
+      //    thrash under this inventory's ~2k distinct codegen units — a
+      //    JobProfile thread dump showed 31/32 executor threads parked in
+      //    CodeGenerator.compile's KeyLock re-compiling classes the warmup
+      //    had already built. Sized to hold the whole suite; per-JVM
+      //    memory, identical benefit on a long-lived cluster driver.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      //  - bypassMergeThreshold=1: with reduce-side width ≤ 200 the bypass
+      //    writer opens one file PER REDUCE PARTITION per map task and
+      //    NIO-concatenates them (32×32 tiny files + mmap/unmap per tiny
+      //    exchange here — the dominant task time in the trainer stages,
+      //    measured by thread dump); the sort writer emits ONE file + index
+      //    per map task. At production shuffle widths (> 200 partitions)
+      //    bypass never applies, so this is a no-op at scale — it only
+      //    removes the small-shuffle file churn.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

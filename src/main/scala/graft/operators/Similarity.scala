@@ -58,15 +58,15 @@ object Similarity {
     h.toDouble / Int.MaxValue
   }
 
-  /** Signature: one bit per hyperplane = sign of dot(vec, plane). Each
-    * plane is a literal array so the dot is one codegen'd primitive loop
-    * ([[graft.functions.DotProductD]]) instead of a dim-wide interpreted
-    * expression chain. */
+  /** Signature: one bit per hyperplane = sign of dot(vec, plane), packed by
+    * the [[graft.functions.LshSigBits]] kernel — the plane matrix rides the
+    * expression's reference array (r16: the planes×dim literal-term form
+    * compiled a unique whole-stage class per (planes, dim) site; the kernel
+    * plan is O(1) in both, same ascending dot fold, same `>= 0.0`
+    * primitive comparison, so signatures are bit-identical). */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.QuantOps.lshSig(vec,
+      Array.tabulate(planes, dim)(planeComponent))
 
   /** LSH-bucketed ANN: probes only score corpus rows sharing any band of
     * the signature. Sub-linear scan at the cost of recall (tested ~1.0 at
@@ -126,14 +126,6 @@ object Similarity {
     val h = scala.util.hashing.MurmurHash3.productHash((c, d, 7))
     h.toDouble / Int.MaxValue
   }
-
-  /** Array of dot(vec, centroid_c) for each row of `cents` — each centroid
-    * a literal array, each dot a codegen'd primitive loop. */
-  private def cellScoreArrayOf(vec: Column,
-                               cents: Array[Array[Double]]): Column =
-    array(cents.indices.map { c =>
-      dot(vec, array(cents(c).map(lit(_)).toSeq: _*))
-    }: _*)
 
   /** Literal budget for embedding a centroid matrix into the expression
     * tree: up to this many k×dim terms the assignment stays a codegen'd
@@ -212,11 +204,6 @@ object Similarity {
       .toDF("cell", "cent", "cc")
   }
 
-  /** Array of dot(vec, centroid_c) for c in [0, cells) — each centroid a
-    * literal array, each dot a codegen'd primitive loop. */
-  private def cellScoreArray(vec: Column, cells: Int, dim: Int): Column =
-    cellScoreArrayOf(vec, Array.tabulate(cells, dim)(centroidComponent))
-
   /** IVF (inverted-file) ANN — the classic coarse-quantize-then-probe scale
     * path: every corpus vector is assigned to its best cell (rank-1 score,
     * ties to the lowest cell), each probe scans only its top-`nprobe`
@@ -265,23 +252,23 @@ object Similarity {
     val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
     val (corpusCells, probeCells) = if (cells.toLong * dim <= literalBudget) {
       // Corpus assignment is ROW-LOCAL (no explode, no window, no shuffle):
-      // cell = index of the max score, ties to the lowest cell
-      // (array_position returns the FIRST occurrence). The scores array is
-      // referenced twice post-inlining — 2×cells codegen'd dots per row,
-      // still linear and shuffle-free, which is what matters at 100 TB.
-      val cc = c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
-        .withColumn("cell",
-          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+      // cell = argmax dot, ties to the lowest cell — the
+      // [[graft.functions.ArgMaxDotCells]] kernel (r16): the centroid
+      // matrix rides the reference array, so the plan is O(1) in k·dim and
+      // the generated class is shared across every trained-codebook
+      // invocation (the literal-term form recompiled per codebook — see
+      // QuantOps). Same ascending dot fold as the literal terms, so
+      // assignments are bit-identical.
+      val cc = c.withColumn("cell",
+          graft.functions.QuantOps.argMaxDot(col("cv"), cents))
         .select(col("nbr_id"), col("cv"), col("cell"))
-      // Probe top-nprobe cells: sort (−score, cell) structs ascending = score
-      // desc / cell asc — identical tie semantics to the oracle twin's
-      // ORDER BY score DESC, cell. Row-local; probes are the small side.
-      val pc = p.withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
-        .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
-          struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
-        .select(col("query_id"), col("pv"),
-          explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
-        .select(col("query_id"), col("pv"), col("__top.cell").as("cell"))
+      // Probe top-nprobe cells by (score desc, cell asc) — the
+      // [[graft.functions.TopCellsByDot]] kernel reproduces the
+      // sort_array(struct(−score, cell)) ordering (Double.compare on the
+      // negated score, then cell) bit for bit. Row-local; small side.
+      val pc = p.select(col("query_id"), col("pv"),
+        explode(graft.functions.QuantOps.topCellsByDot(col("pv"), cents,
+          nprobe)).as("cell"))
       (cc, pc)
     } else {
       val centRows = centroidRows(corpus.sparkSession, cents)
@@ -409,9 +396,10 @@ object Similarity {
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
       if (literalAssignFits(cells.toLong, dim, literalBudget, rows))
-        v.withColumn("__sc", cellScoreArrayOf(col("v"), cents))
-          .withColumn("cell",
-            (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+        // argmax dot, ties → lowest cell, via the reference-object kernel
+        // (r16; bit-identical to the former array_position(max) literal form)
+        v.withColumn("cell",
+            graft.functions.QuantOps.argMaxDot(col("v"), cents))
           .select(col("vec_id"), col("cell"), col("v"))
       else {
         val crid = graft.CacheScope.cache(
@@ -737,32 +725,22 @@ object Similarity {
     * error is rounded (r6). `d*d`, never `pow`. */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               subs: Int = 8, ksub: Int = 4, dim: Int = 64): DataFrame = {
+    // r16: packed code + reconstruction error via the
+    // [[graft.functions.PqPackedCode]]/[[graft.functions.PqReconError]]
+    // kernels — the codebook rides the reference array instead of
+    // dim·ksub literal terms (one shared compiled class; the literal form
+    // compiled a unique whole-stage class per codebook). Per-subspace
+    // distances are the identical left-associated Σ(x−c)² folds, argmin
+    // ties to the lowest code, the packed word exact integer arithmetic —
+    // bit-identical output.
     val ds = dim / subs
-    def xd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
-    // dist(s, k): left-assoc sum over the subspace's ds components
-    def dist(s: Int, k: Int): Column =
-      (0 until ds).map { d =>
-        val c = lit(pqComponent(s, k, d))
-        val t = xd(s * ds + d) - c
-        t * t
-      }.reduce(_ + _)
-    // argmin over ksub distances, ties to the lowest centroid index
-    def code(s: Int): Column = {
-      val dists = (0 until ksub).map(k => dist(s, k))
-      (0 until ksub - 1).foldRight(lit(ksub - 1): Column) { (k, rest) =>
-        when((k + 1 until ksub).map(j => dists(k) <= dists(j)).reduce(_ && _),
-          lit(k)).otherwise(rest)
-      }
-    }
-    // the chosen centroid's distance IS the subspace minimum
-    def chosenDist(s: Int): Column =
-      least((0 until ksub).map(k => dist(s, k)): _*)
-    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
-    val packed = (0 until subs).map(s => code(s).cast("long") * weights(s))
-      .reduce(_ + _)
-    val err = (0 until subs).map(chosenDist).reduce(_ + _)
-    corpus.select(col(idCol).as("vec_id"), packed.as("pq_code"),
-      (floor(err * 1e6 + 0.5) / 1e6).as("recon_err"))
+    val books = Array.tabulate(subs, ksub, ds)(pqComponent)
+    import graft.functions.QuantOps
+    corpus.select(col(idCol).as("vec_id"),
+      QuantOps.pqPackedCode(col(vecCol), books, identityForm = false)
+        .as("pq_code"),
+      (floor(QuantOps.pqReconErr(col(vecCol), books, identityForm = false)
+        * 1e6 + 0.5) / 1e6).as("recon_err"))
   }
 
   /** PQ top-k search via ADC (asymmetric distance computation) — how a
@@ -788,16 +766,13 @@ object Similarity {
   /** Probe-side ADC distance table: subs×ksub probe-subvector→centroid
     * squared distances, each the same fixed-order fold as [[pqCodes]]. */
   private def pqDistTable(vecCol: String, subs: Int, ksub: Int,
-                          dim: Int): Column = {
-    val ds = dim / subs
-    def pd(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
-    def dist(s: Int, c: Int): Column =
-      (0 until ds).map { d =>
-        val t = pd(s * ds + d) - lit(pqComponent(s, c, d))
-        t * t
-      }.reduce(_ + _)
-    array((for (s <- 0 until subs; c <- 0 until ksub) yield dist(s, c)): _*)
-  }
+                          dim: Int): Column =
+    // r16: the subs×ksub table via the [[graft.functions.PqAdcTable]]
+    // kernel — same (s, c) row order, same left-assoc Σ(x−c)² folds,
+    // codebook as a reference object instead of dim·ksub literal terms
+    graft.functions.QuantOps.pqAdcTable(col(vecCol),
+      Array.tabulate(subs, ksub, dim / subs)(pqComponent),
+      identityForm = false)
 
   /** Shared ADC serving tail: per-probe rank by (adc_dist, nbr_id), keep
     * top-k — ONE definition of the family's rank/tie contract, used by
@@ -868,10 +843,10 @@ object Similarity {
     // expression re-evaluates inside the join (see pqTopK)
     val codes = pqCodes(corpus, idCol, vecCol, subs, ksub, dim)
       .select(col("vec_id"), col("pq_code"))
+    val ivfCents = Array.tabulate(cells, dim)(centroidComponent)
     val corpusIdx = graft.CacheScope.cache(
-      c.withColumn("__sc", cellScoreArray(col("cv"), cells, dim))
-        .withColumn("cell",
-          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+      c.withColumn("cell",
+          graft.functions.QuantOps.argMaxDot(col("cv"), ivfCents))
         .select(col("nbr_id"), col("cell"))
         .join(codes, col("nbr_id") === col("vec_id"))
         .select(col("nbr_id"), col("cell"), col("pq_code")))
@@ -881,13 +856,10 @@ object Similarity {
     val p = probes.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("pv"))
     val probeCells = p
-      .withColumn("__sc", cellScoreArray(col("pv"), cells, dim))
-      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
-        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
       .withColumn("dtab", pqDistTable("pv", subs, ksub, dim))
       .select(col("query_id"), col("dtab"),
-        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
-      .select(col("query_id"), col("dtab"), col("__top.cell").as("cell"))
+        explode(graft.functions.QuantOps.topCellsByDot(col("pv"), ivfCents,
+          nprobe)).as("cell"))
     val adc = adcSum(subs, ksub)
     val scored = corpusIdx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -1012,16 +984,16 @@ object Similarity {
         .groupBy(col("__vid"))
         .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
       vid.join(best, Seq("__vid")).select(col("v"), col("cell"))
-    } else {
-      val scored = array((0 until k).map { c =>
-        val cl = array(cents(c).map(lit(_)).toSeq: _*)
-        struct(
-          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) +
-            lit(selfDot(cents(c)))).as("dist"),
-          lit(c).as("cell"))
-      }: _*)
-      v.select(col("v"), array_min(scored).getField("cell").as("cell"))
-    }
+    } else
+      // argmin of the L2² dot identity, ties → lowest cell — the
+      // [[graft.functions.ArgMinL2Cells]] kernel (r16): one compiled class
+      // for EVERY iteration of every trainer (the literal struct-array form
+      // embedded the iteration's centroid values as scalar literals, so
+      // each iteration compiled its own whole-stage class — the measured
+      // compile-lock stall). Same `(v·v − 2.0·(v·c)) + cc` association,
+      // same selfDot fold, so assignments are bit-identical.
+      v.select(col("v"),
+        graft.functions.QuantOps.argMinL2(col("v"), cents).as("cell"))
     def update(assigned: DataFrame): DataFrame =
       trainerUpdate(assigned, dim, exactUpdate, rows)
     var cents = Array.tabulate(k, dim)((c, d) => init(c, d))
@@ -1241,22 +1213,17 @@ object Similarity {
       // bit-identical to the join path's, like the hash-gated
       // ann_ivf_trained_joinpath pair.
       val v = corpus.select(asDouble(col(vecCol)).as("v"))
-      val grpScored = array((0 until groups).map { g =>
-        val gl = array(coarse(g).map(lit(_)).toSeq: _*)
-        struct(dot(col("v"), gl).as("score"), lit(-g).as("ng"),
-          lit(g).as("grp"))
-      }: _*)
       stepAll { cur =>
-        val cellStructs = array((0 until k).map { c =>
-          val cl = array(cur(c).map(lit(_)).toSeq: _*)
-          struct((dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) +
-            lit(selfDot(cur(c)))).as("dist"), lit(c).as("cell"))
-        }: _*)
-        val assigned = v
-          .select(col("v"), array_max(grpScored).getField("grp").as("grp"))
-          .select(col("v"), array_min(slice(cellStructs,
-              col("grp") * groupSize + 1, lit(groupSize)))
-            .getField("cell").as("cell"))
+        // coarse argmax-dot routing (ties → lowest group) + fine argmin-L2
+        // within the routed group's slice (ties → lowest cell), fused in
+        // the [[graft.functions.ImiAssignL2Cells]] kernel (r16): the old
+        // struct-array form embedded each iteration's fine centroids as
+        // scalar literals, compiling a unique whole-stage class per
+        // iteration. Same dot folds, same (v·v − 2.0·(v·c)) + cc
+        // association, same tie rules — bit-identical cells.
+        val assigned = v.select(col("v"),
+          graft.functions.QuantOps.imiAssignL2(col("v"), coarse, cur,
+            groupSize).as("cell"))
         trainerUpdate(assigned, dim, exactUpdate, rows)
           .select(col("cell"), col("d"), col("c_val"))
           .collect()
@@ -1341,8 +1308,11 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        fine: Array[Array[Double]], groupSize: Int,
                        nprobeGroups: Int, nprobeCells: Int): DataFrame = {
-    val (probedCells, nProbes) = imiProbedCells(spark, probes, idCol,
-      vecCol, coarse, fine, groupSize, nprobeGroups, nprobeCells)
+    val probedCells = imiProbedCells(probes, idCol, vecCol, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells)
+    // broadcast gate: the fan-out is ≤ probes × nprobeCells rows (the same
+    // bound the old window form counted on its cached probe frame)
+    val nProbes = probes.count()
     val dim = fine.headOption.map(_.length).getOrElse(0)
     imiRank(corpusCells, probedCells, k,
       imiProbeRowBytes(dim) * nProbes * nprobeCells)
@@ -1386,41 +1356,25 @@ object Similarity {
 
   /** The IMI probe fan-out shared by [[imiServe]] and [[imiIndexSearch]]'s
     * partition pruning: top-`nprobeGroups` coarse groups per probe →
-    * top-`nprobeCells` fine cells within them, both levels over broadcast
-    * codebook rows, ranks per PINNED probe row. Returns the
-    * (query_id, pv, cell) frame plus the probe count (the broadcast-size
-    * estimate's input — already materialized by the cache, free). */
-  private def imiProbedCells(spark: org.apache.spark.sql.SparkSession,
-                             probes: DataFrame, idCol: String, vecCol: String,
+    * top-`nprobeCells` fine cells within them. r16: ROW-LOCAL via the
+    * [[graft.functions.ImiTopCellsExpr]] kernel — the model is ALREADY
+    * driver-resident at every call site (reloaded by [[imiIndexModel]] or
+    * trained in-invocation), so ranking it through a probe-id cache + a
+    * broadcast cross join + TWO per-probe row_number windows (two
+    * shuffles + sorts of the probe fan-out per serve) bought nothing but
+    * plan-size safety the reference-object kernel now provides for free.
+    * The kernel reproduces both windows' (score DESC, id ASC)
+    * `Double.compare` total order exactly, so the probed multiset — and
+    * every downstream hash — is unchanged. One projection + explode; no
+    * probe-side exchange at all. */
+  private def imiProbedCells(probes: DataFrame, idCol: String, vecCol: String,
                              coarse: Array[Array[Double]],
                              fine: Array[Array[Double]], groupSize: Int,
-                             nprobeGroups: Int, nprobeCells: Int)
-                             : (DataFrame, Long) = {
-    val pid = graft.CacheScope.cache(
-      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
-        .withColumn("__pid", monotonically_increasing_id()))
-    val nProbes = pid.count()
-    val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
-    val wg = Window.partitionBy(col("__pid"))
-      .orderBy(col("score").desc, col("grp"))
-    val probedGroups = pid.crossJoin(broadcast(coarseRows))
-      .select(col("__pid"), col("query_id"), col("pv"), col("grp"),
-        dot(col("pv"), col("cent")).as("score"))
-      .withColumn("__r", row_number().over(wg))
-      .filter(col("__r") <= nprobeGroups)
-      .select(col("__pid"), col("query_id"), col("pv"), col("grp"))
-    val fineRows = centroidRows(spark, fine)
-      .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
-    val wc = Window.partitionBy(col("__pid"))
-      .orderBy(col("score").desc, col("cell"))
-    val out = probedGroups.join(broadcast(fineRows), Seq("grp"))
-      .select(col("__pid"), col("query_id"), col("pv"), col("cell"),
-        dot(col("pv"), col("cent")).as("score"))
-      .withColumn("__r", row_number().over(wc))
-      .filter(col("__r") <= nprobeCells)
-      .select(col("query_id"), col("pv"), col("cell"))
-    (out, nProbes)
-  }
+                             nprobeGroups: Int, nprobeCells: Int): DataFrame =
+    probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
+      .select(col("query_id"), col("pv"),
+        explode(graft.functions.QuantOps.imiTopCells(col("pv"), coarse,
+          fine, groupSize, nprobeGroups, nprobeCells)).as("cell"))
 
   /** Persist a trained IMI index as three plain parquet tables — the same
     * train/encode-ONCE, search-many production split [[pqIndexWrite]]
@@ -1464,7 +1418,7 @@ object Similarity {
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
-        .repartition(1).write.mode("overwrite").parquet(s"$root/$name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
     // cell-partitioned ADAPTIVELY — the index's analog of the store's
@@ -1775,12 +1729,18 @@ object Similarity {
     // prunes directories with — the search then scans ~nprobe/k of the
     // stored lists instead of every file (the store's targetObjs pattern
     // applied to the ANN index)
-    val probedCells = graft.CacheScope.cache(
-      imiProbedCells(spark, probes, idCol, vecCol, coarse, fine, groupSize,
-        nprobeGroups, nprobeCells)._1)
-    val nProbed = probedCells.count()
-    val cellSet = probedCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val probedCells = imiProbedCells(probes, idCol, vecCol, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells)
+    // ONE narrow job replaces the r15 pair (fan-out count + distinct-cell
+    // collect): the per-cell aggregate prunes the wide pv column, its sum
+    // is the fan-out row count (the broadcast-gate input) and its keys are
+    // the probed-cell set. The fan-out itself is a row-local projection
+    // (see imiProbedCells), so recomputing it under the final join costs
+    // less than caching its dim-wide rows ever did.
+    val cellRows = probedCells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+    val nProbed = cellRows.map(_.getAs[Long]("n")).sum
+    val cellSet = cellRows.map(_.getAs[Int]("cell")).sorted
     val scanned = spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/lists"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
@@ -1957,49 +1917,28 @@ object Similarity {
                          fine: Array[Array[Double]], groupSize: Int,
                          nprobeGroups: Int, nprobeCells: Int,
                          subs: Int, ksub: Int, dim: Int): DataFrame = {
-    val (probedCells, nProbes) = imiPqProbedCells(probes, idCol, vecCol,
-      coarse, fine, groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
+    val probedCells = imiPqProbedCells(probes, idCol, vecCol, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
+    val nProbes = probes.count()
     imiPqRank(corpusIdx, probedCells, k, subs, ksub,
       adcProbeRowBytes(subs, ksub) * nProbes * nprobeCells)
   }
 
-  /** [[imiProbedCells]]'s IMI+PQ variant: the same group/cell fan-out with
-    * each probe carrying its broadcast ADC table instead of the
-    * full-precision vector. Returns (query_id, dtab, cell). */
+  /** [[imiProbedCells]]'s IMI+PQ variant: the same row-local kernel
+    * fan-out (r16 — see imiProbedCells) with each probe carrying its ADC
+    * table instead of the full-precision vector. Returns
+    * (query_id, dtab, cell). */
   private def imiPqProbedCells(probes: DataFrame, idCol: String,
                                vecCol: String, coarse: Array[Array[Double]],
                                fine: Array[Array[Double]], groupSize: Int,
                                nprobeGroups: Int, nprobeCells: Int,
-                               subs: Int, ksub: Int, dim: Int)
-                               : (DataFrame, Long) = {
-    val spark = probes.sparkSession
-    val pid = graft.CacheScope.cache(
-      probes.select(col(idCol).as("query_id"),
-          asDouble(col(vecCol)).as("pv"),
-          pqDistTable(vecCol, subs, ksub, dim).as("dtab"))
-        .withColumn("__pid", monotonically_increasing_id()))
-    val nProbes = pid.count()
-    val coarseRows = centroidRows(spark, coarse).withColumnRenamed("cell", "grp")
-    val wg = Window.partitionBy(col("__pid"))
-      .orderBy(col("score").desc, col("grp"))
-    val probedGroups = pid.crossJoin(broadcast(coarseRows))
-      .select(col("__pid"), col("query_id"), col("pv"), col("dtab"), col("grp"),
-        dot(col("pv"), col("cent")).as("score"))
-      .withColumn("__r", row_number().over(wg))
-      .filter(col("__r") <= nprobeGroups)
-      .select(col("__pid"), col("query_id"), col("pv"), col("dtab"), col("grp"))
-    val fineRows = centroidRows(spark, fine)
-      .withColumn("grp", expr(s"cell div $groupSize").cast("int"))
-    val wc = Window.partitionBy(col("__pid"))
-      .orderBy(col("score").desc, col("cell"))
-    val out = probedGroups.join(broadcast(fineRows), Seq("grp"))
-      .select(col("__pid"), col("query_id"), col("dtab"), col("cell"),
-        dot(col("pv"), col("cent")).as("score"))
-      .withColumn("__r", row_number().over(wc))
-      .filter(col("__r") <= nprobeCells)
-      .select(col("query_id"), col("dtab"), col("cell"))
-    (out, nProbes)
-  }
+                               subs: Int, ksub: Int, dim: Int): DataFrame =
+    probes.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("pv"),
+        pqDistTable(vecCol, subs, ksub, dim).as("dtab"))
+      .select(col("query_id"), col("dtab"),
+        explode(graft.functions.QuantOps.imiTopCells(col("pv"), coarse,
+          fine, groupSize, nprobeGroups, nprobeCells)).as("cell"))
 
   /** The broadcast-ADC scoring tail over the probed cells' code words
     * (probe side broadcasts under [[MaxProbeBroadcastBytes]]). */
@@ -2042,7 +1981,7 @@ object Similarity {
       spark.createDataset(
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
-        .repartition(1).write.mode("overwrite").parquet(s"$root/$name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
     dump(coarse, "coarse")
     dump(fine, "fine")
     // adaptively cell-partitioned like [[imiIndexWrite]]'s lists — the
@@ -2093,12 +2032,13 @@ object Similarity {
     // bounded probed-cell set → static partition predicate (see
     // [[imiIndexSearch]]): the ADC scan touches ~nprobe/k of the stored
     // code files
-    val probedCells = graft.CacheScope.cache(
-      imiPqProbedCells(probes, idCol, vecCol, coarse, fine, groupSize,
-        nprobeGroups, nprobeCells, subs, ksub, dim)._1)
-    val nProbed = probedCells.count()
-    val cellSet = probedCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val probedCells = imiPqProbedCells(probes, idCol, vecCol, coarse, fine,
+      groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
+    // one narrow job for count + probed-cell set (see imiIndexSearch)
+    val cellRows = probedCells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+    val nProbed = cellRows.map(_.getAs[Long]("n")).sum
+    val cellSet = cellRows.map(_.getAs[Int]("cell")).sorted
     val corpusIdx = applyTombstones(spark, path, spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/codes"))
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
@@ -2156,31 +2096,18 @@ object Similarity {
     val groups = coarse.length
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val assigned0 =
-      if (literalAssignFits(cells.toLong, dim, literalBudget, rows)) {
-        val withGrp = v
-          .withColumn("__cs", cellScoreArrayOf(col("v"), coarse))
-          .withColumn("__grp",
-            (array_position(col("__cs"), array_max(col("__cs"))) - 1).cast("int"))
-          .select(col("vec_id"), col("v"), col("__grp"))
-        // CASE chain: branch VALUES short-circuit (only the matched
-        // group's g fine dots run), but CollapseProject inlines the full
-        // coarse argmax into every `__grp === j` condition — the k/g
-        // coarse dots stay single-evaluation only via whole-stage-codegen
-        // subexpression elimination, the same alias-inlining trap as the
-        // PQ/LSH signatures (ADVICE r7). Fine at literal-budget k
-        // (k·dim ≤ 8192 ⇒ k ≤ 128 at dim 64); the production path past
-        // the budget pins both levels as data joins below.
-        val fineCell = (0 until groups).foldRight(lit(null).cast("int")) {
-          (j, acc) =>
-            val sub = cents.slice(j * groupSize, (j + 1) * groupSize)
-            val arr = cellScoreArrayOf(col("v"), sub)
-            when(col("__grp") === j,
-              (array_position(arr, array_max(arr)) - 1 + j * groupSize)
-                .cast("int"))
-              .otherwise(acc)
-        }
-        withGrp.select(col("vec_id"), fineCell.as("cell"), col("v"))
-      } else {
+      if (literalAssignFits(cells.toLong, dim, literalBudget, rows))
+        // coarse argmax-dot + fine argmax-dot within the routed group,
+        // fused in the [[graft.functions.ImiAssignDotCells]] kernel (r16):
+        // replaces the coarse array_position(max) + per-group CASE chain —
+        // one shared compiled class, plan O(1) in k·dim, and the CASE
+        // chain's alias-inlining trap (the coarse argmax re-inlined into
+        // every branch condition) disappears outright. Same ascending dot
+        // folds and ties-to-lowest rules — bit-identical cells.
+        v.select(col("vec_id"),
+          graft.functions.QuantOps.imiAssignDot(col("v"), coarse, cents,
+            groupSize).as("cell"), col("v"))
+      else {
         val spark = corpus.sparkSession
         val crid = graft.CacheScope.cache(
           v.withColumn("__rid", monotonically_increasing_id()))
@@ -2382,17 +2309,16 @@ object Similarity {
       // codegen), and carrying a codes array past a 64-way posexplode of
       // the full vector paid ~4× in replication — 1.4 s vs 23 s vs 5.5 s
       // for identical results.
-      def cellEx(s: Int): Column = {
-        val sv = slice(col("v"), s * ds + 1, ds)
-        val scored = array((0 until ksub).map { c =>
-          val cl = array(books(s)(c).map(lit(_)).toSeq: _*)
-          struct(
-            (dot(sv, sv) - lit(2.0) * dot(sv, cl) +
-              lit(selfDot(books(s)(c)))).as("dist"),
-            lit(c).as("cell"))
-        }: _*)
-        array_min(scored).getField("cell")
-      }
+      // r16: per-subspace argmin via the identity-form
+      // [[graft.functions.PqCodeAtSub]] kernel — the iteration's codebook
+      // rides the reference array (the struct-array literal form compiled
+      // a unique whole-stage class per iteration), same folds and
+      // ties-to-lowest rule, bit-identical cells. `books` is mutated
+      // between iterations, so each iteration passes a deep copy.
+      val iterBooks = books.map(_.map(_.clone))
+      def cellEx(s: Int): Column =
+        graft.functions.QuantOps.pqCodeAt(col("v"), iterBooks,
+          identityForm = true, s)
       val assigned = v.select(
         (0 until subs).map(s => cellEx(s).as(s"c$s")) :+ col("v"): _*)
       assigned.select(explode(array((0 until subs).map(s =>
@@ -2446,34 +2372,22 @@ object Similarity {
     * `dot(x,x) − 2·dot(x,c) + cc` over the s-th subvector slice — the form
     * a SQL twin recomputes bit-identically when centroids are computed
     * data (see [[pqTrainedTopK]]). */
-  private def trainedSubDist(books: Array[Array[Array[Double]]], ds: Int)
-                            (vc: Column, s: Int, c: Int): Column = {
-    val xs = transform(slice(vc, s * ds + 1, ds), _.cast("double"))
-    val cl = array(books(s)(c).map(lit(_)).toSeq: _*)
-    dot(xs, xs) - lit(2.0) * dot(xs, cl) + lit(selfDot(books(s)(c)))
-  }
-
   /** Packed mixed-radix code word from trained codebooks — argmin per
-    * subspace, ties to the lowest code (same fold shape as [[pqCodes]]). */
+    * subspace of the dot-identity distance `(x·x − 2·(x·c)) + cc`, ties to
+    * the lowest code. r16: the [[graft.functions.PqPackedCode]] kernel in
+    * its identity form — same folds/association as the former
+    * `trainedSubDist` column chain, books as a reference object (one
+    * compiled class across every trained codebook). */
   private def trainedPacked(books: Array[Array[Array[Double]]], ds: Int,
-                            subs: Int, ksub: Int)(vc: Column): Column = {
-    val dist = trainedSubDist(books, ds) _
-    def codeS(s: Int): Column = {
-      val dists = (0 until ksub).map(c => dist(vc, s, c))
-      (0 until ksub - 1).foldRight(lit(ksub - 1): Column) { (c, rest) =>
-        when((c + 1 until ksub).map(j => dists(c) <= dists(j)).reduce(_ && _),
-          lit(c)).otherwise(rest)
-      }
-    }
-    val weights = Iterator.iterate(1L)(_ * ksub).take(subs).toSeq
-    (0 until subs).map(s => codeS(s).cast("long") * weights(s)).reduce(_ + _)
-  }
+                            subs: Int, ksub: Int)(vc: Column): Column =
+    graft.functions.QuantOps.pqPackedCode(vc, books, identityForm = true)
 
-  /** Probe-side ADC table from trained codebooks (subs×ksub distances). */
+  /** Probe-side ADC table from trained codebooks (subs×ksub distances,
+    * (s, c) row order) — the identity-form [[graft.functions.PqAdcTable]]
+    * kernel. */
   private def trainedDtab(books: Array[Array[Array[Double]]], ds: Int,
                           subs: Int, ksub: Int)(vc: Column): Column =
-    array((for (s <- 0 until subs; c <- 0 until ksub)
-      yield trainedSubDist(books, ds)(vc, s, c)): _*)
+    graft.functions.QuantOps.pqAdcTable(vc, books, identityForm = true)
 
   /** PQ-ADC top-k with a TRAINED codebook — [[pqTrainBooks]] feeding the
     * [[pqTopK]] serving shape: train → encode → ADC-scan composed
@@ -2532,7 +2446,7 @@ object Similarity {
       s <- books.indices; c <- books(s).indices; d <- books(s)(c).indices
     } yield (s, c, d, books(s)(c)(d))
     spark.createDataset(rows).toDF("s", "c", "d", "comp")
-      .repartition(1).write.mode("overwrite").parquet(s"$root/books")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
     val ds = dim / subs
     corpus.select(col(idCol).as("nbr_id"),
         trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
@@ -2623,21 +2537,17 @@ object Similarity {
     val books = pqTrainBooks(corpus, vecCol, subs, ksub, iters, dim)
     val c = corpus.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("cv"))
     val corpusIdx = graft.CacheScope.cache(
-      c.withColumn("__sc", cellScoreArrayOf(col("cv"), cents))
-        .withColumn("cell",
-          (array_position(col("__sc"), array_max(col("__sc"))) - 1).cast("int"))
+      c.withColumn("cell",
+          graft.functions.QuantOps.argMaxDot(col("cv"), cents))
         .select(col("nbr_id"), col("cell"),
           trainedPacked(books, ds, subs, ksub)(col("cv")).as("pq_code")))
     corpusIdx.count()
     val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("pv"))
     val probeCells = p
-      .withColumn("__sc", cellScoreArrayOf(col("pv"), cents))
-      .withColumn("__ranked", sort_array(array((0 until cells).map(i =>
-        struct((-col("__sc")(i)).as("ns"), lit(i).as("cell"))): _*)))
       .withColumn("dtab", trainedDtab(books, ds, subs, ksub)(col("pv")))
       .select(col("query_id"), col("dtab"),
-        explode(slice(col("__ranked"), 1, nprobe)).as("__top"))
-      .select(col("query_id"), col("dtab"), col("__top.cell").as("cell"))
+        explode(graft.functions.QuantOps.topCellsByDot(col("pv"), cents,
+          nprobe)).as("cell"))
     val adc = adcSum(subs, ksub)
     val scored = corpusIdx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))

@@ -1072,26 +1072,32 @@ object TimeSeries {
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourNs = 3600L * 1000 * 1000 * 1000
-    // obs feeds both the span grid and the fill join, and the planner does
-    // not reuse the exchange across the two references — scope-cache it so
-    // the events scan + hourly aggregate run once (consumer releases).
-    val obs = graft.CacheScope.cache(Tables.events(s, dir)
+    // r16 shape: ONE lead() window over the per-hour observations, then a
+    // row-local explode of each observation's span [hour, next_hour) — the
+    // carried value of every generated bucket IS its generating
+    // observation's sv, so the dense-grid build + (user, hour) left join +
+    // running last(ignoreNulls) carry (two extra exchanges + a window pass
+    // over the FULL grid) collapse into arithmetic on the grid row's own
+    // generator. Values are identical by construction (each observed
+    // bucket's sv is non-null, so LOCF always carries the previous
+    // observation); the window now runs over the ~observation rows, not
+    // the dense grid. No cache: obs has one consumer.
+    val obs = Tables.events(s, dir)
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("user_id"), col("hour_ns"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sv")))
-    val grid = obs.groupBy(col("user_id"))
-      .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
-      .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), lit(hourNs))).as("hour_ns"))
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("user_id", "hour_ns"), "left")
-      .select(col("user_id"), col("hour_ns"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sv"))
-      .withColumn("val_filled",
-        last(col("sv"), ignoreNulls = true).over(w).cast("double"))
-      .select(col("user_id"), col("hour_ns"), col("n_events"), col("val_filled"))
+    obs.withColumn("nh", lead(col("hour_ns"), 1).over(w))
+      .select(col("user_id"), col("hour_ns").as("oh"), col("n_events").as("oe"),
+        col("sv"),
+        explode(sequence(col("hour_ns"),
+          coalesce(col("nh") - lit(hourNs), col("hour_ns")),
+          lit(hourNs))).as("gh"))
+      .select(col("user_id"), col("gh").as("hour_ns"),
+        when(col("gh") === col("oh"), col("oe")).otherwise(lit(0L))
+          .as("n_events"),
+        col("sv").cast("double").as("val_filled"))
       .orderBy(col("user_id"), col("hour_ns"))
   }
 
@@ -1132,36 +1138,35 @@ object TimeSeries {
   def interpolate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val obs = graft.CacheScope.cache(Tables.events(s, dir)
+    // r16 shape (same restructure as [[gapFill]]): each generated bucket's
+    // prev/next observations ARE its generating observation and that
+    // observation's lead(), so ONE lead() window over the ~observation
+    // rows replaces the dense-grid build, the (user, hour) left join, and
+    // BOTH running-carry window passes over the full grid (ascending +
+    // descending sorts). The interpolation expression is token-identical —
+    // same (h−ph)/(nh−ph) long-to-double division, same floor rounding —
+    // and ph/pv/nh/nv take exactly the old carries' values on every row
+    // (observed rows hit the nh===ph → pv branch through h===ph, since an
+    // observed row is its own nearest observation on both sides), so the
+    // output is bit-identical. No cache: obs has one consumer.
+    val obs = Tables.events(s, dir)
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("user_id"), col("hour_ns"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("sv")))
-    val grid = obs.groupBy(col("user_id"))
-      .agg(min(col("hour_ns")).as("mn"), max(col("hour_ns")).as("mx"))
-      .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), lit(hourNs))).as("hour_ns"))
-    // Both carries are RUNNING frames (unbounded-preceding → current), the
-    // forward one over DESCENDING hour order: `first over (current,
-    // unbounded following)` is semantically identical but Spark evaluates
-    // shrinking frames by rescanning current→end per row — O(partition²),
-    // 26× slower on this query at sf0.1 (61 s vs 2.3 s). Running frames
-    // update one aggregate buffer per row — O(partition). Same exchange,
-    // two sorts.
-    val back = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwdAsBack = Window.partitionBy(col("user_id")).orderBy(col("hour_ns").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val obsHour = when(col("sv").isNotNull, col("hour_ns"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ns"))
     val pv = col("pv").cast("double")
     val nv = col("nv").cast("double")
-    grid.join(obs, Seq("user_id", "hour_ns"), "left")
-      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
-      .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
-      .withColumn("nh", last(obsHour, ignoreNulls = true).over(fwdAsBack))
-      .withColumn("nv", last(col("sv"), ignoreNulls = true).over(fwdAsBack))
+    obs
+      .withColumn("nh", lead(col("hour_ns"), 1).over(w))
+      .withColumn("nv", lead(col("sv"), 1).over(w))
+      .select(col("user_id"), col("hour_ns").as("ph"), col("sv").as("pv"),
+        col("nh"), col("nv"),
+        explode(sequence(col("hour_ns"),
+          coalesce(col("nh") - lit(hourNs), col("hour_ns")),
+          lit(hourNs))).as("hour_ns"))
       .select(col("user_id"), col("hour_ns"),
-        col("sv").isNotNull.as("observed"),
-        (floor(when(col("nh") === col("ph"), pv)
+        (col("hour_ns") === col("ph")).as("observed"),
+        (floor(when(col("hour_ns") === col("ph"), pv)
           .otherwise(pv + (nv - pv) *
             ((col("hour_ns") - col("ph")) / (col("nh") - col("ph"))))
           * 1e6 + 0.5) / 1e6).as("val_interp"))
