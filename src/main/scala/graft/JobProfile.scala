@@ -84,6 +84,8 @@ object JobProfile {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // profile sessions mirror Bench's ephemeral-checkpoint tuning
+    Tables.ephemeralStreamTuning(spark)
     val listener = new JobTimes
     spark.sparkContext.addSparkListener(listener)
 

@@ -73,19 +73,32 @@ object Tables {
     // AQE re-plans shuffles at runtime (partition coalescing, skew joins) -
     // essential at 100 TB, harmless at sf0.001.
     c.set("spark.sql.adaptive.enabled", "true")
-    // r16: Spark 4.1 generates + awaits an async CHECKSUM file per
-    // checkpoint file write (ChecksumCheckpointFileManager). A stream-
-    // stream join commits 4 state stores per partition per micro-batch,
-    // and the awaits serialize across the 32 concurrent tasks — thread
-    // dumps showed every executor thread parked in
-    // ChecksumCheckpointFileManager.awaitResult, stream_attribution
-    // measured 10.2 s -> 6.2 s from this flag alone. The checksums only
-    // guard long-lived checkpoints against storage corruption; these
-    // checkpoints are per-invocation-ephemeral on local disk, and the
-    // declared gates hash-check their RESULTS against the DuckDB twin, so
-    // the guard buys nothing here. Re-enable for durable production
-    // checkpoints on unreliable storage.
-    c.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // NOTE (r17, ADVICE r16): the r16 streaming checkpoint-checksum
+    // disable moved OUT of this framework-wide tune() into the
+    // bench/verify/profile/test entry points ([[ephemeralStreamTuning]]) —
+    // a library consumer with durable streaming checkpoints keeps Spark
+    // 4.1's corruption detection by default.
+    spark
+  }
+
+  /** Session tuning for ENTRY POINTS whose streaming checkpoints are
+    * per-invocation-ephemeral local directories (Bench, Verify,
+    * JobProfile, the test fixture) — NOT part of [[tune]]'s framework-wide
+    * defaults. Spark 4.1 generates + awaits an async CHECKSUM file per
+    * checkpoint file write (ChecksumCheckpointFileManager). A stream-
+    * stream join commits 4 state stores per partition per micro-batch,
+    * and the awaits serialize across the 32 concurrent tasks — thread
+    * dumps showed every executor thread parked in
+    * ChecksumCheckpointFileManager.awaitResult, stream_attribution
+    * measured 10.2 s -> 6.2 s from this flag alone (r16). The checksums
+    * only guard long-lived checkpoints against storage corruption; these
+    * entry points' checkpoints are ephemeral on local disk and the
+    * declared gates hash-check their RESULTS against the DuckDB twin, so
+    * the guard buys nothing there. Leave it ON (the default) for durable
+    * production checkpoints on unreliable storage. */
+  def ephemeralStreamTuning(spark: SparkSession): SparkSession = {
+    spark.conf
+      .set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     spark
   }
 

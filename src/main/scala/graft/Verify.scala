@@ -22,6 +22,8 @@ object Verify {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // verify checkpoints are per-invocation-ephemeral (see Tables scaladoc)
+    Tables.ephemeralStreamTuning(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -44,8 +44,27 @@ import org.apache.spark.sql.types._
   *   - LSH bits test `d >= 0.0` as a Java primitive comparison, the
   *     codegen'd `GreaterThanOrEqual` semantics.
   * Float inputs widen per element exactly like `transform(_, cast double)`.
+  *
+  * NaN assumption (ADVICE r16): the strict `>`/`<` arg-scans pin to the
+  * LEADING candidate when a score is NaN (every strict comparison against
+  * NaN is false), where `array_max`/`array_position` and struct-ordered
+  * `array_min` treat NaN as the largest value. Quantizer scores are dots /
+  * squared distances of finite model and data vectors, which cannot
+  * produce NaN from finite inputs — a NaN/Inf INPUT vector is a data-
+  * contract break upstream of these kernels, not a tie-rule case. PQ
+  * kernels FAIL FAST on vectors shorter than the subs×ds layout (the old
+  * `element_at` column forms errored under ANSI; `UnsafeArrayData.getDouble`
+  * has no bounds check, so reading past the end would silently score
+  * garbage).
   */
 object QuantKernels {
+
+  /** PQ layout guard — see the NaN/short-vector contract note above. */
+  @inline private def checkLen(a: ArrayData, need: Int): Unit =
+    if (a.numElements() < need)
+      throw new IllegalArgumentException(
+        s"vector of ${a.numElements()} elements is shorter than the PQ " +
+          s"layout's $need (subs x ds)")
 
   /** Ascending self-dot — the same fold as `Similarity.selfDot`. */
   def selfDot(c: Array[Double]): Double = {
@@ -268,6 +287,7 @@ object QuantKernels {
   def pqCodeAt(a: ArrayData, isFloat: Boolean,
                books: Array[Array[Array[Double]]], ccs: Array[Array[Double]],
                identity: Boolean, s: Int, ds: Int): Int = {
+    checkLen(a, (s + 1) * ds)
     val bs = books(s)
     val off = s * ds
     var best = 0
@@ -288,6 +308,7 @@ object QuantKernels {
                books: Array[Array[Array[Double]]], ccs: Array[Array[Double]],
                identity: Boolean, ds: Int): Long = {
     val subs = books.length
+    checkLen(a, subs * ds)
     val ksub = books(0).length
     var packed = 0L
     var w = 1L
@@ -307,6 +328,7 @@ object QuantKernels {
                  ccs: Array[Array[Double]], identity: Boolean,
                  ds: Int): Double = {
     val subs = books.length
+    checkLen(a, subs * ds)
     var err = 0.0
     var s = 0
     while (s < subs) {
@@ -334,6 +356,7 @@ object QuantKernels {
                   ccs: Array[Array[Double]], identity: Boolean,
                   ds: Int): ArrayData = {
     val subs = books.length
+    checkLen(a, subs * ds)
     val ksub = books(0).length
     val out = new Array[Double](subs * ksub)
     var s = 0
@@ -352,6 +375,41 @@ object QuantKernels {
   }
 }
 
+/** Value-compared holder for a kernel's 2-level model matrix (ADVICE r16):
+  * a case-class field of raw `Array` type compares by REFERENCE, so two
+  * structurally identical kernel expressions never canonicalized equal —
+  * subexpression elimination, exchange reuse and plan-cache hits were
+  * silently defeated for repeated model matrices where the old literal
+  * forms deduped by value. `deepEquals`/`deepHashCode` restore value
+  * comparison; `m` is the raw array the kernels loop over (never copied).
+  * toString is shape-only so plans render stably instead of as an array
+  * identity hash. */
+final class Mat2(val m: Array[Array[Double]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case r: Mat2 => java.util.Arrays.deepEquals(
+      m.asInstanceOf[Array[AnyRef]], r.m.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(m.asInstanceOf[Array[AnyRef]])
+  override def toString: String =
+    s"mat[${m.length}x${m.headOption.map(_.length).getOrElse(0)}]"
+}
+
+/** [[Mat2]] for the PQ families' 3-level codebooks. */
+final class Mat3(val m: Array[Array[Array[Double]]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case r: Mat3 => java.util.Arrays.deepEquals(
+      m.asInstanceOf[Array[AnyRef]], r.m.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(m.asInstanceOf[Array[AnyRef]])
+  override def toString: String =
+    s"books[${m.length}x${m.headOption.map(_.length).getOrElse(0)}" +
+      s"x${m.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)}]"
+}
+
 /** Shared plumbing: a unary kernel over an `array<float|double>` column. */
 sealed abstract class QuantKernelExpr extends UnaryExpression {
   protected final def isFloatChild: Boolean =
@@ -368,27 +426,27 @@ sealed abstract class QuantKernelExpr extends UnaryExpression {
     }
 }
 
-case class ArgMaxDotCells(child: Expression, cents: Array[Array[Double]])
+case class ArgMaxDotCells(child: Expression, cents: Mat2)
     extends QuantKernelExpr {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    QuantKernels.argMaxDot(input.asInstanceOf[ArrayData], isFloatChild, cents)
+    QuantKernels.argMaxDot(input.asInstanceOf[ArrayData], isFloatChild, cents.m)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    val m = ctx.addReferenceObj("cents", cents.m, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.argMaxDot($a, $isFloatChild, $m);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class ArgMinL2Cells(child: Expression, cents: Array[Array[Double]])
+case class ArgMinL2Cells(child: Expression, cents: Mat2)
     extends QuantKernelExpr {
   override def dataType: DataType = IntegerType
-  @transient private lazy val ccs = cents.map(QuantKernels.selfDot)
+  @transient private lazy val ccs = cents.m.map(QuantKernels.selfDot)
   override def nullSafeEval(input: Any): Any =
-    QuantKernels.argMinL2(input.asInstanceOf[ArrayData], isFloatChild, cents, ccs)
+    QuantKernels.argMinL2(input.asInstanceOf[ArrayData], isFloatChild, cents.m, ccs)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    val m = ctx.addReferenceObj("cents", cents.m, "double[][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.argMinL2($a, $isFloatChild, $m, $cc);")
@@ -396,16 +454,16 @@ case class ArgMinL2Cells(child: Expression, cents: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class ImiAssignDotCells(child: Expression, coarse: Array[Array[Double]],
-                             fine: Array[Array[Double]], groupSize: Int)
+case class ImiAssignDotCells(child: Expression, coarse: Mat2,
+                             fine: Mat2, groupSize: Int)
     extends QuantKernelExpr {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     QuantKernels.imiAssignDot(input.asInstanceOf[ArrayData], isFloatChild,
-      coarse, fine, groupSize)
+      coarse.m, fine.m, groupSize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val fi = ctx.addReferenceObj("fine", fine, "double[][]")
+    val co = ctx.addReferenceObj("coarse", coarse.m, "double[][]")
+    val fi = ctx.addReferenceObj("fine", fine.m, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.imiAssignDot($a, " +
         s"$isFloatChild, $co, $fi, $groupSize);")
@@ -413,17 +471,17 @@ case class ImiAssignDotCells(child: Expression, coarse: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class ImiAssignL2Cells(child: Expression, coarse: Array[Array[Double]],
-                            fine: Array[Array[Double]], groupSize: Int)
+case class ImiAssignL2Cells(child: Expression, coarse: Mat2,
+                            fine: Mat2, groupSize: Int)
     extends QuantKernelExpr {
   override def dataType: DataType = IntegerType
-  @transient private lazy val ccs = fine.map(QuantKernels.selfDot)
+  @transient private lazy val ccs = fine.m.map(QuantKernels.selfDot)
   override def nullSafeEval(input: Any): Any =
     QuantKernels.imiAssignL2(input.asInstanceOf[ArrayData], isFloatChild,
-      coarse, fine, ccs, groupSize)
+      coarse.m, fine.m, ccs, groupSize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val fi = ctx.addReferenceObj("fine", fine, "double[][]")
+    val co = ctx.addReferenceObj("coarse", coarse.m, "double[][]")
+    val fi = ctx.addReferenceObj("fine", fine.m, "double[][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.imiAssignL2($a, " +
@@ -432,14 +490,14 @@ case class ImiAssignL2Cells(child: Expression, coarse: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class TopCellsByDot(child: Expression, cents: Array[Array[Double]],
+case class TopCellsByDot(child: Expression, cents: Mat2,
                          nprobe: Int) extends QuantKernelExpr {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     QuantKernels.topCellsByDot(input.asInstanceOf[ArrayData], isFloatChild,
-      cents, nprobe)
+      cents.m, nprobe)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    val m = ctx.addReferenceObj("cents", cents.m, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.topCellsByDot($a, " +
         s"$isFloatChild, $m, $nprobe);")
@@ -447,17 +505,17 @@ case class TopCellsByDot(child: Expression, cents: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class ImiTopCellsExpr(child: Expression, coarse: Array[Array[Double]],
-                           fine: Array[Array[Double]], groupSize: Int,
+case class ImiTopCellsExpr(child: Expression, coarse: Mat2,
+                           fine: Mat2, groupSize: Int,
                            nprobeGroups: Int, nprobeCells: Int)
     extends QuantKernelExpr {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     QuantKernels.imiTopCells(input.asInstanceOf[ArrayData], isFloatChild,
-      coarse, fine, groupSize, nprobeGroups, nprobeCells)
+      coarse.m, fine.m, groupSize, nprobeGroups, nprobeCells)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val fi = ctx.addReferenceObj("fine", fine, "double[][]")
+    val co = ctx.addReferenceObj("coarse", coarse.m, "double[][]")
+    val fi = ctx.addReferenceObj("fine", fine.m, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.imiTopCells($a, " +
         s"$isFloatChild, $co, $fi, $groupSize, $nprobeGroups, $nprobeCells);")
@@ -465,13 +523,13 @@ case class ImiTopCellsExpr(child: Expression, coarse: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class LshSigBits(child: Expression, planes: Array[Array[Double]])
+case class LshSigBits(child: Expression, planes: Mat2)
     extends QuantKernelExpr {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    QuantKernels.lshSig(input.asInstanceOf[ArrayData], isFloatChild, planes)
+    QuantKernels.lshSig(input.asInstanceOf[ArrayData], isFloatChild, planes.m)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("planes", planes, "double[][]")
+    val m = ctx.addReferenceObj("planes", planes.m, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.lshSig($a, $isFloatChild, $m);")
   }
@@ -479,21 +537,21 @@ case class LshSigBits(child: Expression, planes: Array[Array[Double]])
 }
 
 sealed abstract class PqKernelExpr extends QuantKernelExpr {
-  def books: Array[Array[Array[Double]]]
+  def books: Mat3
   def identityForm: Boolean
-  protected final def ds: Int = books(0)(0).length
+  protected final def ds: Int = books.m(0)(0).length
   @transient protected final lazy val ccs: Array[Array[Double]] =
-    books.map(_.map(QuantKernels.selfDot))
+    books.m.map(_.map(QuantKernels.selfDot))
 }
 
-case class PqPackedCode(child: Expression, books: Array[Array[Array[Double]]],
+case class PqPackedCode(child: Expression, books: Mat3,
                         identityForm: Boolean) extends PqKernelExpr {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    QuantKernels.pqPacked(input.asInstanceOf[ArrayData], isFloatChild, books,
-      ccs, identityForm, ds)
+    QuantKernels.pqPacked(input.asInstanceOf[ArrayData], isFloatChild,
+      books.m, ccs, identityForm, ds)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val b = ctx.addReferenceObj("books", books.m, "double[][][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.pqPacked($a, " +
@@ -502,14 +560,14 @@ case class PqPackedCode(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class PqReconError(child: Expression, books: Array[Array[Array[Double]]],
+case class PqReconError(child: Expression, books: Mat3,
                         identityForm: Boolean) extends PqKernelExpr {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any =
     QuantKernels.pqReconErr(input.asInstanceOf[ArrayData], isFloatChild,
-      books, ccs, identityForm, ds)
+      books.m, ccs, identityForm, ds)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val b = ctx.addReferenceObj("books", books.m, "double[][][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.pqReconErr($a, " +
@@ -518,14 +576,14 @@ case class PqReconError(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class PqCodeAtSub(child: Expression, books: Array[Array[Array[Double]]],
+case class PqCodeAtSub(child: Expression, books: Mat3,
                        identityForm: Boolean, s: Int) extends PqKernelExpr {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    QuantKernels.pqCodeAt(input.asInstanceOf[ArrayData], isFloatChild, books,
-      ccs, identityForm, s, ds)
+    QuantKernels.pqCodeAt(input.asInstanceOf[ArrayData], isFloatChild,
+      books.m, ccs, identityForm, s, ds)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val b = ctx.addReferenceObj("books", books.m, "double[][][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.pqCodeAt($a, " +
@@ -534,14 +592,14 @@ case class PqCodeAtSub(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class PqAdcTable(child: Expression, books: Array[Array[Array[Double]]],
+case class PqAdcTable(child: Expression, books: Mat3,
                       identityForm: Boolean) extends PqKernelExpr {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     QuantKernels.pqDistTable(input.asInstanceOf[ArrayData], isFloatChild,
-      books, ccs, identityForm, ds)
+      books.m, ccs, identityForm, ds)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val b = ctx.addReferenceObj("books", books.m, "double[][][]")
     val cc = ctx.addReferenceObj("ccs", ccs, "double[][]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.QuantKernels.pqDistTable($a, " +
@@ -556,35 +614,35 @@ object QuantOps {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def argMaxDot(vec: Column, cents: Array[Array[Double]]): Column =
-    col(ArgMaxDotCells(ex(vec), cents))
+    col(ArgMaxDotCells(ex(vec), new Mat2(cents)))
   def argMinL2(vec: Column, cents: Array[Array[Double]]): Column =
-    col(ArgMinL2Cells(ex(vec), cents))
+    col(ArgMinL2Cells(ex(vec), new Mat2(cents)))
   def imiAssignDot(vec: Column, coarse: Array[Array[Double]],
                    fine: Array[Array[Double]], groupSize: Int): Column =
-    col(ImiAssignDotCells(ex(vec), coarse, fine, groupSize))
+    col(ImiAssignDotCells(ex(vec), new Mat2(coarse), new Mat2(fine), groupSize))
   def imiAssignL2(vec: Column, coarse: Array[Array[Double]],
                   fine: Array[Array[Double]], groupSize: Int): Column =
-    col(ImiAssignL2Cells(ex(vec), coarse, fine, groupSize))
+    col(ImiAssignL2Cells(ex(vec), new Mat2(coarse), new Mat2(fine), groupSize))
   def topCellsByDot(vec: Column, cents: Array[Array[Double]],
                     nprobe: Int): Column =
-    col(TopCellsByDot(ex(vec), cents, nprobe))
+    col(TopCellsByDot(ex(vec), new Mat2(cents), nprobe))
   def imiTopCells(vec: Column, coarse: Array[Array[Double]],
                   fine: Array[Array[Double]], groupSize: Int,
                   nprobeGroups: Int, nprobeCells: Int): Column =
-    col(ImiTopCellsExpr(ex(vec), coarse, fine, groupSize, nprobeGroups,
-      nprobeCells))
+    col(ImiTopCellsExpr(ex(vec), new Mat2(coarse), new Mat2(fine), groupSize,
+      nprobeGroups, nprobeCells))
   def lshSig(vec: Column, planes: Array[Array[Double]]): Column =
-    col(LshSigBits(ex(vec), planes))
+    col(LshSigBits(ex(vec), new Mat2(planes)))
   def pqPackedCode(vec: Column, books: Array[Array[Array[Double]]],
                    identityForm: Boolean): Column =
-    col(PqPackedCode(ex(vec), books, identityForm))
+    col(PqPackedCode(ex(vec), new Mat3(books), identityForm))
   def pqReconErr(vec: Column, books: Array[Array[Array[Double]]],
                  identityForm: Boolean): Column =
-    col(PqReconError(ex(vec), books, identityForm))
+    col(PqReconError(ex(vec), new Mat3(books), identityForm))
   def pqCodeAt(vec: Column, books: Array[Array[Array[Double]]],
                identityForm: Boolean, s: Int): Column =
-    col(PqCodeAtSub(ex(vec), books, identityForm, s))
+    col(PqCodeAtSub(ex(vec), new Mat3(books), identityForm, s))
   def pqAdcTable(vec: Column, books: Array[Array[Array[Double]]],
                  identityForm: Boolean): Column =
-    col(PqAdcTable(ex(vec), books, identityForm))
+    col(PqAdcTable(ex(vec), new Mat3(books), identityForm))
 }

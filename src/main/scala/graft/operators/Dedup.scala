@@ -214,17 +214,21 @@ object Dedup {
     val root = IndexTables.nextRootDir(spark, path)
     val shc = CacheScope.cache(sh)
     shc.count() // two consumers below
-    bandedBuckets(shc, k, r, maxBucket)
-      .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$root/buckets"))
-    shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
-      .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$root/shingles"))
-    // per-doc set sizes persist WITH the index so a check never has to
-    // re-aggregate the full stored shingle table (one tiny row per doc)
-    shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$root/sizes"))
+    // three independent writes off the materialized shingle cache,
+    // overlapped from driver threads (guide §2.6); visibility still gated
+    // by the single commitRoot _SUCCESS below
+    graft.Par.run(
+      () => bandedBuckets(shc, k, r, maxBucket)
+        .write.mode("overwrite")
+        .parquet(IndexTables.writeDir(s"$root/buckets")),
+      () => shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+        .write.mode("overwrite")
+        .parquet(IndexTables.writeDir(s"$root/shingles")),
+      // per-doc set sizes persist WITH the index so a check never has to
+      // re-aggregate the full stored shingle table (one tiny row per doc)
+      () => shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .parquet(IndexTables.writeDir(s"$root/sizes")))
     IndexTables.commitRoot(spark, root)
   }
 
@@ -238,15 +242,18 @@ object Dedup {
     val root = IndexTables.liveDir(spark, path)
     val shc = CacheScope.cache(sh)
     shc.count()
-    bandedBuckets(shc, k, r, maxBucket)
-      .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$root/buckets"))
-    shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
-      .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$root/shingles"))
-    shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-      .write.mode("append")
-      .parquet(IndexTables.liveDir(spark, s"$root/sizes"))
+    // three independent appends into three disjoint live generations,
+    // overlapped like [[dedupIndexWrite]]'s base writes (guide §2.6)
+    graft.Par.run(
+      () => bandedBuckets(shc, k, r, maxBucket)
+        .write.mode("append")
+        .parquet(IndexTables.liveDir(spark, s"$root/buckets")),
+      () => shc.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+        .write.mode("append")
+        .parquet(IndexTables.liveDir(spark, s"$root/shingles")),
+      () => shc.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+        .write.mode("append")
+        .parquet(IndexTables.liveDir(spark, s"$root/sizes")))
   }
 
   /** Merge a dedup index's append-fragmented tables —
@@ -375,32 +382,56 @@ object Dedup {
   def dedupIndexCheck(spark: org.apache.spark.sql.SparkSession,
                       shIncoming: DataFrame, path: String, k: Int, r: Int,
                       threshold: Double,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val shI = CacheScope.cache(shIncoming)
-    shI.count()
-    // ONE root resolution per check: buckets, shingles and sizes must
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    dedupIndexOpen(spark, path).check(shIncoming, k, r, threshold, maxBucket)
+
+  /** Resolve a persisted dedup index ONCE for a serving session (the
+    * [[graft.operators.TextIndex.bm25IndexOpen]] contract, VERDICT r16
+    * next #1): the index root, the three stored relations (file listing +
+    * parquet schema) and the tombstone overlay bind at open and are reused
+    * by every [[DedupIndexReader.check]] — a foreachBatch decontamination
+    * loop pays those per-trigger driver costs once per stream. Valid while
+    * the index is frozen (the online gate writes it before any arrival); a
+    * check that must observe concurrent appends/deletes re-opens per call,
+    * which is what [[dedupIndexCheck]] does. */
+  def dedupIndexOpen(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DedupIndexReader =
+    new DedupIndexReader(spark, path)
+
+  /** See [[dedupIndexOpen]]. Holds resolved paths and lazy relations —
+    * no data collected or persisted. */
+  final class DedupIndexReader private[Dedup] (
+      spark: org.apache.spark.sql.SparkSession, path: String) {
+    // ONE root resolution per open: buckets, shingles and sizes must
     // come from the same index generation
-    val root = IndexTables.liveDir(spark, path)
-    val stored = applyDocTombstones(spark, path, spark.read
+    private val root = IndexTables.liveDir(spark, path)
+    private val stored = applyDocTombstones(spark, path, spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/buckets")))
-    val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
-      .join(stored.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
-    val shIH = shI.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
-    val storedSh = spark.read
+    private val storedSh = spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/shingles"))
-    val sizes = shI.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
-      .union(spark.read
-        .parquet(IndexTables.liveDir(spark, s"$root/sizes"))
-        .select(col("doc").as("d"), col("n")))
-    val common = candidates
-      .join(shIH.as("sa"), col("sa.doc") === col("i"))
-      .join(storedSh.as("sb"),
-        col("sb.doc") === col("j") && col("sb.sh64") === col("sa.sh64"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("common"))
-    jaccardOf(common, sizes, threshold)
+    private val storedSizes = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$root/sizes"))
+      .select(col("doc").as("d"), col("n"))
+
+    def check(shIncoming: DataFrame, k: Int, r: Int, threshold: Double,
+              maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      val shI = CacheScope.cache(shIncoming)
+      shI.count()
+      val candidates = bandedBuckets(shI, k, r, maxBucket).as("a")
+        .join(stored.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+      val shIH = shI.select(col("doc"), xxhash64(col("s"), lit(-1)).as("sh64"))
+      val sizes = shI.groupBy(col("doc").as("d")).agg(count(lit(1)).as("n"))
+        .union(storedSizes)
+      val common = candidates
+        .join(shIH.as("sa"), col("sa.doc") === col("i"))
+        .join(storedSh.as("sb"),
+          col("sb.doc") === col("j") && col("sb.sh64") === col("sa.sh64"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("common"))
+      jaccardOf(common, sizes, threshold)
+    }
   }
 
   /** Band buckets larger than this are excluded from self-joins by default.

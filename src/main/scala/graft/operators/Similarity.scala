@@ -1310,12 +1310,18 @@ object Similarity {
                        nprobeGroups: Int, nprobeCells: Int): DataFrame = {
     val probedCells = imiProbedCells(probes, idCol, vecCol, coarse, fine,
       groupSize, nprobeGroups, nprobeCells)
-    // broadcast gate: the fan-out is ≤ probes × nprobeCells rows (the same
-    // bound the old window form counted on its cached probe frame)
-    val nProbes = probes.count()
+    // broadcast gate: count the FAN-OUT itself with the narrow per-cell
+    // aggregate [[imiIndexSearch]] already uses (ADVICE r16: a separate
+    // probes.count() ran the probe lineage once more than needed and, on a
+    // derived probe frame, paid its full lineage twice per serve; the
+    // aggregate prunes the wide pv column and its sum is the exact
+    // broadcast-size bound the old probes × nprobeCells product only
+    // over-estimated)
+    val nProbed = probedCells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(_.getAs[Long]("n")).sum
     val dim = fine.headOption.map(_.length).getOrElse(0)
-    imiRank(corpusCells, probedCells, k,
-      imiProbeRowBytes(dim) * nProbes * nprobeCells)
+    imiRank(corpusCells, probedCells, k, imiProbeRowBytes(dim) * nProbed)
   }
 
   /** Estimated serialized bytes of one (query_id, pv, cell) probe-fan-out
@@ -1419,8 +1425,6 @@ object Similarity {
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
-    dump(coarse, "coarse")
-    dump(fine, "fine")
     // cell-partitioned ADAPTIVELY — the index's analog of the store's
     // bucket directories: when cells are file-sized (≥
     // [[MinRowsPerCellPartition]] rows each), a search probing p of k
@@ -1430,13 +1434,23 @@ object Similarity {
     // write 51 → 343 s, search 4.7 → 26.6 s across 1753 file-tasks —
     // SCALE.md imi_index_ab), so the lists land unpartitioned and the
     // probed-cell predicate applies as an ordinary pushed filter instead
-    val out = semanticAssign2Level(corpus, idCol, vecCol, fine, groupSize,
-        literalBudget, Some(coarse), Some(sharedRows))
-      .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
-      .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
-    (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
-     else out).parquet(IndexTables.writeDir(s"$root/lists"))
+    val cellPart = sharedRows.n >= k * MinRowsPerCellPartition
+    // three independent writes (two driver-local model dumps + the
+    // assigned lists) under the uncommitted root: overlapped driver
+    // threads (guide §2.6), visibility still gated by the single
+    // commitRoot _SUCCESS below
+    graft.Par.run(
+      () => dump(coarse, "coarse"),
+      () => dump(fine, "fine"),
+      () => {
+        val out = semanticAssign2Level(corpus, idCol, vecCol, fine,
+            groupSize, literalBudget, Some(coarse), Some(sharedRows))
+          .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
+          .write.mode("overwrite")
+        (if (cellPart) out.partitionBy("cell") else out)
+          .parquet(IndexTables.writeDir(s"$root/lists"))
+      })
     IndexTables.commitRoot(spark, root)
   }
 
@@ -1717,38 +1731,84 @@ object Similarity {
                      // so a selective filter shrinks the ranked stream
                      // instead of post-filtering the top-k (which would
                      // return < k survivors)
-                     serveFilter: Option[Column] = None): DataFrame = {
-    // ONE root resolution per serve: model and lists must come from the
+                     serveFilter: Option[Column] = None): DataFrame =
+    imiIndexOpen(spark, path)
+      .search(probes, idCol, vecCol, k, groupSize, nprobeGroups,
+        nprobeCells, serveFilter)
+
+  /** Resolve a persisted IMI index ONCE for a serving session (the
+    * [[graft.operators.TextIndex.bm25IndexOpen]] contract, VERDICT r16
+    * next #1): the index-root generation, the reloaded model, the stored
+    * lists relation (file listing + parquet schema) and the pending-
+    * tombstone listing bind at open and are reused by every
+    * [[ImiReader.search]]/[[ImiReader.assign]] call — a foreachBatch serve
+    * loop pays those per-trigger driver costs once per stream. Valid while
+    * the index is frozen (the online gates build before any probe
+    * arrives); a serve that must observe concurrent rebuilds/deletes
+    * re-opens per call, which is what [[imiIndexSearch]] does. */
+  def imiIndexOpen(spark: org.apache.spark.sql.SparkSession,
+                   path: String): ImiReader = new ImiReader(spark, path)
+
+  /** See [[imiIndexOpen]]. Holds the resolved root, the bounded k×dim
+    * model arrays and lazy relations — no data collected or persisted. */
+  final class ImiReader private[operators] (
+      spark: org.apache.spark.sql.SparkSession, path: String) {
+    // ONE root resolution per open: model and lists must come from the
     // same index generation (a rebuild swapping between two per-table
     // resolutions would mix them)
-    val root = indexLiveRoot(spark, path)
-    val (coarse, fine) = imiIndexModel(spark, root)
-    // the probed-cell set is BOUNDED MODEL-SIZED state (≤ min(k cells,
-    // probes × nprobeCells) ints): collecting it turns the cell join's
-    // implicit restriction into a STATIC partition predicate the reader
-    // prunes directories with — the search then scans ~nprobe/k of the
-    // stored lists instead of every file (the store's targetObjs pattern
-    // applied to the ANN index)
-    val probedCells = imiProbedCells(probes, idCol, vecCol, coarse, fine,
-      groupSize, nprobeGroups, nprobeCells)
-    // ONE narrow job replaces the r15 pair (fan-out count + distinct-cell
-    // collect): the per-cell aggregate prunes the wide pv column, its sum
-    // is the fan-out row count (the broadcast-gate input) and its keys are
-    // the probed-cell set. The fan-out itself is a row-local projection
-    // (see imiProbedCells), so recomputing it under the final join costs
-    // less than caching its dim-wide rows ever did.
-    val cellRows = probedCells.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n")).collect()
-    val nProbed = cellRows.map(_.getAs[Long]("n")).sum
-    val cellSet = cellRows.map(_.getAs[Int]("cell")).sorted
-    val scanned = spark.read
+    private val root = indexLiveRoot(spark, path)
+    private val model = imiIndexModel(spark, root)
+    private val listsAll = spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/lists"))
-      .filter(col("cell").isin(cellSet.map(Int.box): _*))
-    val lists = applyTombstones(spark, path,
-      serveFilter.map(scanned.filter).getOrElse(scanned)
-        .select(col("nbr_id"), col("cv"), col("cell")))
-    val dim = fine.headOption.map(_.length).getOrElse(0)
-    imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
+    private val tombBytes = dirDataBytes(spark, s"$path/tombstones")
+    private val tomb: Option[DataFrame] =
+      if (tombBytes == 0L) None
+      else Some(maybeBroadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("nbr_id")), tombBytes))
+    private def live(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("nbr_id"), "left_anti")).getOrElse(df)
+
+    def search(probes: DataFrame, idCol: String, vecCol: String, k: Int,
+               groupSize: Int, nprobeGroups: Int, nprobeCells: Int,
+               serveFilter: Option[Column] = None): DataFrame = {
+      val (coarse, fine) = model
+      // the probed-cell set is BOUNDED MODEL-SIZED state (≤ min(k cells,
+      // probes × nprobeCells) ints): collecting it turns the cell join's
+      // implicit restriction into a STATIC partition predicate the reader
+      // prunes directories with — the search then scans ~nprobe/k of the
+      // stored lists instead of every file (the store's targetObjs pattern
+      // applied to the ANN index)
+      val probedCells = imiProbedCells(probes, idCol, vecCol, coarse, fine,
+        groupSize, nprobeGroups, nprobeCells)
+      // ONE narrow job replaces the r15 pair (fan-out count + distinct-cell
+      // collect): the per-cell aggregate prunes the wide pv column, its sum
+      // is the fan-out row count (the broadcast-gate input) and its keys are
+      // the probed-cell set. The fan-out itself is a row-local projection
+      // (see imiProbedCells), so recomputing it under the final join costs
+      // less than caching its dim-wide rows ever did.
+      val cellRows = probedCells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n")).collect()
+      val nProbed = cellRows.map(_.getAs[Long]("n")).sum
+      val cellSet = cellRows.map(_.getAs[Int]("cell")).sorted
+      val scanned = listsAll.filter(col("cell").isin(cellSet.map(Int.box): _*))
+      val lists = live(
+        serveFilter.map(scanned.filter).getOrElse(scanned)
+          .select(col("nbr_id"), col("cv"), col("cell")))
+      val dim = fine.headOption.map(_.length).getOrElse(0)
+      imiRank(lists, probedCells, k, imiProbeRowBytes(dim) * nProbed)
+    }
+
+    /** Frozen-model rank-1 cell assignment against the opened model —
+      * [[imiIndexAssign]]'s compute step without the per-batch root/model
+      * re-resolution. */
+    def assign(batch: DataFrame, idCol: String, vecCol: String,
+               groupSize: Int,
+               literalBudget: Long = CellLiteralBudget): DataFrame = {
+      val (coarse, fine) = model
+      semanticAssign2Level(batch, idCol, vecCol, fine, groupSize,
+          literalBudget, Some(coarse))
+        .select(col("vec_id").as("nbr_id"), col("cell"), col("v").as("cv"))
+    }
   }
 
   /** Recall@k of an approximate top-k result against the exact one —
@@ -1919,9 +1979,12 @@ object Similarity {
                          subs: Int, ksub: Int, dim: Int): DataFrame = {
     val probedCells = imiPqProbedCells(probes, idCol, vecCol, coarse, fine,
       groupSize, nprobeGroups, nprobeCells, subs, ksub, dim)
-    val nProbes = probes.count()
+    // narrow fan-out count instead of probes.count() — see [[imiServe]]
+    val nProbed = probedCells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(_.getAs[Long]("n")).sum
     imiPqRank(corpusIdx, probedCells, k, subs, ksub,
-      adcProbeRowBytes(subs, ksub) * nProbes * nprobeCells)
+      adcProbeRowBytes(subs, ksub) * nProbed)
   }
 
   /** [[imiProbedCells]]'s IMI+PQ variant: the same row-local kernel
@@ -1982,17 +2045,23 @@ object Similarity {
           for { c <- m.indices; d <- m(c).indices } yield (c, d, m(c)(d)))
         .toDF("cell", "d", "comp")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
-    dump(coarse, "coarse")
-    dump(fine, "fine")
     // adaptively cell-partitioned like [[imiIndexWrite]]'s lists — the
     // probed-cell predicate prunes directories at search time when cells
     // are file-sized, and applies as an ordinary pushed filter when not
-    val out = imiPqIndexRows(corpus, idCol, vecCol, coarse, fine, groupSize,
-        subs, ksub, dim, literalBudget, Some(sharedRows))
-      .write.mode("overwrite")
     val k = coarse.length.toLong * groupSize
-    (if (sharedRows.n >= k * MinRowsPerCellPartition) out.partitionBy("cell")
-     else out).parquet(IndexTables.writeDir(s"$root/codes"))
+    val cellPart = sharedRows.n >= k * MinRowsPerCellPartition
+    // overlapped independent writes under the uncommitted root, like
+    // [[imiIndexWrite]] (guide §2.6)
+    graft.Par.run(
+      () => dump(coarse, "coarse"),
+      () => dump(fine, "fine"),
+      () => {
+        val out = imiPqIndexRows(corpus, idCol, vecCol, coarse, fine,
+            groupSize, subs, ksub, dim, literalBudget, Some(sharedRows))
+          .write.mode("overwrite")
+        (if (cellPart) out.partitionBy("cell") else out)
+          .parquet(IndexTables.writeDir(s"$root/codes"))
+      })
     IndexTables.commitRoot(spark, root)
   }
 
@@ -2445,13 +2514,16 @@ object Similarity {
     val rows = for {
       s <- books.indices; c <- books(s).indices; d <- books(s)(c).indices
     } yield (s, c, d, books(s)(c)(d))
-    spark.createDataset(rows).toDF("s", "c", "d", "comp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
     val ds = dim / subs
-    corpus.select(col(idCol).as("nbr_id"),
-        trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
-      .write.mode("overwrite")
-      .parquet(IndexTables.writeDir(s"$root/codes"))
+    // overlapped independent writes under the uncommitted root, like
+    // [[imiIndexWrite]] (guide §2.6)
+    graft.Par.run(
+      () => spark.createDataset(rows).toDF("s", "c", "d", "comp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/books"),
+      () => corpus.select(col(idCol).as("nbr_id"),
+          trainedPacked(books, ds, subs, ksub)(col(vecCol)).as("pq_code"))
+        .write.mode("overwrite")
+        .parquet(IndexTables.writeDir(s"$root/codes")))
     IndexTables.commitRoot(spark, root)
   }
 

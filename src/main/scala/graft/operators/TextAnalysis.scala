@@ -667,8 +667,16 @@ object TextAnalysis {
           array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
           lit("  </w>  ")).as("sym"),
         col("freq"))
+    // r17: ONE job per merge round. The former shape paid TWO jobs per
+    // round (an eager count() to materialize each round's rewritten
+    // vocabulary cache, then the argmax collect) and kept every superseded
+    // round's cache alive until release. Each round's argmax collect
+    // already materializes that round's cache as a side effect (the pair
+    // scan reads every partition), so the count() bought nothing; the
+    // grandparent cache is freed as soon as its child is materialized, so
+    // at most two vocabulary caches are ever live.
     var words = graft.CacheScope.cache(w0)
-    words.count()
+    var prev: org.apache.spark.sql.DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     for (step <- 1 to k if !exhausted) {
@@ -684,6 +692,9 @@ object TextAnalysis {
       val best = pairs
         .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
         .collect()
+      // this round's `words` cache is now materialized; the round BEFORE
+      // it can no longer be read by anything — free it
+      if (prev != null) graft.CacheScope.free(prev)
       if (best.isEmpty) {
         // fully merged before k rounds (every word a single symbol): stop
         // instead of crashing; the twin's empty bestN CTEs emit the same
@@ -693,12 +704,12 @@ object TextAnalysis {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step.toLong, l, r, l + r, cnt))
+        prev = words
         words = graft.CacheScope.cache(words.select(
           regexp_replace(col("sym"),
             lit(java.util.regex.Pattern.quote(s" $l  $r ")),
             lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))).as("sym"),
           col("freq")))
-        words.count()
       }
     }
     import spark.implicits._

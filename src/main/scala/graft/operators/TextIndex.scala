@@ -99,23 +99,37 @@ object TextIndex {
 
   /** Write the four tables under `root` through `dir` (the per-table
     * generation resolver: a fresh nested generation on build/vacuum, the
-    * live one on append). */
+    * live one on append).
+    *
+    * The four writes are INDEPENDENT once the shared posting rows are
+    * materialized (they land in four disjoint directories and all read the
+    * two scope-cached frames), so they run OVERLAPPED from driver threads
+    * (guide §2.6 — actions are only sequential because the driver calls
+    * them sequentially; concurrent jobs back-fill each other's task tails
+    * and scheduling/commit floors). Atomicity is unchanged: the caller's
+    * single root `_SUCCESS` ([[IndexTables.commitRoot]]) still gates
+    * visibility of ALL four tables, and any write failure propagates after
+    * every in-flight write has settled — a partial overlap failure leaves
+    * exactly what a partial sequential failure left, an uncommitted root
+    * generation. */
   private def writeTables(docs: DataFrame, idCol: String, textCol: String,
                           root: String, dir: String => String,
                           mode: String): Unit = {
     val d = graft.CacheScope.cache(docs)
     d.count() // three consumers below
     val p = graft.CacheScope.cache(postingsOf(d, idCol, textCol))
-    p.repartitionByRange(col("term64"))
-      .sortWithinPartitions(col("term64"), col("doc"))
-      .write.mode(mode).parquet(dir(s"$root/postings"))
-    p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(dir(s"$root/vocab"))
+    p.count() // materialize ONCE before the overlapped consumers race it
     val l = lens(d, idCol, textCol)
-    l.write.mode(mode).parquet(dir(s"$root/doclens"))
-    l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
-        .as("len_sum"))
-      .write.mode(mode).parquet(dir(s"$root/global"))
+    graft.Par.run(
+      () => p.repartitionByRange(col("term64"))
+        .sortWithinPartitions(col("term64"), col("doc"))
+        .write.mode(mode).parquet(dir(s"$root/postings")),
+      () => p.groupBy(col("term64")).agg(count(lit(1)).as("df"))
+        .write.mode(mode).parquet(dir(s"$root/vocab")),
+      () => l.write.mode(mode).parquet(dir(s"$root/doclens")),
+      () => l.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+          .as("len_sum"))
+        .write.mode(mode).parquet(dir(s"$root/global")))
   }
 
   /** Build the persisted BM25 index from scratch — tokenize, hash, count,
@@ -254,76 +268,105 @@ object TextIndex {
   def bm25IndexSearch(spark: SparkSession, queries: DataFrame,
                       qidCol: String, qtextCol: String, path: String,
                       k: Int,
-                      maxTermInList: Long = MaxTermInListValues): DataFrame = {
-    val qterms = graft.CacheScope.cache(
-      queries.select(col(qidCol).cast("long").as("query_id"),
-          explode(tokens(col(qtextCol))).as("term"))
-        .select(col("query_id"), xxhash64(col("term")).as("term64"))
-        .distinct())
-    // the term restriction: the batch's distinct term ids — bounded by the
-    // query batch's vocabulary, the text analog of the probed-cell set.
-    // Under [[MaxTermInListValues]] it collects and pushes as a literal In
-    // (row-group skip); above, it stays distributed as a size-gated
-    // broadcast semi-join (never a plan-sized predicate, never a driver
-    // collect of a bulk vocabulary). ONE job decides AND fetches: take
-    // ceiling+1 ids — fits ⇒ that IS the In-list; overflows ⇒ bulk batch,
-    // and only then is the vocabulary counted (for the broadcast gate) —
-    // a separate count() before the collect would put a second job's
-    // scheduling floor on every online serve.
-    val qset = qterms.select(col("term64")).distinct()
-    val probeLimit = math.min(maxTermInList + 1, Int.MaxValue.toLong).toInt
-    val sampled = qset.limit(probeLimit).collect()
-    val inList: Option[Seq[Long]] =
-      if (sampled.length <= maxTermInList)
-        Some(sampled.map(_.getLong(0)).toSeq)
-      else None
-    lazy val qBytes = 16L * qset.count()
-    def termPruned(df: DataFrame): DataFrame = inList match {
-      case Some(ids) => df.filter(col("term64").isin(ids: _*))
-      case None => df.join(maybeBroadcastTomb(qset, qBytes),
-        Seq("term64"), "left_semi")
-    }
-    // ONE root resolution per serve: postings and statistics must come
+                      maxTermInList: Long = MaxTermInListValues): DataFrame =
+    bm25IndexOpen(spark, path)
+      .search(queries, qidCol, qtextCol, k, maxTermInList)
+
+  /** Resolve a persisted BM25 index ONCE for a serving session — the
+    * micro-batch serving shape (VERDICT r16 next #1): root resolution, the
+    * four tables' relations (file listing + parquet schema), and the
+    * pending-tombstone listing bind at open and are REUSED by every
+    * [[Bm25Reader.search]] call, so a foreachBatch loop pays those
+    * driver-side fixed costs per STREAM instead of per trigger. Valid
+    * exactly as long as the index is frozen (the online-serve gates build
+    * the index before any probe arrives — their contract); a serve that
+    * must observe concurrent rebuilds/vacuums/deletes re-opens per call,
+    * which is what [[bm25IndexSearch]] does. */
+  def bm25IndexOpen(spark: SparkSession, path: String): Bm25Reader =
+    new Bm25Reader(spark, path)
+
+  /** See [[bm25IndexOpen]]. Holds only resolved paths, lazy relations and
+    * the tombstone listing — no data is collected or persisted. */
+  final class Bm25Reader private[TextIndex] (spark: SparkSession,
+                                             path: String) {
+    // ONE root resolution per open: postings and statistics must come
     // from the same index generation (a vacuum swapping between
     // per-table resolutions would mix them)
-    val root = IndexTables.liveDir(spark, path)
-    val postings = termPruned(spark.read
-      .parquet(IndexTables.liveDir(spark, s"$root/postings")))
-    val dfSum = termPruned(spark.read
-      .parquet(IndexTables.liveDir(spark, s"$root/vocab")))
-      .groupBy(col("term64")).agg(sum(col("df")).as("df"))
-    val globals = spark.read
+    private val root = IndexTables.liveDir(spark, path)
+    private val postingsAll = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$root/postings"))
+    private val vocabAll = spark.read
+      .parquet(IndexTables.liveDir(spark, s"$root/vocab"))
+    private val globals = spark.read
       .parquet(IndexTables.liveDir(spark, s"$root/global"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("len_sum")), lit(0L)).as("len_sum"))
-    // pending tombstones: drop their postings AND subtract their share of
-    // the statistics — all from rows already in hand (the tombstone table
-    // and the term-pruned scan), never a corpus-sized read
-    val tombDir = s"$path/tombstones"
-    val tombBytes = graft.sources.ParquetConcat.dataFiles(
+    private val tombDir = s"$path/tombstones"
+    private val tombBytes = graft.sources.ParquetConcat.dataFiles(
       spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(tombDir)).map(_.getLen).sum
-    val (livePostings, dfEff, gEff) =
-      if (tombBytes == 0L) (postings, dfSum, globals)
-      else {
-        val tomb = maybeBroadcastTomb(
-          spark.read.parquet(tombDir).distinct(), tombBytes)
-        val live = postings.join(tomb.select(col("doc")), Seq("doc"),
-          "left_anti")
-        val dfDel = postings.join(tomb.select(col("doc")), Seq("doc"),
-            "left_semi")
-          .groupBy(col("term64")).agg(count(lit(1)).as("df_del"))
-        val df2 = dfSum.join(dfDel, Seq("term64"), "left")
-          .select(col("term64"),
-            (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
-        val gDel = tomb.agg(count(lit(1)).as("n_del"),
-          coalesce(sum(col("dl")), lit(0L)).as("len_del"))
-        val g2 = globals.crossJoin(broadcast(gDel))
-          .select((col("n") - col("n_del")).as("n"),
-            (col("len_sum") - col("len_del")).as("len_sum"))
-        (live, df2, g2)
+    private val tomb: Option[DataFrame] =
+      if (tombBytes == 0L) None
+      else Some(maybeBroadcastTomb(
+        spark.read.parquet(tombDir).distinct(), tombBytes))
+
+    def search(queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int,
+               maxTermInList: Long = MaxTermInListValues): DataFrame = {
+      val qterms = graft.CacheScope.cache(
+        queries.select(col(qidCol).cast("long").as("query_id"),
+            explode(tokens(col(qtextCol))).as("term"))
+          .select(col("query_id"), xxhash64(col("term")).as("term64"))
+          .distinct())
+      // the term restriction: the batch's distinct term ids — bounded by
+      // the query batch's vocabulary, the text analog of the probed-cell
+      // set. Under [[MaxTermInListValues]] it collects and pushes as a
+      // literal In (row-group skip); above, it stays distributed as a
+      // size-gated broadcast semi-join (never a plan-sized predicate,
+      // never a driver collect of a bulk vocabulary). ONE job decides AND
+      // fetches: take ceiling+1 ids — fits ⇒ that IS the In-list;
+      // overflows ⇒ bulk batch, and only then is the vocabulary counted
+      // (for the broadcast gate) — a separate count() before the collect
+      // would put a second job's scheduling floor on every online serve.
+      val qset = qterms.select(col("term64")).distinct()
+      val probeLimit = math.min(maxTermInList + 1, Int.MaxValue.toLong).toInt
+      val sampled = qset.limit(probeLimit).collect()
+      val inList: Option[Seq[Long]] =
+        if (sampled.length <= maxTermInList)
+          Some(sampled.map(_.getLong(0)).toSeq)
+        else None
+      lazy val qBytes = 16L * qset.count()
+      def termPruned(df: DataFrame): DataFrame = inList match {
+        case Some(ids) => df.filter(col("term64").isin(ids: _*))
+        case None => df.join(maybeBroadcastTomb(qset, qBytes),
+          Seq("term64"), "left_semi")
       }
-    scoreTopK(livePostings, qterms, dfEff, gEff, k, qBytes)
+      val postings = termPruned(postingsAll)
+      val dfSum = termPruned(vocabAll)
+        .groupBy(col("term64")).agg(sum(col("df")).as("df"))
+      // pending tombstones: drop their postings AND subtract their share
+      // of the statistics — all from rows already in hand (the tombstone
+      // table and the term-pruned scan), never a corpus-sized read
+      val (livePostings, dfEff, gEff) = tomb match {
+        case None => (postings, dfSum, globals)
+        case Some(t) =>
+          val live = postings.join(t.select(col("doc")), Seq("doc"),
+            "left_anti")
+          val dfDel = postings.join(t.select(col("doc")), Seq("doc"),
+              "left_semi")
+            .groupBy(col("term64")).agg(count(lit(1)).as("df_del"))
+          val df2 = dfSum.join(dfDel, Seq("term64"), "left")
+            .select(col("term64"),
+              (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+          val gDel = t.agg(count(lit(1)).as("n_del"),
+            coalesce(sum(col("dl")), lit(0L)).as("len_del"))
+          val g2 = globals.crossJoin(broadcast(gDel))
+            .select((col("n") - col("n_del")).as("n"),
+              (col("len_sum") - col("len_del")).as("len_sum"))
+          (live, df2, g2)
+      }
+      scoreTopK(livePostings, qterms, dfEff, gEff, k, qBytes)
+    }
   }
 
   /** One-shot BM25 top-k straight from a corpus DataFrame — the same

@@ -2728,49 +2728,67 @@ object NorthStar {
                   iters: Int = 3, dim: Int = 64): DataFrame = {
     import s.implicits._
     def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-    val covQ = embCovariance(s, dir)
-    val cov = graft.CacheScope.cache(
-      covQ.select(col("d1").as("i"), col("d2").as("j"),
-          col("cov_pop").cast("decimal(12,6)").as("c6"))
-        .union(covQ.filter(col("d1") =!= col("d2"))
-          .select(col("d2").as("i"), col("d1").as("j"),
-            col("cov_pop").cast("decimal(12,6)").as("c6"))))
-    cov.count()
-    def wFrame(v: IndexedSeq[java.math.BigDecimal]): DataFrame = {
-      val vdf = v.zipWithIndex.map { case (bd, j) => (j, BigDecimal(bd)) }
-        .toDF("j", "val")
-        .select(col("j"), col("val").cast("decimal(12,6)").as("val"))
-      cov.join(broadcast(vdf), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("c6") * col("val")).as("ws"))
-        .select(col("i"),
-          r6(col("ws").cast("double")).cast("decimal(12,6)").as("w6"))
+    // r17 (VERDICT r16 next #5): the d² covariance moment aggregation is
+    // the ONLY corpus-sized work — collect its dim(dim+1)/2 decimal rows
+    // ONCE (model-sized state, like a k-means centroid collect) and run
+    // the power iterations DRIVER-LOCAL on the mirrored matrix. The old
+    // shape cached a self-union (which re-ran the corpus aggregation for
+    // EACH union branch) and paid one distributed matvec job per
+    // iteration; job count drops from O(iters) to O(1) and the corpus
+    // aggregation runs once instead of twice. Arithmetic is step-for-step
+    // identical: the matvec is an exact decimal Σ c6·val (order-
+    // independent, so locality cannot change it), re-quantized through the
+    // same floor(x·1e6+0.5)/1e6 double and DECIMAL(12,6) HALF_UP cast the
+    // in-plan expressions applied, then the same exact-decimal square sum,
+    // double sqrt and divisions — bit-identical loadings by construction
+    // (hash-gated against the unchanged DuckDB twin).
+    val covRows = embCovariance(s, dir)
+      .select(col("d1"), col("d2"),
+        col("cov_pop").cast("decimal(12,6)").as("c6"))
+      .collect()
+    val c = Array.ofDim[java.math.BigDecimal](dim, dim)
+    covRows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("d1"), r.getAs[Int]("d2"))
+      val b = r.getAs[java.math.BigDecimal]("c6")
+      c(i)(j) = b
+      c(j)(i) = b // the old self-union's mirrored lower triangle
     }
+    def dec6(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    // Σ_j c6(i,j)·val(j) exactly as the grouped decimal sum computed it,
+    // then the r6-on-double requantization to DECIMAL(12,6)
+    def matvec(v: IndexedSeq[java.math.BigDecimal]): Array[java.math.BigDecimal] =
+      Array.tabulate(dim) { i =>
+        var ws = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) { ws = ws.add(c(i)(j).multiply(v(j))); j += 1 }
+        dec6(math.floor(ws.doubleValue() * 1e6 + 0.5) / 1e6)
+      }
     var v: IndexedSeq[java.math.BigDecimal] =
       (0 until dim).map(LshOracleSql.pcaInit)
     for (_ <- 1 until iters) {
-      val w6 = new Array[java.math.BigDecimal](dim)
-      wFrame(v).collect().foreach { r =>
-        w6(r.getAs[Int]("i")) = r.getAs[java.math.BigDecimal]("w6")
-      }
+      val w6 = matvec(v)
       // exact decimal square sum, then double sqrt/divide — the same op
       // order the twin runs in SQL
       val n2 = w6.map(b => b.multiply(b))
         .reduce(_.add(_)).doubleValue()
       val nrm = math.sqrt(n2)
-      v = w6.toIndexedSeq.map { b =>
-        new java.math.BigDecimal(
-          math.floor(b.doubleValue() / nrm * 1e6 + 0.5) / 1e6)
-          .setScale(6, java.math.RoundingMode.HALF_UP)
-      }
+      v = w6.toIndexedSeq.map(b =>
+        dec6(math.floor(b.doubleValue() / nrm * 1e6 + 0.5) / 1e6))
     }
-    val fin = wFrame(v)
-    val nrm = fin.agg(
-      sqrt(sum(col("w6") * col("w6")).cast("double")).as("nrm"))
-    fin.crossJoin(broadcast(nrm))
-      .select(col("i").as("d"),
-        r6(col("w6").cast("double") / col("nrm")).as("loading"),
-        r6(col("nrm")).as("lambda"))
+    val w6 = matvec(v)
+    val nrm = math.sqrt(
+      w6.map(b => b.multiply(b)).reduce(_.add(_)).doubleValue())
+    // the final projection runs IN-PLAN over the driver-computed decimal
+    // vector (a 64-row local relation), keeping the declared output the
+    // same r6 column expressions — and their types/nullability — as before
+    val fin = w6.toIndexedSeq.zipWithIndex
+      .map { case (b, i) => (i, BigDecimal(b)) }
+      .toDF("i", "w6")
+      .select(col("i"), col("w6").cast("decimal(12,6)").as("w6"))
+    fin.select(col("i").as("d"),
+        r6(col("w6").cast("double") / lit(nrm)).as("loading"),
+        r6(lit(nrm)).as("lambda"))
       .orderBy(col("d"))
   }
 

@@ -226,13 +226,17 @@ object Streaming {
     // train + persist ONCE, before any probe arrives — the serving split
     Similarity.imiIndexWrite(corpus, "vec_id", "embedding", idxPath,
       groups = 4, groupSize = 4, iters = 2, dim = 64)
+    // ... and RESOLVE once: the index is frozen for the stream's lifetime,
+    // so the root/model/relation binding happens per stream, not per
+    // trigger (VERDICT r16 next #1)
+    val idx = Similarity.imiIndexOpen(s, idxPath)
     val probes = corpus.filter(col("vec_id") < 10)
     probes.repartition(4).write.parquet(staged)
     val src = s.readStream.schema(probes.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Similarity.imiIndexSearch(s, batch, "vec_id", "embedding", idxPath,
+        idx.search(batch, "vec_id", "embedding",
             k = 5, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
           .write.mode("overwrite").parquet(s"$out/batch=$id")
       }
@@ -275,14 +279,16 @@ object Streaming {
     Similarity.imiIndexWrite(emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
       "vec_id", "embedding", idxPath, groups = 4, groupSize = 4, iters = 2,
       dim = 64)
+    // the frozen model binds once per stream (VERDICT r16 next #1); each
+    // batch only assigns under it
+    val idx = Similarity.imiIndexOpen(s, idxPath)
     val late = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
     late.repartition(4).write.parquet(arrivals)
     val src = s.readStream.schema(late.schema)
       .option("maxFilesPerTrigger", 1).parquet(arrivals)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Similarity.imiIndexAssign(s, batch, "vec_id", "embedding", idxPath,
-            groupSize = 4)
+        idx.assign(batch, "vec_id", "embedding", groupSize = 4)
           .write.mode("overwrite").parquet(s"$staged/batch=$id")
       }
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -324,14 +330,16 @@ object Streaming {
       Dedup.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         "doc_id", "text", 3),
       idxPath, k = 64, r = 4)
+    // the held index is frozen for the stream's lifetime: resolve its
+    // tables once per stream, not per trigger (VERDICT r16 next #1)
+    val idx = Dedup.dedupIndexOpen(s, idxPath)
     val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     incoming.repartition(4).write.parquet(staged)
     val src = s.readStream.schema(incoming.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Dedup.dedupIndexCheck(s,
-            Dedup.shingles(batch, "doc_id", "text", 3), idxPath,
+        idx.check(Dedup.shingles(batch, "doc_id", "text", 3),
             k = 64, r = 4, threshold = 0.5)
           .write.mode("overwrite").parquet(s"$out/batch=$id")
       }
@@ -840,14 +848,16 @@ object Streaming {
     val idxPath = s"$tmp/index"
     val docs = Tables.documents(s, dir)
     TextIndex.bm25IndexWrite(docs, "doc_id", "text", idxPath)
+    // frozen for the stream's lifetime: resolve the index once per stream,
+    // not per trigger (VERDICT r16 next #1)
+    val idx = TextIndex.bm25IndexOpen(s, idxPath)
     val probeQs = NorthStar.bm25GateQueries(docs)
     probeQs.repartition(4).write.parquet(staged)
     val src = s.readStream.schema(probeQs.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        TextIndex.bm25IndexSearch(s, batch, "query_id", "qtext", idxPath,
-            k = 5)
+        idx.search(batch, "query_id", "qtext", k = 5)
           .write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .option("checkpointLocation", ckpt)
@@ -911,11 +921,28 @@ object Streaming {
     val imiPath = s"$tmp/imi"
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir)
-    // both indexes persist BEFORE any probe arrives — the serving split
-    TextIndex.bm25IndexWrite(docs, "doc_id", "text", bmPath)
-    Similarity.imiIndexWrite(emb, "vec_id", "embedding", imiPath,
-      groups = 4, groupSize = 4, iters = 2, dim = 64)
-    val lexQs = NorthStar.bm25GateQueries(docs) // query_id < 8
+    // both indexes persist BEFORE any probe arrives — the serving split.
+    // The two builds touch disjoint paths and disjoint inputs, so they run
+    // OVERLAPPED from driver threads (guide §2.6): each build's many small
+    // jobs (trainer iterations, table writes) back-fill the other's task
+    // tails and scheduling floors instead of paying them end-to-end.
+    graft.Par.run(
+      () => TextIndex.bm25IndexWrite(docs, "doc_id", "text", bmPath),
+      () => Similarity.imiIndexWrite(emb, "vec_id", "embedding", imiPath,
+        groups = 4, groupSize = 4, iters = 2, dim = 64))
+    // ... and RESOLVE once: both indexes are frozen for the stream's
+    // lifetime, so root/model/relation binding happens per stream, not per
+    // trigger (VERDICT r16 next #1)
+    val bmIdx = TextIndex.bm25IndexOpen(s, bmPath)
+    val imiIdx = Similarity.imiIndexOpen(s, imiPath)
+    // the standing lexical query set is REFERENCED per batch (the semi-join
+    // restriction) and once more by the catch-up anti-join: scope-cache its
+    // 8 rows so each trigger reads memory instead of re-running the
+    // corpus scan + tokenize lineage (released by the consumer's
+    // CacheScope.release, like every operator cache)
+    val lexQs = graft.CacheScope.cache(
+      NorthStar.bm25GateQueries(docs)) // query_id < 8
+    lexQs.count()
     val probes = emb.filter(col("vec_id") < 10)
     probes.repartition(4).write.parquet(staged)
     val src = s.readStream.schema(probes.schema)
@@ -925,11 +952,10 @@ object Streaming {
         // restrict the lexical side to the batch's probe ids so each
         // query fuses exactly once, in the batch that carries its
         // semantic probe — a broadcast semi-join, never a literal splice
-        val lex = TextIndex.bm25IndexSearch(s,
-          lexForBatch(lexQs, batch, "vec_id"),
-          "query_id", "qtext", bmPath, k = 10)
-        val sem = Similarity.imiIndexSearch(s, batch, "vec_id", "embedding",
-          imiPath, k = 10, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
+        val lex = bmIdx.search(lexForBatch(lexQs, batch, "vec_id"),
+          "query_id", "qtext", k = 10)
+        val sem = imiIdx.search(batch, "vec_id", "embedding",
+          k = 10, groupSize = 4, nprobeGroups = 2, nprobeCells = 4)
         fuse(lex, sem).write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -945,14 +971,16 @@ object Streaming {
     // of recomputing it (VERDICT r15 #7 + the r16 review: an unconditional
     // serve spent the full search + fuse + empty write where the old probe
     // spent one job)
+    // the probe-id side re-reads the 10-row STAGED file (the stream's own
+    // source of truth for what arrived) instead of re-running the corpus
+    // scan + repartition lineage a second time
     val missed = lexQs.join(
-      probes.select(col("vec_id").cast("long").as("query_id")),
+      s.read.parquet(staged).select(col("vec_id").cast("long").as("query_id")),
       Seq("query_id"), "left_anti").persist()
     try {
       if (missed.count() > 0) {
         import s.implicits._
-        val lex = TextIndex.bm25IndexSearch(s, missed, "query_id", "qtext",
-          bmPath, k = 10)
+        val lex = bmIdx.search(missed, "query_id", "qtext", k = 10)
         val emptySem = Seq.empty[(Long, Int, Long, Double)]
           .toDF("query_id", "rnk", "nbr_id", "cos_sim")
         fuse(lex, emptySem).write.mode("overwrite")

@@ -1082,6 +1082,15 @@ object TimeSeries {
     // bucket's sv is non-null, so LOCF always carries the previous
     // observation); the window now runs over the ~observation rows, not
     // the dense grid. No cache: obs has one consumer.
+    //
+    // CONTRACT (ADVICE r16): `value` is NOT NULL — the events fixture's
+    // schema guarantee (0 nulls at every scale, verified) and this
+    // operator's declared input contract. The equivalence above leans on
+    // it: an ALL-NULL-value hour would make its bucket's sv NULL, which
+    // the old last(ignoreNulls) carry skipped (carrying the previous
+    // non-null observation) while this shape emits the bucket's own NULL
+    // sv. Nullable-value inputs need the pre-r16 running-carry form, not
+    // this one.
     val obs = Tables.events(s, dir)
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("user_id"), col("hour_ns"))
@@ -1149,6 +1158,12 @@ object TimeSeries {
     // (observed rows hit the nh===ph → pv branch through h===ph, since an
     // observed row is its own nearest observation on both sides), so the
     // output is bit-identical. No cache: obs has one consumer.
+    //
+    // CONTRACT (ADVICE r16): `value` is NOT NULL — see [[gapFill]]'s
+    // contract note; an all-NULL-value hour would count here as an
+    // OBSERVED bucket where the old ignoreNulls carries treated it as a
+    // gap to interpolate across. Nullable-value inputs need the pre-r16
+    // four-carry form.
     val obs = Tables.events(s, dir)
       .withColumn("hour_ns", col("ts") - pmod(col("ts"), lit(hourNs)))
       .groupBy(col("user_id"), col("hour_ns"))

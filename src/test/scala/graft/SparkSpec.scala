@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    // test checkpoints are ephemeral temp dirs (see Tables scaladoc)
+    Tables.ephemeralStreamTuning(s)
   }
 }
